@@ -1,0 +1,87 @@
+"""Gaussian-type-orbital densities and analytic Fourier transforms (L <= 2).
+
+TPU-native counterpart of ``nvalchemiops/math/gto.py`` (reference:
+math/gto.py:143-860).  Conventions:
+
+- Density: ``phi_{l,m}(r, sigma) = N * Y_l^m(r_hat) * exp(-r^2 / (2 sigma^2))``
+  with ``N = sqrt(4 pi) / (2 pi)^{3/2} / sigma^3`` so the monopole integrates
+  to 1.
+- Fourier transform: ``phi_hat_{l,m}(k) = (i/2)^l sqrt(4 pi) Y_l^m(k_hat)
+  exp(-k^2 sigma^2 / 2)`` — purely real for L in {0, 2}, purely imaginary for
+  L = 1.  ``sigma = 1/(2 alpha)`` links the width to an Ewald splitting
+  parameter.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from nvalchemiops_tpu.mathops.spherical_harmonics import (
+    eval_all_spherical_harmonics,
+    spherical_harmonics,
+)
+
+SQRT_4PI = math.sqrt(4.0 * math.pi)
+TWOPI = 2.0 * math.pi
+
+_NUM_COMPONENTS = {0: 1, 1: 4, 2: 9}
+
+
+def gto_normalization(sigma):
+    """Normalization ``N = sqrt(4 pi) / ((2 pi)^{3/2} sigma^3)``."""
+    return SQRT_4PI / (TWOPI * jnp.sqrt(jnp.asarray(TWOPI, dtype=jnp.result_type(sigma, 1.0))) * sigma**3)
+
+
+def gto_self_overlap(l: int, sigma):
+    """Self-overlap ``<phi_{l,m} | phi_{l,m}> = 1 / (2 sqrt(pi) sigma^3)``.
+
+    (reference: math/gto.py:480-525 — independent of l for this
+    normalization convention).
+    """
+    del l
+    return 1.0 / (2.0 * jnp.sqrt(jnp.asarray(math.pi, dtype=jnp.result_type(sigma, 1.0))) * sigma**3)
+
+
+def eval_gto_density(positions, sigma, l_max: int = 2):
+    """GTO density components at ``positions`` [..., 3] -> [..., n_comp].
+
+    ``n_comp`` is 1/4/9 for ``l_max`` 0/1/2, ordered like
+    :func:`~nvalchemiops_tpu.mathops.spherical_harmonics.spherical_harmonics`.
+    """
+    if l_max not in _NUM_COMPONENTS:
+        raise ValueError(f"l_max must be 0, 1 or 2, got {l_max}")
+    r2 = jnp.sum(positions * positions, axis=-1, keepdims=True)
+    prefactor = gto_normalization(sigma) * jnp.exp(-r2 / (2.0 * sigma**2))
+    return prefactor * spherical_harmonics(positions, l_max=l_max)
+
+
+def eval_gto_fourier(k_vectors, sigma, l_max: int = 2):
+    """Analytic Fourier transform of the GTO basis at ``k_vectors`` [..., 3].
+
+    Returns ``(real, imag)`` arrays of shape [..., n_comp]: L=0 and L=2
+    components are purely real (L=2 carries the ``(i/2)^2 = -1/4`` sign),
+    L=1 components are purely imaginary with coefficient
+    ``(1/2) sqrt(4 pi) Y_1^m exp(-k^2 sigma^2 / 2)``.
+    """
+    if l_max not in _NUM_COMPONENTS:
+        raise ValueError(f"l_max must be 0, 1 or 2, got {l_max}")
+    k2 = jnp.sum(k_vectors * k_vectors, axis=-1, keepdims=True)
+    gauss = jnp.exp(-k2 * sigma**2 / 2.0)
+    y = eval_all_spherical_harmonics(k_vectors)
+
+    zeros = jnp.zeros_like(y[..., 0:1])
+    # (i/2)^l * sqrt(4pi): l=0 -> 1 (real), l=1 -> i/2 (imag), l=2 -> -1/4 (real)
+    real_parts = [SQRT_4PI * y[..., 0:1] * gauss]
+    imag_parts = [zeros]
+    if l_max >= 1:
+        real_parts.append(jnp.broadcast_to(zeros, y[..., 1:4].shape))
+        imag_parts.append(0.5 * SQRT_4PI * y[..., 1:4] * gauss)
+    if l_max >= 2:
+        real_parts.append(-0.25 * SQRT_4PI * y[..., 4:9] * gauss)
+        imag_parts.append(jnp.broadcast_to(zeros, y[..., 4:9].shape))
+    return (
+        jnp.concatenate(real_parts, axis=-1),
+        jnp.concatenate(imag_parts, axis=-1),
+    )
