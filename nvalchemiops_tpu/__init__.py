@@ -24,10 +24,12 @@ idioms that run at speed-of-light on TPU vector/matrix units.
 
 __version__ = "0.2.0"
 
-from nvalchemiops_tpu import mathops, neighborlist  # noqa: F401,E402
+from nvalchemiops_tpu import interactions, mathops, neighborlist, spline  # noqa: F401,E402
 
 __all__ = [
     "__version__",
+    "interactions",
     "mathops",
     "neighborlist",
+    "spline",
 ]

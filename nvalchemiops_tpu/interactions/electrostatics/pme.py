@@ -1,0 +1,330 @@
+"""Particle Mesh Ewald (PME) reciprocal-space electrostatics.
+
+TPU-native counterpart of
+``nvalchemiops/interactions/electrostatics/pme.py`` (pipeline at
+pme.py:1338-1479, public API at :1482-1994) and the Green's-function /
+correction kernels in ``pme_kernels.py:120-664``.  Pipeline:
+
+    spline_spread -> rfftn -> (/ |B(k)|^2) * G(k) -> irfftn -> spline_gather
+    -> self/background corrections; forces via ik-space E-field + 3 irfftns
+    + spline_gather_vec3 with F = 2 q E.
+
+Conventions identical to the reference:
+
+- ``G(k) = 2 pi exp(-k^2/(4 alpha^2)) / (V k^2)`` (half of 4 pi because the
+  per-atom energy is ``E_i = q_i phi_i`` without the pairwise 1/2),
+- B-spline dealiasing ``C(k) = [sinc(mx/nx) sinc(my/ny) sinc(mz/nz)]^order``
+  squared (one factor each for spreading and gathering),
+- FFT normalization: unscaled forward (``norm='backward'``) and unscaled
+  inverse (``norm='forward'``),
+- corrections ``E_i -= (alpha/sqrt(pi)) q_i^2 + (pi/(2 alpha^2 V)) q_i Q``.
+
+Every stage is a dense XLA op (FFTs, broadcasts, the spline module's
+gathers), so the whole pipeline fuses, jits, shards, and differentiates —
+the Warp-tape plumbing of the reference collapses into plain jnp.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from nvalchemiops_tpu.spline import (
+    spline_gather,
+    spline_gather_vec3,
+    spline_spread,
+)
+from nvalchemiops_tpu.mathops.math import sinc_normalized
+from nvalchemiops_tpu.interactions.electrostatics.ewald import ewald_real_space
+from nvalchemiops_tpu.interactions.electrostatics.k_vectors import (
+    generate_k_vectors_pme,
+)
+from nvalchemiops_tpu.interactions.electrostatics.parameters import (
+    estimate_ewald_parameters,
+    estimate_pme_mesh_dimensions,
+    mesh_spacing_to_dimensions,
+)
+from nvalchemiops_tpu.types import INDEX_DTYPE
+
+__all__ = ["pme_reciprocal_space", "particle_mesh_ewald", "pme_green_structure_factor"]
+
+TWOPI = 2.0 * math.pi
+SQRT_PI = math.sqrt(math.pi)
+
+
+def pme_green_structure_factor(k_squared, mesh_dimensions, alpha, cell, spline_order: int):
+    """Green's function and |B(k)|^2 dealiasing factor on the rfft grid.
+
+    (reference: pme_kernels.py:120-338.)  Supports a leading batch axis on
+    ``k_squared`` / ``cell`` / ``alpha``.
+
+    Returns ``(green [.., nx, ny, nz//2+1], structure_factor_sq)``.
+    """
+    nx, ny, nz = mesh_dimensions
+    ks = jnp.asarray(k_squared)
+    batched = ks.ndim == 4
+    dtype = ks.dtype
+
+    cell_b = jnp.asarray(cell, dtype=dtype).reshape(-1, 3, 3)
+    volume = jnp.abs(jnp.linalg.det(cell_b))  # [B]
+    alpha_b = jnp.broadcast_to(
+        jnp.asarray(alpha, dtype=dtype).reshape(-1), (cell_b.shape[0],)
+    )
+    if not batched:
+        volume = volume[0]
+        alpha_b = alpha_b[0]
+        expand = lambda x: x  # noqa: E731
+    else:
+        expand = lambda x: x[:, None, None, None]  # noqa: E731
+
+    good = ks > 1e-10
+    ks_safe = jnp.where(good, ks, 1.0)
+    green = jnp.where(
+        good,
+        TWOPI
+        * jnp.exp(-expand(0.25 / (alpha_b * alpha_b)) * ks_safe)
+        / (ks_safe * expand(volume)),
+        0.0,
+    )
+
+    mx = (jnp.fft.fftfreq(nx) * nx).astype(dtype)
+    my = (jnp.fft.fftfreq(ny) * ny).astype(dtype)
+    mz = (jnp.fft.rfftfreq(nz) * nz).astype(dtype)
+    sinc3 = (
+        sinc_normalized(mx / nx)[:, None, None]
+        * sinc_normalized(my / ny)[None, :, None]
+        * sinc_normalized(mz / nz)[None, None, :]
+    )
+    sf = jnp.maximum(sinc3**spline_order, 1e-10)
+    sf_sq = sf * sf
+    if batched:
+        sf_sq = jnp.broadcast_to(sf_sq[None], ks.shape)
+    return green, sf_sq
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh_dimensions",
+        "spline_order",
+        "compute_forces",
+        "compute_charge_gradients",
+    ),
+)
+def _pme_reciprocal_impl(
+    positions,
+    charges,
+    cell,
+    alpha,
+    mesh_dimensions,
+    spline_order,
+    batch_idx,
+    compute_forces,
+    compute_charge_gradients,
+    k_vectors,
+    k_squared,
+):
+    """Core pipeline (reference: pme.py:1338-1479), compiled as one program."""
+    dtype = positions.dtype
+    n = positions.shape[0]
+    is_batch = batch_idx is not None
+    fft_axes = (1, 2, 3) if is_batch else (0, 1, 2)
+    nx, ny, nz = mesh_dimensions
+
+    cell_b = jnp.asarray(cell, dtype=dtype).reshape(-1, 3, 3)
+    num_systems = cell_b.shape[0]
+    alpha_b = jnp.broadcast_to(
+        jnp.asarray(alpha, dtype=dtype).reshape(-1), (num_systems,)
+    )
+
+    # 1. spread charges
+    mesh = spline_spread(
+        positions, charges, cell_b if is_batch else cell_b[0],
+        mesh_dims=mesh_dimensions, spline_order=spline_order, batch_idx=batch_idx,
+    )
+    if is_batch and mesh.ndim == 3:
+        mesh = mesh[None]
+
+    # 2. FFT
+    mesh_fft = jnp.fft.rfftn(mesh, norm="backward", axes=fft_axes)
+
+    # 3. Green's function + dealiasing
+    if k_vectors is None or k_squared is None:
+        k_vectors, k_squared = generate_k_vectors_pme(
+            cell_b if is_batch else cell_b[0], mesh_dimensions
+        )
+    green, sf_sq = pme_green_structure_factor(
+        k_squared, mesh_dimensions,
+        alpha_b if is_batch else alpha_b[0],
+        cell_b if is_batch else cell_b[0],
+        spline_order,
+    )
+
+    # 4./5. convolve and inverse FFT -> potential mesh
+    convolved = mesh_fft / sf_sq * green
+    potential_mesh = jnp.fft.irfftn(
+        convolved, s=mesh_dimensions, norm="forward", axes=fft_axes
+    ).astype(dtype)
+
+    # 6. gather potential at atoms
+    raw = spline_gather(
+        positions, potential_mesh, cell_b if is_batch else cell_b[0],
+        spline_order=spline_order, batch_idx=batch_idx,
+    )
+
+    # 7. corrections (reference: pme_kernels.py:339-494)
+    volume = jnp.abs(jnp.linalg.det(cell_b))  # [B]
+    if is_batch:
+        b_of = batch_idx.astype(INDEX_DTYPE)
+        q_total = jax.ops.segment_sum(charges, b_of, num_segments=num_systems)
+        alpha_a = alpha_b[b_of]
+        vol_a = volume[b_of]
+        q_tot_a = q_total[b_of]
+    else:
+        alpha_a = alpha_b[0]
+        vol_a = volume[0]
+        q_tot_a = jnp.sum(charges)
+
+    energies = (
+        charges * raw
+        - (alpha_a / SQRT_PI) * charges * charges
+        - (math.pi / (2.0 * alpha_a**2)) * charges * q_tot_a / vol_a
+    )
+
+    charge_grads = None
+    if compute_charge_gradients:
+        charge_grads = (
+            2.0 * raw
+            - 2.0 * (alpha_a / SQRT_PI) * charges
+            - (math.pi / (alpha_a**2)) * q_tot_a / vol_a
+        )
+
+    forces = None
+    if compute_forces:
+        kx = k_vectors[..., 0]
+        ky = k_vectors[..., 1]
+        kz = k_vectors[..., 2]
+        ex = jnp.fft.irfftn(-1j * kx * convolved, s=mesh_dimensions, norm="forward", axes=fft_axes)
+        ey = jnp.fft.irfftn(-1j * ky * convolved, s=mesh_dimensions, norm="forward", axes=fft_axes)
+        ez = jnp.fft.irfftn(-1j * kz * convolved, s=mesh_dimensions, norm="forward", axes=fft_axes)
+        e_mesh = jnp.stack([ex, ey, ez], axis=-1).astype(dtype)
+        field = spline_gather_vec3(
+            positions, charges, e_mesh, cell_b if is_batch else cell_b[0],
+            spline_order=spline_order, batch_idx=batch_idx,
+        )
+        forces = 2.0 * field
+
+    return energies, forces, charge_grads
+
+
+def pme_reciprocal_space(
+    positions,
+    charges,
+    cell,
+    alpha,
+    mesh_dimensions=None,
+    mesh_spacing=None,
+    spline_order: int = 4,
+    batch_idx=None,
+    k_vectors=None,
+    k_squared=None,
+    compute_forces: bool = False,
+    compute_charge_gradients: bool = False,
+    accuracy: float = 1e-6,
+):
+    """FFT-based reciprocal-space PME (reference: pme.py:1482-1665).
+
+    Return patterns: ``energies``, ``(energies, forces)``,
+    ``(energies, charge_grads)``, ``(energies, forces, charge_grads)``.
+    """
+    dtype = positions.dtype
+    cell_b = jnp.asarray(cell, dtype=dtype).reshape(-1, 3, 3)
+    alpha_arr = jnp.asarray(alpha, dtype=dtype).reshape(-1)
+    if mesh_dimensions is None:
+        if mesh_spacing is not None:
+            mesh_dimensions = mesh_spacing_to_dimensions(cell_b, mesh_spacing)
+        else:
+            mesh_dimensions = estimate_pme_mesh_dimensions(cell_b, alpha_arr, accuracy)
+
+    energies, forces, cg = _pme_reciprocal_impl(
+        positions, charges, cell_b, alpha_arr, tuple(mesh_dimensions), spline_order,
+        batch_idx, compute_forces, compute_charge_gradients, k_vectors, k_squared,
+    )
+    if forces is not None and cg is not None:
+        return energies, forces, cg
+    if forces is not None:
+        return energies, forces
+    if cg is not None:
+        return energies, cg
+    return energies
+
+
+def particle_mesh_ewald(
+    positions,
+    charges,
+    cell,
+    alpha=None,
+    mesh_spacing=None,
+    mesh_dimensions=None,
+    spline_order: int = 4,
+    batch_idx=None,
+    k_vectors=None,
+    k_squared=None,
+    neighbor_list=None,
+    neighbor_ptr=None,
+    neighbor_shifts=None,
+    neighbor_matrix=None,
+    neighbor_matrix_shifts=None,
+    mask_value: int | None = None,
+    compute_forces: bool = False,
+    compute_charge_gradients: bool = False,
+    accuracy: float = 1e-6,
+):
+    """Full PME: real space + reciprocal space (reference: pme.py:1673-1994).
+
+    Same return patterns as :func:`pme_reciprocal_space`; per-atom energies.
+    """
+    dtype = positions.dtype
+    cell_b = jnp.asarray(cell, dtype=dtype).reshape(-1, 3, 3)
+    num_atoms = positions.shape[0]
+    if mask_value is None:
+        mask_value = num_atoms
+    if alpha is None:
+        params = estimate_ewald_parameters(positions, cell_b, batch_idx, accuracy)
+        alpha = params.alpha
+    alpha_arr = jnp.asarray(alpha, dtype=dtype).reshape(-1)
+
+    if mesh_dimensions is None:
+        if mesh_spacing is not None:
+            mesh_dimensions = mesh_spacing_to_dimensions(cell_b, mesh_spacing)
+        else:
+            mesh_dimensions = estimate_pme_mesh_dimensions(cell_b, alpha_arr, accuracy)
+
+    rs = ewald_real_space(
+        positions, charges, cell_b, alpha_arr,
+        neighbor_list=neighbor_list,
+        neighbor_ptr=neighbor_ptr,
+        neighbor_shifts=neighbor_shifts,
+        neighbor_matrix=neighbor_matrix,
+        neighbor_matrix_shifts=neighbor_matrix_shifts,
+        mask_value=mask_value,
+        batch_idx=batch_idx,
+        compute_forces=compute_forces,
+        compute_charge_gradients=compute_charge_gradients,
+    )
+    rec = pme_reciprocal_space(
+        positions, charges, cell_b, alpha_arr,
+        mesh_dimensions=mesh_dimensions,
+        spline_order=spline_order,
+        batch_idx=batch_idx,
+        compute_forces=compute_forces,
+        compute_charge_gradients=compute_charge_gradients,
+        k_vectors=k_vectors,
+        k_squared=k_squared,
+    )
+    if compute_forces or compute_charge_gradients:
+        return tuple(a + b for a, b in zip(rs, rec))
+    return rs + rec

@@ -1,0 +1,38 @@
+"""Multi-chip scaling layer (TPU extension beyond the single-GPU reference).
+
+The reference library is single-process / single-GPU (SURVEY.md §2.8: no
+distributed runtime anywhere in the tree).  On TPU the natural scale-out is
+SPMD over a ``jax.sharding.Mesh``: batched systems shard over a data axis
+("dp") and atoms within systems over a model axis ("sp"), with XLA inserting
+the psum/all-gather collectives over ICI.  This package provides:
+
+- :mod:`~nvalchemiops_tpu.parallel.mlip` — a differentiable machine-learned
+  interatomic potential (learnable electrostatics + Born-Mayer repulsion +
+  DFT-D3-style dispersion) whose forward/training steps exercise the whole
+  library, single-chip or sharded.
+- :func:`make_mesh` / sharding helpers.
+"""
+
+from nvalchemiops_tpu.parallel.mlip import (  # noqa: F401
+    D3Tables,
+    MLIPParams,
+    batched_energy_forces,
+    default_d3_tables,
+    init_mlip_params,
+    make_mesh,
+    mlip_energy,
+    shard_batch,
+    sharded_train_step,
+    train_step,
+)
+
+__all__ = [
+    "MLIPParams",
+    "batched_energy_forces",
+    "init_mlip_params",
+    "make_mesh",
+    "mlip_energy",
+    "shard_batch",
+    "sharded_train_step",
+    "train_step",
+]
