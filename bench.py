@@ -1,0 +1,145 @@
+"""Headline benchmark: NL + DFT-D3 + PME at ~100k atoms on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "us/atom", "vs_baseline": N}
+
+Pipeline (BASELINE.json config #5 shape): a 97,336-atom periodic crystal,
+f32; one halo-grid build at the 9 A interaction cutoff; DFT-D3(BJ) energies
++ analytical forces + CNs on the grid; erfc-damped real-space Coulomb
+energies + forces on the same grid; PME reciprocal space (128^3 mesh,
+separable-matmul spread/gather) energies + ik-space forces.
+
+Baseline (H100, from BASELINE.md): cell-list NL 0.051 us/atom (131k),
+DFT-D3 0.19 us/atom (85.7k), PME reciprocal 0.045 us/atom (128k batched)
+=> 0.286 us/atom combined.  vs_baseline = ours / baseline (1.0 = parity,
+lower = faster).
+
+Timing: the axon tunnel acks before execution completes, so wall-clock
+around a dispatch is meaningless; each stage runs inside a jitted
+``lax.fori_loop`` chain with a data-dependent perturbation per iteration,
+timed by differencing two loop lengths (see benchmarks/harness.py).
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from benchmarks.harness import measure, perturb_positions  # noqa: E402
+from nvalchemiops_tpu.grid import (  # noqa: E402
+    build_atom_grid,
+    estimate_grid_geometry,
+    grid_coulomb_energy_forces,
+)
+from nvalchemiops_tpu.interactions.dispersion.grid_d3 import grid_dftd3  # noqa: E402
+from nvalchemiops_tpu.interactions.electrostatics.pme import (  # noqa: E402
+    _pme_reciprocal_impl,
+)
+
+BASELINE_US_PER_ATOM = 0.286  # H100 components: 0.051 (NL) + 0.19 (D3) + 0.045 (PME)
+
+
+def main():
+    n_rep, a = 46, 3.0
+    rng = np.random.default_rng(0)
+    grid_pts = np.stack(
+        np.meshgrid(*([np.arange(n_rep)] * 3), indexing="ij"), -1
+    ).reshape(-1, 3) * a
+    pos_np = grid_pts + rng.uniform(-0.2, 0.2, grid_pts.shape)
+    n = pos_np.shape[0]
+    cell_np = np.eye(3) * (n_rep * a)
+
+    dtype = jnp.float32
+    pos = jnp.asarray(pos_np, dtype)
+    cell = jnp.asarray(cell_np, dtype)
+    pbc = np.array([True] * 3)
+    cutoff = 9.0
+    alpha = 0.35
+    mesh = (128, 128, 128)
+
+    zmax = 16
+    numbers = jnp.asarray(rng.integers(1, zmax + 1, n), jnp.int32)
+    charges = jnp.asarray(rng.normal(size=n), dtype)
+    charges = charges - charges.mean()
+    rcov = jnp.asarray(np.r_[0.0, rng.uniform(0.6, 1.2, zmax)], dtype)
+    r4r2 = jnp.asarray(np.r_[0.0, rng.uniform(2.0, 5.0, zmax)], dtype)
+    cna = jnp.asarray(
+        np.vstack([np.zeros(5), np.cumsum(rng.uniform(0.3, 1.0, (zmax, 5)), 1)]),
+        dtype,
+    )
+    c6_np = rng.uniform(5.0, 40.0, (zmax + 1, zmax + 1, 5, 5))
+    c6_np[0] = 0.0
+    c6_np[:, 0] = 0.0
+    c6_np = 0.5 * (c6_np + np.swapaxes(np.swapaxes(c6_np, 0, 1), 2, 3))
+    c6 = jnp.asarray(c6_np, dtype)
+
+    dims, radius, cap = estimate_grid_geometry(cell, pbc, cutoff, n, target_occupancy=0.75)
+    g0 = build_atom_grid(pos, cell, pbc, dims, radius, cap)
+    observed = int(jax.device_get(g0.counts_max))
+    if observed > cap:
+        cap = int(np.ceil(observed * 1.05 / 4)) * 4
+
+    dep = perturb_positions()
+
+    # --- stage 1: neighbor structure build ---------------------------------
+    t_nl = measure(
+        lambda p: build_atom_grid(p, cell, pbc, dims, radius, cap).ext_px,
+        dep, (pos,), iters=8,
+    )
+
+    # --- stage 2: DFT-D3 energies + forces + CN (incl. its grid reuse) ------
+    def d3_step(p):
+        gg = build_atom_grid(p, cell, pbc, dims, radius, cap)
+        _, forces, _ = grid_dftd3(
+            gg, numbers, rcov, r4r2, c6, cna, cutoff, 0.4, 4.2, 1.8
+        )
+        return forces
+
+    t_d3_total = measure(d3_step, dep, (pos,), iters=3)
+    t_d3 = max(t_d3_total - t_nl, 0.0)
+
+    # --- stage 3: real-space Coulomb on the same grid -----------------------
+    def coul_step(p):
+        gg = build_atom_grid(p, cell, pbc, dims, radius, cap)
+        e, f = grid_coulomb_energy_forces(gg, charges, cutoff, alpha)
+        return f
+
+    t_coul_total = measure(coul_step, dep, (pos,), iters=3)
+    t_coul = max(t_coul_total - t_nl, 0.0)
+
+    # --- stage 4: PME reciprocal (energies + forces) ------------------------
+    def pme_step(p):
+        _, forces, _ = _pme_reciprocal_impl(
+            p, charges, cell.reshape(1, 3, 3), jnp.asarray([alpha], dtype),
+            mesh, 4, None, True, False, None, None,
+        )
+        return forces
+
+    t_pme = measure(pme_step, dep, (pos,), iters=3)
+
+    total = t_nl + t_d3 + t_coul + t_pme
+    us_per_atom = total * 1e6 / n
+    result = {
+        "metric": "NL+D3+PME end-to-end (97,336 atoms, f32, energies+forces, TPU v5e chip)",
+        "value": round(us_per_atom, 4),
+        "unit": "us/atom",
+        "vs_baseline": round(us_per_atom / BASELINE_US_PER_ATOM, 3),
+        "detail": {
+            "atoms": n,
+            "nl_build_ms": round(t_nl * 1e3, 3),
+            "dftd3_ms": round(t_d3 * 1e3, 3),
+            "coulomb_real_ms": round(t_coul * 1e3, 3),
+            "pme_recip_forces_ms_128^3": round(t_pme * 1e3, 3),
+            "baseline_us_per_atom_h100": BASELINE_US_PER_ATOM,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Device-time benchmark harness.
+
+Counterpart of the reference's CUDA-event Timer (benchmarks/utils.py:76-270)
+for an environment where host-side ``block_until_ready`` is unreliable (the
+axon TPU tunnel acks before execution completes).  The only trustworthy
+clock is a host roundtrip on a value that data-depends on every iteration:
+
+- the benchmarked op runs ``iters`` times inside one jitted ``lax.fori_loop``,
+- each iteration perturbs the op's input by a data-dependent epsilon
+  (~1e-30) so XLA cannot hoist or dedupe iterations,
+- one scalar is fetched at the end.  Timing two loop lengths (N and 4N) and
+  differencing cancels dispatch/transfer overhead exactly.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def chain_loop(step_fn, dep_fn, iters: int):
+    """jit(fori_loop) chaining ``step_fn`` through ``dep_fn`` ``iters`` times."""
+
+    @jax.jit
+    def run(args):
+        def body(_, a):
+            out = step_fn(*a)
+            return dep_fn(a, out)
+
+        final = jax.lax.fori_loop(0, iters, body, args)
+        return jnp.sum(jax.tree_util.tree_leaves(final)[0].astype(jnp.float32))
+
+    return run
+
+
+def measure(step_fn, dep_fn, args, iters: int = 8):
+    """Per-iteration device seconds via the two-loop-length difference."""
+    run_a = chain_loop(step_fn, dep_fn, iters)
+    run_b = chain_loop(step_fn, dep_fn, 4 * iters)
+    float(run_a(args))  # compile + warm
+    float(run_b(args))
+    t0 = time.time()
+    float(run_a(args))
+    ta = time.time() - t0
+    t0 = time.time()
+    float(run_b(args))
+    tb = time.time() - t0
+    return max(tb - ta, 1e-9) / (3 * iters)
+
+
+def perturb_positions(scale=1e-30):
+    """dep_fn factory: nudge args[0] by a data-dependent epsilon."""
+
+    def dep(args, out):
+        leaves = jax.tree_util.tree_leaves(out)
+        h = jnp.sum(leaves[0].astype(jnp.float32).ravel()[:8])
+        eps = (jnp.abs(h) % 2.0) * scale
+        new0 = args[0] + eps.astype(args[0].dtype)
+        return (new0,) + tuple(args[1:])
+
+    return dep

@@ -1,0 +1,501 @@
+"""Halo-padded atom grid: the TPU-native neighbor engine.
+
+The reference's cell list is CSR bins + per-thread sweeps with atomic
+inserts (cell_list.py:372-556) — a pattern built around fast random access,
+which TPUs do not have (measured: element gathers run ~1e8 elements/s while
+dense VPU/MXU traffic runs ~1e12).  This module re-architects neighbor
+enumeration so the hot path contains NO gathers at all:
+
+1. **Build** (one argsort + a handful of N-element scatters): atoms are
+   binned into a fixed-capacity spatial grid stored as dense per-property
+   planes ``[Cz, Cy, Cx, cap]`` (positions as separate x/y/z planes, plus
+   atom ids and a validity mask).
+2. **Halo extension**: the grid is padded by the search radius R with
+   periodic ghost cells (``jnp.pad(mode="wrap")``); ghost *positions* carry
+   their periodic image shift pre-applied, and each extended cell stores its
+   bit-packed unit shift.  Non-periodic directions pad with invalid cells.
+3. **Pair sweep**: for every cell offset ``d`` in the (2R+1)^3 sweep, the
+   candidate planes are a *static slice* of the halo grid — so pairing
+   "every atom in cell c vs every atom in cell c+d" is a dense
+   ``[Ncells, cap, cap]`` broadcast.  A ``lax.scan`` over offsets streams
+   these blocks through a user kernel (Coulomb, coordination numbers, ...).
+
+The price is slack (cap^2/occupancy^2 and cube-vs-sphere overcount, ~6-10x
+more candidate pairs than a compacted list); the win is that every candidate
+costs a few VPU flops instead of a serialized gather.  On TPU that trade is
+~2 orders of magnitude in favor of the grid.
+
+Requires R <= cells-per-dimension on periodic axes (cutoff below the box
+size); smaller boxes use the streaming/naive paths instead.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nvalchemiops_tpu.types import INDEX_DTYPE
+from nvalchemiops_tpu.neighborlist.neighbor_utils import pack_shifts
+
+__all__ = [
+    "AtomGrid",
+    "estimate_grid_geometry",
+    "build_atom_grid",
+    "build_atom_grid_auto",
+    "grid_pair_reduce",
+    "grid_neighbor_count",
+    "grid_coordination_numbers",
+    "grid_coulomb_energy_forces",
+    "scatter_to_grid",
+    "gather_from_grid",
+]
+
+
+@jax.tree_util.register_pytree_node_class
+class AtomGrid:
+    """Dense atom grid with halo (all planes [Ez, Ey, Ex, cap]).
+
+    Registered as a pytree with static geometry metadata (dims/radius/cap
+    stay Python ints under jit — they size every slice).
+    """
+
+    _fields = (
+        "ext_px", "ext_py", "ext_pz", "ext_valid", "ext_aid",
+        "ext_shift_code", "flat_slot", "counts_max",
+    )
+
+    def __init__(self, ext_px, ext_py, ext_pz, ext_valid, ext_aid,
+                 ext_shift_code, flat_slot, counts_max, dims, radius, cap):
+        self.ext_px = ext_px
+        self.ext_py = ext_py
+        self.ext_pz = ext_pz
+        self.ext_valid = ext_valid
+        self.ext_aid = ext_aid
+        self.ext_shift_code = ext_shift_code
+        self.flat_slot = flat_slot
+        self.counts_max = counts_max
+        self.dims = tuple(dims)
+        self.radius = tuple(radius)
+        self.cap = int(cap)
+
+    def tree_flatten(self):
+        children = tuple(getattr(self, f) for f in self._fields)
+        return children, (self.dims, self.radius, self.cap)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        dims, radius, cap = aux
+        return cls(*children, dims=dims, radius=radius, cap=cap)
+
+
+def estimate_grid_geometry(cell, pbc, cutoff: float, total_atoms: int,
+                           target_occupancy: float = 0.66,
+                           bins_per_cutoff: int = 1):
+    """Host-side static geometry: grid dims, search radius, capacity.
+
+    ``bins_per_cutoff`` > 1 trades more offsets for tighter candidate
+    volumes (cube/sphere overcount 6.4x at 1, 3.7x at 2).
+    """
+    cell_np = np.asarray(jax.device_get(cell), dtype=np.float64).reshape(3, 3)
+    inv_t = np.linalg.inv(cell_np).T
+    face = 1.0 / np.linalg.norm(inv_t, axis=1)  # distances between cell faces
+    bin_target = cutoff / max(bins_per_cutoff, 1)
+    cpd = np.maximum((face / bin_target).astype(np.int64), 1)
+    radius = np.ceil(cutoff * cpd / face).astype(np.int64)
+    pbc_np = np.asarray(jax.device_get(pbc), dtype=bool).reshape(-1)[:3]
+    if (radius[pbc_np] > cpd[pbc_np]).any():
+        raise ValueError(
+            "grid path requires search radius <= cells per dimension "
+            f"(got radius {radius}, dims {cpd}); use the naive/streaming path"
+        )
+    mean_occ = total_atoms / max(np.prod(cpd), 1)
+    # Poisson-safe headroom: low-occupancy grids need several sigma of slack
+    cap_est = max(mean_occ / target_occupancy, mean_occ + 5.0 * np.sqrt(mean_occ + 1.0))
+    cap = int(np.ceil(max(cap_est, 6.0) / 4)) * 4
+    # dims ordered (Cz, Cy, Cx) for plane layout, radius likewise
+    return (
+        (int(cpd[2]), int(cpd[1]), int(cpd[0])),
+        (int(radius[2]), int(radius[1]), int(radius[0])),
+        cap,
+    )
+
+
+@partial(jax.jit, static_argnames=("dims", "radius", "cap"))
+def build_atom_grid(positions, cell, pbc, dims, radius, cap) -> AtomGrid:
+    """Bin, sort, scatter into planes, and halo-extend (jit)."""
+    n = positions.shape[0]
+    dtype = positions.dtype
+    cell = jnp.asarray(cell, dtype=dtype).reshape(3, 3)
+    pbc_arr = jnp.asarray(pbc, dtype=bool).reshape(-1)[:3]
+    cz, cy, cx = dims
+    rz, ry, rx = radius
+    cpd_xyz = jnp.asarray([cx, cy, cz], dtype=INDEX_DTYPE)  # x, y, z order
+
+    inv_cell = jnp.linalg.inv(cell)
+    frac = positions @ inv_cell
+    coords = jnp.floor(frac * cpd_xyz.astype(dtype)).astype(INDEX_DTYPE)  # [N,3] xyz
+    wrap = jnp.floor_divide(coords, cpd_xyz)
+    wrapped = coords - wrap * cpd_xyz
+    clamped = jnp.clip(coords, 0, cpd_xyz - 1)
+    ccoords = jnp.where(pbc_arr[None, :], wrapped, clamped)
+    aps = jnp.where(pbc_arr[None, :], wrap, 0)
+
+    # wrapped positions (images moved into the box) so ghost shifts are exact
+    shift_cart = aps.astype(dtype) @ cell
+    wpx = positions[:, 0] - shift_cart[:, 0]
+    wpy = positions[:, 1] - shift_cart[:, 1]
+    wpz = positions[:, 2] - shift_cart[:, 2]
+
+    lin = ccoords[:, 0] + cx * (ccoords[:, 1] + cy * ccoords[:, 2])  # x fastest
+    ncells = cx * cy * cz
+
+    order = jnp.argsort(lin, stable=True).astype(INDEX_DTYPE)
+    sorted_lin = lin[order]
+    starts = jnp.searchsorted(sorted_lin, jnp.arange(ncells, dtype=INDEX_DTYPE),
+                              side="left").astype(INDEX_DTYPE)
+    rank_sorted = jnp.arange(n, dtype=INDEX_DTYPE) - starts[sorted_lin]
+    rank = jnp.zeros((n,), INDEX_DTYPE).at[order].set(rank_sorted)
+    overflow = rank >= cap
+    counts_max = jnp.max(rank, initial=-1) + 1
+
+    flat = jnp.where(overflow, ncells * cap, lin * cap + rank)  # trash slot at end
+
+    def scat(vals, fill=0.0):
+        buf = jnp.full((ncells * cap + 1,), fill, dtype=vals.dtype)
+        return buf.at[flat].set(vals)[:-1].reshape(cz, cy, cx, cap)
+
+    g_px = scat(wpx)
+    g_py = scat(wpy)
+    g_pz = scat(wpz)
+    g_valid = scat(jnp.ones((n,), dtype=bool), fill=False)
+    g_aid = scat(jnp.arange(n, dtype=INDEX_DTYPE), fill=n)
+
+    # halo extension
+    def extend(plane, periodic_fill):
+        mode = []
+        out = plane
+        # pad each spatial axis; wrap on periodic axes, constant elsewhere
+        pads = [(rz, rz), (ry, ry), (rx, rx)]
+        for ax, (p, is_pbc) in enumerate(zip(pads, (pbc_arr[2], pbc_arr[1], pbc_arr[0]))):
+            cfg = [(0, 0)] * 4
+            cfg[ax] = p
+            wrapped_p = jnp.pad(out, cfg, mode="wrap")
+            const_p = jnp.pad(out, cfg, mode="constant",
+                              constant_values=periodic_fill)
+            out = jnp.where(is_pbc, wrapped_p, const_p)
+        return out
+
+    ext_px = extend(g_px, 0.0)
+    ext_py = extend(g_py, 0.0)
+    ext_pz = extend(g_pz, 0.0)
+    ext_valid = extend(g_valid, False)
+    ext_aid = extend(g_aid, n)
+
+    # per-extended-cell unit shift (x fastest ordering in codes)
+    ez = jax.lax.broadcasted_iota(INDEX_DTYPE, (cz + 2 * rz, cy + 2 * ry, cx + 2 * rx), 0)
+    ey = jax.lax.broadcasted_iota(INDEX_DTYPE, (cz + 2 * rz, cy + 2 * ry, cx + 2 * rx), 1)
+    ex = jax.lax.broadcasted_iota(INDEX_DTYPE, (cz + 2 * rz, cy + 2 * ry, cx + 2 * rx), 2)
+    sz = jnp.floor_divide(ez - rz, jnp.asarray(cz, INDEX_DTYPE))
+    sy = jnp.floor_divide(ey - ry, jnp.asarray(cy, INDEX_DTYPE))
+    sx = jnp.floor_divide(ex - rx, jnp.asarray(cx, INDEX_DTYPE))
+    # ghost positions: add S @ cell
+    sxf, syf, szf = sx.astype(dtype), sy.astype(dtype), sz.astype(dtype)
+    shx = sxf * cell[0, 0] + syf * cell[1, 0] + szf * cell[2, 0]
+    shy = sxf * cell[0, 1] + syf * cell[1, 1] + szf * cell[2, 1]
+    shz = sxf * cell[0, 2] + syf * cell[1, 2] + szf * cell[2, 2]
+    ext_px = ext_px + shx[..., None]
+    ext_py = ext_py + shy[..., None]
+    ext_pz = ext_pz + shz[..., None]
+    code = pack_shifts(sx, sy, sz)
+
+    return AtomGrid(
+        ext_px=ext_px,
+        ext_py=ext_py,
+        ext_pz=ext_pz,
+        ext_valid=ext_valid,
+        ext_aid=ext_aid,
+        ext_shift_code=code,
+        flat_slot=flat,
+        dims=dims,
+        radius=radius,
+        cap=cap,
+        counts_max=counts_max,
+    )
+
+
+def scatter_to_grid(grid: AtomGrid, values, fill=0.0):
+    """Scatter a per-atom array into interior grid layout [Cz, Cy, Cx, cap]."""
+    cz, cy, cx = grid.dims
+    buf = jnp.full((cz * cy * cx * grid.cap + 1,), fill, dtype=values.dtype)
+    return buf.at[grid.flat_slot].set(values)[:-1].reshape(cz, cy, cx, grid.cap)
+
+
+def gather_from_grid(grid: AtomGrid, plane):
+    """Read per-atom values back out of an interior grid plane."""
+    return plane.reshape(-1)[jnp.minimum(grid.flat_slot, plane.size - 1)]
+
+
+def _interior(grid: AtomGrid, ext_plane):
+    rz, ry, rx = grid.radius
+    cz, cy, cx = grid.dims
+    return ext_plane[rz:rz + cz, ry:ry + cy, rx:rx + cx]
+
+
+def grid_pair_reduce(grid: AtomGrid, kernel, init, extra_ext_planes=(),
+                     extra_own_planes=()):
+    """Scan the (2R+1)^3 offset sweep, reducing per-own-atom quantities.
+
+    ``kernel(carry, own, cand, offset_index)`` receives:
+      own:  dict(px, py, pz, valid, aid, *extra_own) — interior planes,
+            each [Cz, Cy, Cx, cap]
+      cand: dict(px, py, pz, valid, aid, code, *extra_ext) — candidate
+            planes at the current offset, same shapes (+ code broadcast
+            [Cz, Cy, Cx, 1])
+    and returns the updated carry (typically per-own-slot accumulators).
+    The pair block for (own slot a, candidate slot b) is formed inside the
+    kernel by broadcasting ``own[..., :, None]`` vs ``cand[..., None, :]``.
+    """
+    rz, ry, rx = grid.radius
+    cz, cy, cx = grid.dims
+    cap = grid.cap
+
+    own = {
+        "px": _interior(grid, grid.ext_px),
+        "py": _interior(grid, grid.ext_py),
+        "pz": _interior(grid, grid.ext_pz),
+        "valid": _interior(grid, grid.ext_valid),
+        "aid": _interior(grid, grid.ext_aid),
+    }
+    for name, plane in extra_own_planes:
+        own[name] = plane
+
+    offsets = [
+        (dz, dy, dx)
+        for dz in range(-rz, rz + 1)
+        for dy in range(-ry, ry + 1)
+        for dx in range(-rx, rx + 1)
+    ]
+    off_arr = jnp.asarray(offsets, dtype=INDEX_DTYPE)  # [O, 3] (dz, dy, dx)
+
+    ext = {
+        "px": grid.ext_px,
+        "py": grid.ext_py,
+        "pz": grid.ext_pz,
+        "valid": grid.ext_valid,
+        "aid": grid.ext_aid,
+    }
+    for name, plane in extra_ext_planes:
+        ext[name] = plane
+
+    def body(carry, oi):
+        d = off_arr[oi]
+        z0 = d[0] + rz
+        y0 = d[1] + ry
+        x0 = d[2] + rx
+        cand = {
+            name: jax.lax.dynamic_slice(
+                plane, (z0, y0, x0, jnp.zeros((), INDEX_DTYPE)),
+                (cz, cy, cx, plane.shape[-1]),
+            )
+            for name, plane in ext.items()
+        }
+        code = jax.lax.dynamic_slice(
+            grid.ext_shift_code, (z0, y0, x0), (cz, cy, cx)
+        )
+        cand["code"] = code[..., None]
+        carry = kernel(carry, own, cand, oi)
+        return carry, None
+
+    carry, _ = jax.lax.scan(body, init, jnp.arange(len(offsets), dtype=INDEX_DTYPE))
+    return carry
+
+
+@partial(jax.jit, static_argnames=("dims", "radius", "cap"))
+def _neighbor_count_impl(grid: AtomGrid, cutoff, dims, radius, cap):
+    dtype = grid.ext_px.dtype
+    cutoff_sq = jnp.asarray(cutoff, dtype=dtype) ** 2
+
+    def kern(counts, own, cand, oi):
+        dx = cand["px"][..., None, :] - own["px"][..., :, None]
+        dy = cand["py"][..., None, :] - own["py"][..., :, None]
+        dz = cand["pz"][..., None, :] - own["pz"][..., :, None]
+        d2 = dx * dx + dy * dy + dz * dz
+        pair_ok = (
+            own["valid"][..., :, None]
+            & cand["valid"][..., None, :]
+            & (d2 < cutoff_sq)
+            & (d2 > 1e-24)
+        )
+        # exclude identical atom (same aid, zero shift handled by d2 > 0)
+        self_pair = own["aid"][..., :, None] == cand["aid"][..., None, :]
+        zero_code = cand["code"][..., None] == pack_shifts(
+            jnp.zeros((), INDEX_DTYPE), jnp.zeros((), INDEX_DTYPE), jnp.zeros((), INDEX_DTYPE)
+        )
+        pair_ok &= ~(self_pair & zero_code)
+        return counts + jnp.sum(pair_ok, axis=-1).astype(INDEX_DTYPE)
+
+    cz, cy, cx = dims
+    init = jnp.zeros((cz, cy, cx, cap), INDEX_DTYPE)
+    return grid_pair_reduce(grid, kern, init)
+
+
+def grid_neighbor_count(grid: AtomGrid, cutoff, num_atoms: int):
+    """Per-atom neighbor counts straight from the grid (validation helper)."""
+    counts_plane = _neighbor_count_impl(
+        grid, cutoff, grid.dims, grid.radius, grid.cap
+    )
+    return gather_from_grid(grid, counts_plane)
+
+
+@partial(jax.jit, static_argnames=("dims", "radius", "cap"))
+def _cn_impl(grid: AtomGrid, rcov_plane, cutoff, k1, dims, radius, cap,
+             rcov_ext):
+    dtype = grid.ext_px.dtype
+    cutoff_sq = jnp.asarray(cutoff, dtype=dtype) ** 2
+
+    def kern(cn, own, cand, oi):
+        dx = cand["px"][..., None, :] - own["px"][..., :, None]
+        dy = cand["py"][..., None, :] - own["py"][..., :, None]
+        dz = cand["pz"][..., None, :] - own["pz"][..., :, None]
+        d2 = dx * dx + dy * dy + dz * dz
+        ok = (
+            own["valid"][..., :, None]
+            & cand["valid"][..., None, :]
+            & (d2 < cutoff_sq)
+            & (d2 > 1e-24)
+        )
+        r = jnp.sqrt(jnp.where(ok, d2, 1.0))
+        rc = own["rcov"][..., :, None] + cand["rcov"][..., None, :]
+        f = 1.0 / (1.0 + jnp.exp(-k1 * (rc / r - 1.0)))
+        return cn + jnp.sum(jnp.where(ok, f, 0.0), axis=-1)
+
+    cz, cy, cx = dims
+    init = jnp.zeros((cz, cy, cx, cap), dtype)
+    return grid_pair_reduce(
+        grid, kern, init,
+        extra_ext_planes=(("rcov", rcov_ext),),
+        extra_own_planes=(("rcov", rcov_plane),),
+    )
+
+
+def grid_coordination_numbers(grid: AtomGrid, rcov_per_atom, cutoff, k1=16.0):
+    """DFT-D3 coordination numbers computed on the grid."""
+    rcov_plane = scatter_to_grid(grid, rcov_per_atom)
+    rcov_ext = _extend_like(grid, rcov_plane, 0.0)
+    cn_plane = _cn_impl(
+        grid, rcov_plane, cutoff, jnp.asarray(k1, grid.ext_px.dtype),
+        grid.dims, grid.radius, grid.cap, rcov_ext,
+    )
+    return gather_from_grid(grid, cn_plane)
+
+
+def _extend_like(grid: AtomGrid, plane, fill):
+    """Halo-extend an interior per-atom property plane (ghosts copy values)."""
+    rz, ry, rx = grid.radius
+    # property values are shift-independent: pure wrap/constant pad.
+    out = plane
+    # reconstruct pbc from where ghost cells are valid — instead just pad
+    # wrap everywhere and mask with ext_valid at use sites.
+    pads = [(rz, rz), (ry, ry), (rx, rx)]
+    for ax, p in enumerate(pads):
+        cfg = [(0, 0)] * 4
+        cfg[ax] = p
+        out = jnp.pad(out, cfg, mode="wrap")
+    return jnp.where(grid.ext_valid, out, fill)
+
+
+@partial(jax.jit, static_argnames=("dims", "radius", "cap"))
+def _coulomb_impl(grid: AtomGrid, q_plane, q_ext, cutoff, alpha, dims, radius, cap):
+    dtype = grid.ext_px.dtype
+    cutoff_t = jnp.asarray(cutoff, dtype=dtype)
+    alpha_t = jnp.asarray(alpha, dtype=dtype)
+    from nvalchemiops_tpu.mathops.math import erfc_approx
+
+    two_over_sqrt_pi = 1.1283791670955126
+
+    def kern(carry, own, cand, oi):
+        e, fx, fy, fz = carry
+        dx = cand["px"][..., None, :] - own["px"][..., :, None]
+        dy = cand["py"][..., None, :] - own["py"][..., :, None]
+        dz = cand["pz"][..., None, :] - own["pz"][..., :, None]
+        d2 = dx * dx + dy * dy + dz * dz
+        ok = (
+            own["valid"][..., :, None]
+            & cand["valid"][..., None, :]
+            & (d2 < cutoff_t * cutoff_t)
+            & (d2 > 1e-20)
+        )
+        r = jnp.sqrt(jnp.where(ok, d2, 1.0))
+        inv_r = 1.0 / r
+        qq = own["q"][..., :, None] * cand["q"][..., None, :]
+        ar = alpha_t * r
+        erfc_ar = erfc_approx(ar)
+        damped = alpha_t > 0
+        phi = jnp.where(damped, erfc_ar * inv_r, inv_r)
+        mag = jnp.where(
+            damped,
+            (erfc_ar * inv_r + two_over_sqrt_pi * alpha_t * jnp.exp(-ar * ar))
+            * inv_r * inv_r,
+            inv_r * inv_r * inv_r,
+        )
+        e = e + jnp.sum(jnp.where(ok, 0.5 * qq * phi, 0.0), axis=-1)
+        coef = jnp.where(ok, qq * mag, 0.0)
+        fx = fx + jnp.sum(coef * (-dx), axis=-1)
+        fy = fy + jnp.sum(coef * (-dy), axis=-1)
+        fz = fz + jnp.sum(coef * (-dz), axis=-1)
+        return e, fx, fy, fz
+
+    cz, cy, cx = dims
+    zeros = jnp.zeros((cz, cy, cx, cap), dtype)
+    init = (zeros, zeros, zeros, zeros)
+    return grid_pair_reduce(
+        grid, kern, init,
+        extra_ext_planes=(("q", q_ext),),
+        extra_own_planes=(("q", q_plane),),
+    )
+
+
+def grid_coulomb_energy_forces(grid: AtomGrid, charges, cutoff, alpha=0.0):
+    """(Damped-)Coulomb per-atom energies and forces via the grid sweep.
+
+    Same physics contract as coulomb.pair_energies_forces; self-image pairs
+    (r -> 0) are excluded by the r^2 > 0 guard like the reference kernels'
+    distance floor.
+    """
+    q_plane = scatter_to_grid(grid, charges)
+    q_ext = _extend_like(grid, q_plane, 0.0)
+    e, fx, fy, fz = _coulomb_impl(
+        grid, q_plane, q_ext, cutoff, alpha, grid.dims, grid.radius, grid.cap
+    )
+    energies = gather_from_grid(grid, e)
+    forces = jnp.stack(
+        [gather_from_grid(grid, fx), gather_from_grid(grid, fy),
+         gather_from_grid(grid, fz)],
+        axis=-1,
+    )
+    return energies, forces
+
+
+def build_atom_grid_auto(positions, cell, pbc, cutoff: float,
+                         target_occupancy: float = 0.66,
+                         bins_per_cutoff: int = 1):
+    """Estimate geometry, build, and retry once if the capacity overflowed.
+
+    One host sync (reading ``counts_max``) — same estimate-then-check split
+    the reference uses for its cell-list sizes (cell_list.py:639-724).
+    """
+    n = positions.shape[0]
+    dims, radius, cap = estimate_grid_geometry(
+        cell, pbc, cutoff, n, target_occupancy=target_occupancy,
+        bins_per_cutoff=bins_per_cutoff,
+    )
+    g = build_atom_grid(positions, cell, pbc, dims, radius, cap)
+    observed = int(jax.device_get(g.counts_max))
+    if observed > cap:
+        cap = int(np.ceil(observed * 1.1 / 4)) * 4
+        g = build_atom_grid(positions, cell, pbc, dims, radius, cap)
+    return g

@@ -37,6 +37,8 @@ import jax
 import jax.numpy as jnp
 
 from nvalchemiops_tpu.types import INDEX_DTYPE
+from nvalchemiops_tpu.interactions.dispersion._kernels import dftd3_matrix_kernel
+from nvalchemiops_tpu.neighborlist.neighbor_utils import shifts_from_aos
 
 __all__ = ["D3Parameters", "dftd3"]
 
@@ -169,211 +171,6 @@ def _c6_interpolate(cn_i, cn_j, c6ab_mat, cnref_i_mat, cnref_j_mat, k3):
     return c6, dc6_dcni, dc6_dcnj
 
 
-def _chunk_geometry(positions, numbers, nm_chunk, sh_chunk, cell_b, batch_idx,
-                    fill_value, periodic):
-    """Pair geometry for one neighbor-column chunk."""
-    n = positions.shape[0]
-    dtype = positions.dtype
-    valid = (nm_chunk < fill_value) & (nm_chunk >= 0)
-    j = jnp.clip(nm_chunk, 0, max(n - 1, 0))
-    valid &= (numbers[j] != 0) & (numbers[:, None] != 0)
-
-    if periodic:
-        if batch_idx is not None and cell_b.shape[0] > 1:
-            cell_a = cell_b[batch_idx]
-            sh_cart = jnp.einsum("ncd,nde->nce", sh_chunk.astype(dtype), cell_a)
-        else:
-            sh_cart = sh_chunk.astype(dtype) @ cell_b[0]
-        d = positions[j] + sh_cart - positions[:, None, :]
-    else:
-        d = positions[j] - positions[:, None, :]
-    r2 = jnp.sum(d * d, axis=-1)
-    r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0)) * (r2 > 0)
-    valid &= r > 1e-12
-    r_safe = jnp.where(valid, r, 1.0)
-    return valid, j, d, r, r_safe
-
-
-@partial(
-    jax.jit,
-    static_argnames=(
-        "fill_value", "periodic", "num_systems", "compute_virial", "chunk"
-    ),
-)
-def _dftd3_matrix(
-    positions,
-    numbers,
-    neighbor_matrix,
-    neighbor_matrix_shifts,
-    cell_b,
-    batch_idx,
-    rcov,
-    r4r2,
-    c6ab,
-    cn_ref,
-    a1,
-    a2,
-    s8,
-    k1,
-    k3,
-    s6,
-    s5_on,
-    s5_off,
-    fill_value: int,
-    periodic: bool,
-    num_systems: int,
-    compute_virial: bool,
-    chunk: int = 128,
-):
-    """Three chunked sweeps implementing the reference's 4-pass pipeline."""
-    n, k_total = neighbor_matrix.shape
-    dtype = positions.dtype
-    numbers = numbers.astype(INDEX_DTYPE)
-    nm = neighbor_matrix.astype(INDEX_DTYPE)
-    bidx = batch_idx.astype(INDEX_DTYPE) if batch_idx is not None else None
-
-    num_chunks = max(1, -(-k_total // chunk))
-    k_pad = num_chunks * chunk
-    nm = jnp.pad(nm, ((0, 0), (0, k_pad - k_total)), constant_values=fill_value)
-    if periodic:
-        sh = jnp.pad(
-            neighbor_matrix_shifts.astype(INDEX_DTYPE),
-            ((0, 0), (0, k_pad - k_total), (0, 0)),
-        )
-    else:
-        sh = jnp.zeros((n, k_pad, 3), dtype=INDEX_DTYPE)
-
-    inv_w = jnp.where(s5_off > s5_on, 1.0 / jnp.maximum(s5_off - s5_on, 1e-30), 0.0)
-
-    rcov_i = rcov[numbers]  # [N]
-    r4r2_i = r4r2[numbers]
-
-    def slice_chunk(c):
-        zero = jnp.zeros((), INDEX_DTYPE)
-        nm_c = jax.lax.dynamic_slice(nm, (zero, c), (n, chunk))
-        sh_c = jax.lax.dynamic_slice(sh, (zero, c, zero), (n, chunk, 3))
-        return nm_c, sh_c
-
-    # ---- Pass 1: coordination numbers ------------------------------------
-    def cn_body(cn_acc, c):
-        nm_c, sh_c = slice_chunk(c)
-        valid, j, _, _, r_safe = _chunk_geometry(
-            positions, numbers, nm_c, sh_c, cell_b, bidx, fill_value, periodic
-        )
-        rcov_ij = rcov_i[:, None] + rcov[numbers[j]]
-        f_cn = 1.0 / (1.0 + jnp.exp(-k1 * (rcov_ij / r_safe - 1.0)))
-        return cn_acc + jnp.sum(jnp.where(valid, f_cn, 0.0), axis=1), None
-
-    starts = jnp.arange(num_chunks, dtype=INDEX_DTYPE) * chunk
-    coord_num, _ = jax.lax.scan(cn_body, jnp.zeros((n,), dtype=dtype), starts)
-
-    # ---- Pass 2: energy, direct forces, dE/dCN, virial --------------------
-    def direct_body(carry, c):
-        e_acc, f_acc, decn_acc, vir_acc = carry
-        nm_c, sh_c = slice_chunk(c)
-        valid, j, d, r, r_safe = _chunk_geometry(
-            positions, numbers, nm_c, sh_c, cell_b, bidx, fill_value, periodic
-        )
-        z_j = numbers[j]
-        cn_j = coord_num[j]
-        c6_mat = c6ab[numbers[:, None], z_j]  # [N, C, 5, 5]
-        cnref_i_mat = cn_ref[numbers[:, None], z_j]
-        cnref_j_mat = cn_ref[z_j, numbers[:, None]]
-        c6, dc6_dcni, _ = _c6_interpolate(
-            coord_num[:, None], cn_j, c6_mat, cnref_i_mat, cnref_j_mat, k3
-        )
-        pair_ok = valid & (c6 >= 1e-12)
-
-        r4r2_ij = 3.0 * r4r2_i[:, None] * r4r2[z_j]
-        r0 = a1 * jnp.sqrt(r4r2_ij) + a2
-        r2_ = r_safe * r_safe
-        r4 = r2_ * r2_
-        r6 = r4 * r2_
-        r8 = r4 * r4
-        r0_2 = r0 * r0
-        r0_6 = r0_2 * r0_2 * r0_2
-        r0_8 = r0_2 * r0_2 * r0_2 * r0_2
-        den6_inv = 1.0 / (r6 + r0_6)
-        den8_inv = 1.0 / (r8 + r0_8)
-        damp_sum = s6 * den6_inv + s8 * r4r2_ij * den8_inv
-
-        e_ij = -c6 * damp_sum
-        r5 = r4 * r_safe
-        r7 = r6 * r_safe
-        dd6 = -6.0 * s6 * r5 * den6_inv * den6_inv
-        dd8 = -8.0 * s8 * r4r2_ij * r7 * den8_inv * den8_inv
-        de_dr = -c6 * (dd6 + dd8)
-
-        sw, dsw = _s5_switch(r_safe, s5_on, s5_off, inv_w)
-        e_sw = e_ij * sw
-        de_dr_sw = sw * de_dr + e_ij * dsw
-
-        r_hat = d / r_safe[..., None]
-        f_pair = jnp.where(pair_ok, de_dr_sw, 0.0)[..., None] * r_hat
-
-        e_masked = jnp.where(pair_ok, e_sw, 0.0)
-        e_row = jnp.sum(e_masked, axis=1)
-        if bidx is not None:
-            e_sys = jax.ops.segment_sum(0.5 * e_row, bidx, num_segments=num_systems)
-        else:
-            e_sys = jnp.full((1,), 0.5 * jnp.sum(e_row), dtype=dtype)
-
-        f_row = jnp.sum(f_pair, axis=1)
-        # note: the switched energy is E = -c6 * damp * sw, so dE/dCN carries
-        # the switch factor.  (The reference accumulates -damp * dC6/dCN
-        # without sw at dftd3.py:1060 — with smoothing enabled its chain-rule
-        # forces are then not the exact energy gradient; we keep forces
-        # consistent with the energy.  Identical when smoothing is off.)
-        decn_row = jnp.sum(
-            jnp.where(pair_ok, -damp_sum * sw * dc6_dcni, 0.0), axis=1
-        )
-        if compute_virial:
-            v_pair = jnp.einsum("nce,ncf->nef", f_pair, jnp.where(pair_ok[..., None], d, 0.0))
-            if bidx is not None:
-                v_sys = jax.ops.segment_sum(-0.5 * v_pair, bidx, num_segments=num_systems)
-            else:
-                v_sys = -0.5 * jnp.sum(v_pair, axis=0, keepdims=True)
-            vir_acc = vir_acc + v_sys
-        return (e_acc + e_sys, f_acc + f_row, decn_acc + decn_row, vir_acc), None
-
-    init2 = (
-        jnp.zeros((num_systems,), dtype=dtype),
-        jnp.zeros((n, 3), dtype=dtype),
-        jnp.zeros((n,), dtype=dtype),
-        jnp.zeros((num_systems, 3, 3), dtype=dtype),
-    )
-    (energy, forces, de_dcn, virial), _ = jax.lax.scan(direct_body, init2, starts)
-
-    # ---- Pass 3: CN chain-rule forces -------------------------------------
-    def chain_body(carry, c):
-        f_acc, vir_acc = carry
-        nm_c, sh_c = slice_chunk(c)
-        valid, j, d, r, r_safe = _chunk_geometry(
-            positions, numbers, nm_c, sh_c, cell_b, bidx, fill_value, periodic
-        )
-        rcov_ij = rcov_i[:, None] + rcov[numbers[j]]
-        rr = rcov_ij / r_safe
-        f_cn = 1.0 / (1.0 + jnp.exp(-k1 * (rr - 1.0)))
-        dcn_dr = -f_cn * (1.0 - f_cn) * k1 * rr / r_safe
-        de_chain = (de_dcn[:, None] + de_dcn[j]) * dcn_dr
-        r_hat = d / r_safe[..., None]
-        f_pair = jnp.where(valid, de_chain, 0.0)[..., None] * r_hat
-        f_row = jnp.sum(f_pair, axis=1)
-        if compute_virial:
-            v_pair = jnp.einsum(
-                "nce,ncf->nef", f_pair, jnp.where(valid[..., None], d, 0.0)
-            )
-            if bidx is not None:
-                v_sys = jax.ops.segment_sum(-0.5 * v_pair, bidx, num_segments=num_systems)
-            else:
-                v_sys = -0.5 * jnp.sum(v_pair, axis=0, keepdims=True)
-            vir_acc = vir_acc + v_sys
-        return (f_acc + f_row, vir_acc), None
-
-    (forces, virial), _ = jax.lax.scan(chain_body, (forces, virial), starts)
-    return energy, forces, coord_num, virial
-
-
 def dftd3(
     positions,
     numbers,
@@ -470,21 +267,23 @@ def dftd3(
         else jnp.zeros((1, 3, 3), dtype=dtype)
     )
     if neighbor_matrix_shifts is None:
-        neighbor_matrix_shifts = jnp.zeros(
-            tuple(neighbor_matrix.shape) + (3,), dtype=INDEX_DTYPE
-        )
+        packed = jnp.zeros(neighbor_matrix.shape, dtype=INDEX_DTYPE)
+    elif jnp.asarray(neighbor_matrix_shifts).ndim == 2:
+        packed = jnp.asarray(neighbor_matrix_shifts, dtype=INDEX_DTYPE)  # already packed
+    else:
+        packed = shifts_from_aos(jnp.asarray(neighbor_matrix_shifts))
 
-    energy, forces, coord_num, virial = _dftd3_matrix(
+    energy, forces, coord_num, virial = dftd3_matrix_kernel(
         positions,
         numbers,
         neighbor_matrix,
-        neighbor_matrix_shifts,
+        packed,
         cell_b,
         batch_idx,
-        rcov,
-        r4r2_t,
-        c6ab,
-        cn_ref,
+        rcov.astype(dtype),
+        r4r2_t.astype(dtype),
+        c6ab.astype(dtype),
+        cn_ref.astype(dtype),
         jnp.asarray(a1, dtype=dtype),
         jnp.asarray(a2, dtype=dtype),
         jnp.asarray(s8, dtype=dtype),

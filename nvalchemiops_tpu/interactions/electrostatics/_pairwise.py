@@ -12,6 +12,11 @@ whole matrix family:
 - the COO/CSR "list" format is handled by treating the flat pair list as one
   row-major candidate block (see coulomb.py public wrappers).
 
+TPU layout: all geometry is computed as separate x/y/z planes (arrays with a
+trailing dim of 3 are tile-padded 42x on TPU), and shift matrices may arrive
+either as reference-parity AoS [N, K, 3] or bit-packed int32 [N, K]
+(neighbor_utils.pack_shifts) — the packed form is the at-scale layout.
+
 Math (reference: ewald_kernels.py:150-263, coulomb.py:133-290):
     E_i     = 1/2 sum_j q_i q_j erfc(alpha r) / r        (alpha > 0)
     E_i     = 1/2 sum_j q_i q_j / r                      (alpha = 0)
@@ -28,18 +33,57 @@ tape, test_pme.py:1417).
 from __future__ import annotations
 
 import math
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 
 from nvalchemiops_tpu.types import INDEX_DTYPE
+from nvalchemiops_tpu.neighborlist.neighbor_utils import unpack_shifts
 
 TWO_OVER_SQRT_PI = 2.0 / math.sqrt(math.pi)
 
 
-def _gather_pair_geometry(positions, cell, neighbor_matrix, shifts, batch_idx, fill_value):
-    """Common [N, K] pair geometry.
+def _shift_components(shifts, dtype, aos: bool):
+    """AoS [.., 3] or packed [..] int32 -> float component planes (sx, sy, sz)."""
+    shifts = jnp.asarray(shifts)
+    if aos:
+        return (
+            shifts[..., 0].astype(dtype),
+            shifts[..., 1].astype(dtype),
+            shifts[..., 2].astype(dtype),
+        )
+    sx, sy, sz = unpack_shifts(shifts)
+    return sx.astype(dtype), sy.astype(dtype), sz.astype(dtype)
 
-    Returns (r [N,K], valid [N,K], j_clipped [N,K], displacement d = r_j_image - r_i).
+
+def _cartesian_shift_components(shifts, cell, batch_idx, row_index, dtype, aos):
+    """Cartesian shift planes ``S @ cell`` without materializing [.., 3] arrays.
+
+    ``row_index``: for matrix layouts None (per-row broadcast of batch_idx);
+    for pair lists the idx_i array selecting each pair's system.
+    """
+    sxf, syf, szf = _shift_components(shifts, dtype, aos)
+    cell_b = jnp.asarray(cell, dtype=dtype).reshape(-1, 3, 3)
+    if batch_idx is not None and cell_b.shape[0] > 1:
+        b = batch_idx.astype(INDEX_DTYPE)
+        if row_index is not None:
+            b = b[row_index]
+        comp = lambda r, c: cell_b[b, r, c]  # noqa: E731
+        if sxf.ndim == 2:  # [N, K] planes: broadcast per-row cell components
+            comp = lambda r, c: cell_b[b, r, c][:, None]  # noqa: E731
+    else:
+        comp = lambda r, c: cell_b[0, r, c]  # noqa: E731
+    shx = sxf * comp(0, 0) + syf * comp(1, 0) + szf * comp(2, 0)
+    shy = sxf * comp(0, 1) + syf * comp(1, 1) + szf * comp(2, 1)
+    shz = sxf * comp(0, 2) + syf * comp(1, 2) + szf * comp(2, 2)
+    return shx, shy, shz
+
+
+def _gather_pair_geometry(positions, cell, neighbor_matrix, shifts, batch_idx, fill_value):
+    """Common [N, K] pair geometry (SoA).
+
+    Returns (r, valid, j_clipped, (dx, dy, dz)) with d = r_j_image - r_i.
     """
     n = positions.shape[0]
     dtype = positions.dtype
@@ -47,17 +91,15 @@ def _gather_pair_geometry(positions, cell, neighbor_matrix, shifts, batch_idx, f
     valid = (nm != jnp.asarray(fill_value, INDEX_DTYPE)) & (nm >= 0) & (nm < n)
     j = jnp.clip(nm, 0, max(n - 1, 0))
 
-    cell_b = jnp.asarray(cell, dtype=dtype).reshape(-1, 3, 3)
-    if batch_idx is not None and cell_b.shape[0] > 1:
-        cell_pair = cell_b[batch_idx.astype(INDEX_DTYPE)]  # [N, 3, 3]
-        sh_cart = jnp.einsum("nkd,nde->nke", shifts.astype(dtype), cell_pair)
-    else:
-        sh_cart = shifts.astype(dtype) @ cell_b[0]
-
-    d = positions[j] + sh_cart - positions[:, None, :]  # [N, K, 3]
-    r2 = jnp.sum(d * d, axis=-1)
+    px, py, pz = positions[:, 0], positions[:, 1], positions[:, 2]
+    aos = jnp.asarray(shifts).ndim == 3  # matrix layout: [N,K,3] AoS vs [N,K] packed
+    shx, shy, shz = _cartesian_shift_components(shifts, cell, batch_idx, None, dtype, aos)
+    dx = px[j] + shx - px[:, None]
+    dy = py[j] + shy - py[:, None]
+    dz = pz[j] + shz - pz[:, None]
+    r2 = dx * dx + dy * dy + dz * dz
     r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0)) * (r2 > 0)
-    return r, valid, j, d
+    return r, valid, j, (dx, dy, dz)
 
 
 def pair_energies(
@@ -116,7 +158,7 @@ def pair_energies_forces(
     dtype = positions.dtype
     if fill_value is None:
         fill_value = n
-    r, valid, j, d = _gather_pair_geometry(
+    r, valid, j, (dx, dy, dz) = _gather_pair_geometry(
         positions, cell, neighbor_matrix, shifts, batch_idx, fill_value
     )
     cutoff_t = jnp.asarray(cutoff, dtype=dtype)
@@ -142,11 +184,13 @@ def pair_energies_forces(
         inv_r * inv_r2,
     )
     # force on i points along r_i - r_j_image = -d
-    f_pair = (qq * mag * mask)[..., None] * (-d)
+    coef = jnp.where(mask, qq * mag, 0.0)
+    fx = jnp.sum(coef * (-dx), axis=1)
+    fy = jnp.sum(coef * (-dy), axis=1)
+    fz = jnp.sum(coef * (-dz), axis=1)
 
     energies = jnp.sum(jnp.where(mask, e_pair, 0.0), axis=1)
-    forces = jnp.sum(f_pair, axis=1)
-    return energies, forces
+    return energies, jnp.stack([fx, fy, fz], axis=-1)
 
 
 def pair_charge_gradients(

@@ -51,16 +51,21 @@ def _validate_format(neighbor_list, neighbor_shifts, neighbor_matrix, neighbor_m
 
 
 def _list_pair_terms(positions, charges, cell, idx_i, idx_j, shifts, cutoff, alpha, batch_idx):
-    """Per-pair energy/force/charge-grad ingredients for the COO format."""
+    """Per-pair energy/force/charge-grad ingredients for the COO format (SoA)."""
+    from nvalchemiops_tpu.interactions.electrostatics._pairwise import (
+        _cartesian_shift_components,
+    )
+
     dtype = positions.dtype
-    cell_b = jnp.asarray(cell, dtype=dtype).reshape(-1, 3, 3)
-    if batch_idx is not None and cell_b.shape[0] > 1:
-        cell_pair = cell_b[batch_idx.astype(INDEX_DTYPE)[idx_i]]
-        sh_cart = jnp.einsum("pd,pde->pe", shifts.astype(dtype), cell_pair)
-    else:
-        sh_cart = shifts.astype(dtype) @ cell_b[0]
-    d = positions[idx_j] + sh_cart - positions[idx_i]  # [P, 3]
-    r2 = jnp.sum(d * d, axis=-1)
+    aos = jnp.asarray(shifts).ndim == 2  # list layout: [P,3] AoS vs [P] packed
+    shx, shy, shz = _cartesian_shift_components(
+        shifts, cell, batch_idx, idx_i, dtype, aos
+    )
+    px, py, pz = positions[:, 0], positions[:, 1], positions[:, 2]
+    dx = px[idx_j] + shx - px[idx_i]
+    dy = py[idx_j] + shy - py[idx_i]
+    dz = pz[idx_j] + shz - pz[idx_i]
+    r2 = dx * dx + dy * dy + dz * dz
     r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0)) * (r2 > 0)
     cutoff_t = jnp.asarray(cutoff, dtype=dtype)
     alpha_t = jnp.asarray(alpha, dtype=dtype)
@@ -79,7 +84,7 @@ def _list_pair_terms(positions, charges, cell, idx_i, idx_j, shifts, cutoff, alp
         + TWO_OVER_SQRT_PI * alpha_t * jnp.exp(-ar * ar) * inv_r * inv_r,
         inv_r * inv_r * inv_r,
     )
-    return d, mask, phi, mag
+    return (dx, dy, dz), mask, phi, mag
 
 
 def coulomb_energy(
@@ -111,7 +116,7 @@ def coulomb_energy(
         idx_j = neighbor_list[1].astype(INDEX_DTYPE)
         if neighbor_shifts is None:
             neighbor_shifts = jnp.zeros((idx_i.shape[0], 3), dtype=INDEX_DTYPE)
-        _, mask, phi, _ = _list_pair_terms(
+        _d, mask, phi, _ = _list_pair_terms(
             positions, charges, cell, idx_i, idx_j, neighbor_shifts, cutoff, alpha, batch_idx
         )
         e_pair = 0.5 * charges[idx_i] * charges[idx_j] * phi
@@ -158,17 +163,20 @@ def coulomb_energy_forces(
         idx_j = neighbor_list[1].astype(INDEX_DTYPE)
         if neighbor_shifts is None:
             neighbor_shifts = jnp.zeros((idx_i.shape[0], 3), dtype=INDEX_DTYPE)
-        d, mask, phi, mag = _list_pair_terms(
+        (dx, dy, dz), mask, phi, mag = _list_pair_terms(
             positions, charges, cell, idx_i, idx_j, neighbor_shifts, cutoff, alpha, batch_idx
         )
         qq = charges[idx_i] * charges[idx_j]
         e_pair = jnp.where(mask, 0.5 * qq * phi, 0.0)
-        f_pair = (jnp.where(mask, qq * mag, 0.0))[:, None] * (-d)
+        coef = jnp.where(mask, qq * mag, 0.0)
         energies = jax.ops.segment_sum(
             e_pair, idx_i, num_segments=n, indices_are_sorted=True
         )
-        forces = jax.ops.segment_sum(
-            f_pair, idx_i, num_segments=n, indices_are_sorted=True
+        seg = lambda v: jax.ops.segment_sum(  # noqa: E731
+            v, idx_i, num_segments=n, indices_are_sorted=True
+        )
+        forces = jnp.stack(
+            [seg(coef * (-dx)), seg(coef * (-dy)), seg(coef * (-dz))], axis=-1
         )
         return energies, forces
     if neighbor_matrix_shifts is None:

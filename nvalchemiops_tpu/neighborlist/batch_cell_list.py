@@ -27,6 +27,8 @@ from nvalchemiops_tpu.neighborlist.cell_list import (
 )
 from nvalchemiops_tpu.neighborlist.neighbor_utils import (
     decode_keys,
+    pack_shifts,
+    shifts_to_aos,
     estimate_max_neighbors,
     get_neighbor_list_from_neighbor_matrix,
     merge_topk,
@@ -147,19 +149,7 @@ def batch_build_cell_list(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "cell_stride",
-        "search_radius",
-        "cell_capacity",
-        "max_neighbors",
-        "half_fill",
-        "fill_value",
-        "row_block",
-    ),
-)
-def batch_query_cell_list(
+def batch_query_cell_list_packed(
     positions,
     cutoff,
     cell,
@@ -172,9 +162,13 @@ def batch_query_cell_list(
     max_neighbors: int,
     half_fill: bool = False,
     fill_value: int = -1,
-    row_block: int = 2048,
+    row_block: int = 1024,
 ):
-    """Query the batched cell list into a padded neighbor matrix (jit)."""
+    """Query the batched cell list into a padded neighbor matrix (jit).
+
+    Structure-of-arrays / packed-shift formulation (see the single-system
+    query for the TPU layout rationale); returns packed int32 shifts.
+    """
     n = positions.shape[0]
     dtype = positions.dtype
     cell_b = jnp.asarray(cell, dtype=dtype).reshape(-1, 3, 3)
@@ -191,7 +185,7 @@ def batch_query_cell_list(
         return (
             jnp.full((0, k), fill_value, dtype=INDEX_DTYPE),
             jnp.zeros((0,), dtype=INDEX_DTYPE),
-            jnp.zeros((0, k, 3), dtype=INDEX_DTYPE),
+            jnp.zeros((0, k), dtype=INDEX_DTYPE),
         )
 
     offsets = jnp.asarray(_offset_table(search_radius, half_fill))
@@ -212,24 +206,33 @@ def batch_query_cell_list(
 
     num_blocks = -(-n // row_block)
     n_pad = num_blocks * row_block
-    pos_pad = jnp.pad(positions, ((0, n_pad - n), (0, 0)))
-    coords_pad = jnp.pad(cl.atom_to_cell_mapping, ((0, n_pad - n), (0, 0)))
-    aps_pad = jnp.pad(cl.atom_periodic_shifts, ((0, n_pad - n), (0, 0)))
-    sys_pad = jnp.pad(batch_idx, ((0, n_pad - n),))
+    pad_n = n_pad - n
+    px = jnp.pad(positions[:, 0], (0, pad_n))
+    py = jnp.pad(positions[:, 1], (0, pad_n))
+    pz = jnp.pad(positions[:, 2], (0, pad_n))
+    coords_pad = jnp.pad(cl.atom_to_cell_mapping, ((0, pad_n), (0, 0)))
+    apx = jnp.pad(cl.atom_periodic_shifts[:, 0], (0, pad_n))
+    apy = jnp.pad(cl.atom_periodic_shifts[:, 1], (0, pad_n))
+    apz = jnp.pad(cl.atom_periodic_shifts[:, 2], (0, pad_n))
+    sys_pad = jnp.pad(batch_idx, ((0, pad_n),))
     row_valid_pad = jnp.arange(n_pad, dtype=INDEX_DTYPE) < n
 
     def block_fn(start):
+        zero = jnp.zeros((), INDEX_DTYPE)
         rows = start + jnp.arange(row_block, dtype=INDEX_DTYPE)
-        r_i = jax.lax.dynamic_slice(pos_pad, (start, jnp.zeros((), INDEX_DTYPE)), (row_block, 3))
-        c_i = jax.lax.dynamic_slice(coords_pad, (start, jnp.zeros((), INDEX_DTYPE)), (row_block, 3))
-        a_i = jax.lax.dynamic_slice(aps_pad, (start, jnp.zeros((), INDEX_DTYPE)), (row_block, 3))
+        rix = jax.lax.dynamic_slice(px, (start,), (row_block,))
+        riy = jax.lax.dynamic_slice(py, (start,), (row_block,))
+        riz = jax.lax.dynamic_slice(pz, (start,), (row_block,))
+        c_i = jax.lax.dynamic_slice(coords_pad, (start, zero), (row_block, 3))
+        aix = jax.lax.dynamic_slice(apx, (start,), (row_block,))
+        aiy = jax.lax.dynamic_slice(apy, (start,), (row_block,))
+        aiz = jax.lax.dynamic_slice(apz, (start,), (row_block,))
         s_i = jax.lax.dynamic_slice(sys_pad, (start,), (row_block,))
         rv = jax.lax.dynamic_slice(row_valid_pad, (start,), (row_block,))
 
         cpd_i = cl.cells_per_dimension[s_i]  # [Brow, 3]
         pbc_i_bool = pbc_b[s_i]  # [Brow, 3]
         pbc_i = pbc_i_bool.astype(INDEX_DTYPE)
-        cell_i = cell_b[s_i]  # [Brow, 3, 3]
 
         target = c_i[:, None, :] + offsets[None, :, :]  # [Brow, O, 3]
         wrap = jnp.floor_divide(target, cpd_i[:, None, :])
@@ -250,27 +253,33 @@ def batch_query_cell_list(
         cand_flat = cand.reshape(row_block, num_cand)
         cand_c = jnp.minimum(cand_flat, n - 1)
 
-        aps_j = aps_pad[cand_c].reshape(row_block, num_offsets, cap, 3)
-        shift = (
-            wrap[:, :, None, :] + a_i[:, None, None, :] - aps_j
-        ) * pbc_i[:, None, None, :]
-        shift_flat = shift.reshape(row_block, num_cand, 3)
+        def expand(o_arr):
+            return jnp.repeat(o_arr, cap, axis=1)
 
-        r_j = pos_pad[cand_c]
-        sh_cart = jnp.einsum(
-            "ncd,nde->nce", shift_flat.astype(dtype), cell_i
-        )
-        dx = r_j[..., 0] + sh_cart[..., 0] - r_i[:, 0:1]
-        dy = r_j[..., 1] + sh_cart[..., 1] - r_i[:, 1:2]
-        dz = r_j[..., 2] + sh_cart[..., 2] - r_i[:, 2:3]
+        sx = (expand(wrap[..., 0]) + aix[:, None] - apx[cand_c]) * pbc_i[:, 0:1]
+        sy = (expand(wrap[..., 1]) + aiy[:, None] - apy[cand_c]) * pbc_i[:, 1:2]
+        sz = (expand(wrap[..., 2]) + aiz[:, None] - apz[cand_c]) * pbc_i[:, 2:3]
+
+        sxf = sx.astype(dtype)
+        syf = sy.astype(dtype)
+        szf = sz.astype(dtype)
+        # per-row cell components (gathered per atom, broadcast over candidates)
+        c00 = cell_b[s_i, 0, 0][:, None]; c01 = cell_b[s_i, 0, 1][:, None]; c02 = cell_b[s_i, 0, 2][:, None]
+        c10 = cell_b[s_i, 1, 0][:, None]; c11 = cell_b[s_i, 1, 1][:, None]; c12 = cell_b[s_i, 1, 2][:, None]
+        c20 = cell_b[s_i, 2, 0][:, None]; c21 = cell_b[s_i, 2, 1][:, None]; c22 = cell_b[s_i, 2, 2][:, None]
+        shx = sxf * c00 + syf * c10 + szf * c20
+        shy = sxf * c01 + syf * c11 + szf * c21
+        shz = sxf * c02 + syf * c12 + szf * c22
+
+        dx = px[cand_c] + shx - rix[:, None]
+        dy = py[cand_c] + shy - riy[:, None]
+        dz = pz[cand_c] + shz - riz[:, None]
         d2 = dx * dx + dy * dy + dz * dz
 
         valid_cand = cand_flat < n
-        off_valid_flat = jnp.repeat(off_valid, cap, axis=1)
-        home_flat = jnp.repeat(
-            jnp.broadcast_to(home_offset[None, :], (row_block, num_offsets)),
-            cap,
-            axis=1,
+        off_valid_flat = expand(off_valid)
+        home_flat = expand(
+            jnp.broadcast_to(home_offset[None, :], (row_block, num_offsets))
         )
         if half_fill:
             home_excl = home_flat & (cand_flat <= rows[:, None])
@@ -286,9 +295,11 @@ def batch_query_cell_list(
         valid, p = decode_keys(topk, num_cand)
         p = jnp.minimum(p, num_cand - 1)
         j = jnp.take_along_axis(cand_flat, p, axis=1)
-        s = jnp.take_along_axis(shift_flat, p[..., None], axis=1)
+        packed_all = pack_shifts(sx, sy, sz)
+        s = jnp.take_along_axis(packed_all, p, axis=1)
         nm = jnp.where(valid, j, jnp.asarray(fill_value, dtype=INDEX_DTYPE))
-        sh = jnp.where(valid[..., None], s, 0).astype(INDEX_DTYPE)
+        zero_code = pack_shifts(zero, zero, zero)
+        sh = jnp.where(valid, s, zero_code)
         num = jnp.sum(mask, axis=1, dtype=INDEX_DTYPE)
         return nm, num, sh
 
@@ -297,8 +308,49 @@ def batch_query_cell_list(
     return (
         nm.reshape(n_pad, k)[:n],
         num.reshape(n_pad)[:n],
-        sh.reshape(n_pad, k, 3)[:n],
+        sh.reshape(n_pad, k)[:n],
     )
+
+
+batch_query_cell_list_packed = partial(
+    jax.jit,
+    static_argnames=(
+        "cell_stride",
+        "search_radius",
+        "cell_capacity",
+        "max_neighbors",
+        "half_fill",
+        "fill_value",
+        "row_block",
+    ),
+)(batch_query_cell_list_packed)
+
+
+def batch_query_cell_list(
+    positions,
+    cutoff,
+    cell,
+    pbc,
+    batch_idx,
+    cell_list_data: BatchCellList,
+    cell_stride: int,
+    search_radius: tuple[int, int, int],
+    cell_capacity: int,
+    max_neighbors: int,
+    half_fill: bool = False,
+    fill_value: int = -1,
+    row_block: int = 1024,
+    shift_format: str = "aos",
+):
+    """Query returning shifts as AoS [N,K,3] (parity) or packed int32 [N,K]."""
+    nm, num, sh = batch_query_cell_list_packed(
+        positions, cutoff, cell, pbc, batch_idx, cell_list_data, cell_stride,
+        search_radius, cell_capacity, max_neighbors, half_fill=half_fill,
+        fill_value=fill_value, row_block=row_block,
+    )
+    if shift_format == "packed":
+        return nm, num, sh
+    return nm, num, shifts_to_aos(sh)
 
 
 def batch_cell_list(
@@ -315,6 +367,7 @@ def batch_cell_list(
     neighbor_matrix=None,
     max_nbins: int = 1000,
     cell_capacity: int | None = None,
+    shift_format: str = "aos",
     **_ignored,
 ):
     """Build + query batched cell lists in one call.
@@ -366,6 +419,7 @@ def batch_cell_list(
         int(max_neighbors),
         half_fill=half_fill,
         fill_value=int(fill_value),
+        shift_format=shift_format,
     )
 
     if return_neighbor_list:

@@ -42,6 +42,8 @@ from nvalchemiops_tpu.neighborlist.neighbor_utils import (
     estimate_max_neighbors,
     merge_topk,
     pack_block,
+    pack_shifts,
+    shifts_to_aos,
 )
 
 __all__ = [
@@ -227,7 +229,7 @@ def _offset_table(search_radius: tuple[int, int, int], half_fill: bool) -> np.nd
         "row_block",
     ),
 )
-def query_cell_list(
+def query_cell_list_packed(
     positions,
     cutoff,
     cell,
@@ -238,16 +240,21 @@ def query_cell_list(
     max_neighbors: int,
     half_fill: bool = False,
     fill_value: int = -1,
-    row_block: int = 2048,
+    row_block: int = 1024,
 ):
-    """Query the cell list into a padded neighbor matrix.
+    """Query the cell list into a padded neighbor matrix (packed shifts).
 
     Functional counterpart of reference ``query_cell_list``
     (cell_list.py:1108-1193).  ``search_radius`` / ``cell_capacity`` /
     ``max_neighbors`` are static (host-estimated) capacities.
 
+    Everything inside is structure-of-arrays 2-D: on TPU, arrays with a
+    trailing dimension of 3 are tile-padded 42x, so positions/shifts are
+    handled as separate x/y/z planes and the output shifts come back as one
+    bit-packed int32 per pair (see neighbor_utils.pack_shifts).
+
     Returns ``(neighbor_matrix [N,K], num_neighbors [N],
-    neighbor_matrix_shifts [N,K,3])``.
+    packed_shifts [N,K])``.
     """
     n = positions.shape[0]
     dtype = positions.dtype
@@ -263,7 +270,7 @@ def query_cell_list(
         return (
             jnp.full((0, k), fill_value, dtype=INDEX_DTYPE),
             jnp.zeros((0,), dtype=INDEX_DTYPE),
-            jnp.zeros((0, k, 3), dtype=INDEX_DTYPE),
+            jnp.full((0, k), pack_shifts(*(jnp.zeros((), INDEX_DTYPE),) * 3), dtype=INDEX_DTYPE),
         )
 
     offsets = jnp.asarray(_offset_table(search_radius, half_fill))  # [O, 3]
@@ -286,17 +293,28 @@ def query_cell_list(
 
     num_blocks = -(-n // row_block)
     n_pad = num_blocks * row_block
+    pad_n = n_pad - n
 
-    pos_pad = jnp.pad(positions, ((0, n_pad - n), (0, 0)))
-    coords_pad = jnp.pad(cl.atom_to_cell_mapping, ((0, n_pad - n), (0, 0)))
-    aps_pad = jnp.pad(cl.atom_periodic_shifts, ((0, n_pad - n), (0, 0)))
+    # per-component padded planes (SoA)
+    px = jnp.pad(positions[:, 0], (0, pad_n))
+    py = jnp.pad(positions[:, 1], (0, pad_n))
+    pz = jnp.pad(positions[:, 2], (0, pad_n))
+    coords_pad = jnp.pad(cl.atom_to_cell_mapping, ((0, pad_n), (0, 0)))
+    apx = jnp.pad(cl.atom_periodic_shifts[:, 0], (0, pad_n))
+    apy = jnp.pad(cl.atom_periodic_shifts[:, 1], (0, pad_n))
+    apz = jnp.pad(cl.atom_periodic_shifts[:, 2], (0, pad_n))
     row_valid_pad = jnp.arange(n_pad, dtype=INDEX_DTYPE) < n
 
     def block_fn(start):
+        zero = jnp.zeros((), INDEX_DTYPE)
         rows = start + jnp.arange(row_block, dtype=INDEX_DTYPE)
-        r_i = jax.lax.dynamic_slice(pos_pad, (start, jnp.zeros((), INDEX_DTYPE)), (row_block, 3))
-        c_i = jax.lax.dynamic_slice(coords_pad, (start, jnp.zeros((), INDEX_DTYPE)), (row_block, 3))
-        a_i = jax.lax.dynamic_slice(aps_pad, (start, jnp.zeros((), INDEX_DTYPE)), (row_block, 3))
+        rix = jax.lax.dynamic_slice(px, (start,), (row_block,))
+        riy = jax.lax.dynamic_slice(py, (start,), (row_block,))
+        riz = jax.lax.dynamic_slice(pz, (start,), (row_block,))
+        c_i = jax.lax.dynamic_slice(coords_pad, (start, zero), (row_block, 3))
+        aix = jax.lax.dynamic_slice(apx, (start,), (row_block,))
+        aiy = jax.lax.dynamic_slice(apy, (start,), (row_block,))
+        aiz = jax.lax.dynamic_slice(apz, (start,), (row_block,))
         rv = jax.lax.dynamic_slice(row_valid_pad, (start,), (row_block,))
 
         target = c_i[:, None, :] + offsets[None, :, :]  # [B, O, 3]
@@ -309,31 +327,34 @@ def query_cell_list(
         lin = m[..., 0] + cpd[0] * (m[..., 1] + cpd[1] * m[..., 2])  # [B, O]
         lin = jnp.clip(lin, 0, padded_cells.shape[0] - 1)
 
-        cand = padded_cells[lin]  # [B, O, cap]
+        cand = padded_cells[lin]  # [B, O, cap] (row gather: well tiled)
         cand_flat = cand.reshape(row_block, num_cand)
         cand_c = jnp.minimum(cand_flat, n - 1)
 
-        # pair shift: S = wrap + aps_i - aps_j on periodic axes
-        aps_j = aps_pad[cand_c].reshape(row_block, num_offsets, cap, 3)
-        shift = (
-            wrap[:, :, None, :] + a_i[:, None, None, :] - aps_j
-        ) * pbc_i[None, None, None, :]
-        shift_flat = shift.reshape(row_block, num_cand, 3)
+        def expand(o_arr):  # [B, O] -> [B, num_cand]
+            return jnp.repeat(o_arr, cap, axis=1)
 
-        r_j = pos_pad[cand_c]  # [B, num_cand, 3]
-        sh_cart = shift_flat.astype(dtype) @ cell  # [B, num_cand, 3]
-        dx = r_j[..., 0] + sh_cart[..., 0] - r_i[:, 0:1]
-        dy = r_j[..., 1] + sh_cart[..., 1] - r_i[:, 1:2]
-        dz = r_j[..., 2] + sh_cart[..., 2] - r_i[:, 2:3]
+        # pair shift components: S = wrap + aps_i - aps_j on periodic axes
+        sx = (expand(wrap[..., 0]) + aix[:, None] - apx[cand_c]) * pbc_i[0]
+        sy = (expand(wrap[..., 1]) + aiy[:, None] - apy[cand_c]) * pbc_i[1]
+        sz = (expand(wrap[..., 2]) + aiz[:, None] - apz[cand_c]) * pbc_i[2]
+
+        sxf = sx.astype(dtype)
+        syf = sy.astype(dtype)
+        szf = sz.astype(dtype)
+        # cartesian shift = S @ cell (cell rows are lattice vectors)
+        shx = sxf * cell[0, 0] + syf * cell[1, 0] + szf * cell[2, 0]
+        shy = sxf * cell[0, 1] + syf * cell[1, 1] + szf * cell[2, 1]
+        shz = sxf * cell[0, 2] + syf * cell[1, 2] + szf * cell[2, 2]
+
+        dx = px[cand_c] + shx - rix[:, None]
+        dy = py[cand_c] + shy - riy[:, None]
+        dz = pz[cand_c] + shz - riz[:, None]
         d2 = dx * dx + dy * dy + dz * dz
 
         valid_cand = cand_flat < n
-        off_valid_flat = jnp.repeat(off_valid, cap, axis=1)
-        home_flat = jnp.repeat(
-            jnp.broadcast_to(home_offset[None, :], (row_block, num_offsets)),
-            cap,
-            axis=1,
-        )
+        off_valid_flat = expand(off_valid)
+        home_flat = expand(jnp.broadcast_to(home_offset[None, :], (row_block, num_offsets)))
         if half_fill:
             home_excl = home_flat & (cand_flat <= rows[:, None])
         else:
@@ -352,9 +373,13 @@ def query_cell_list(
         valid, p = decode_keys(topk, num_cand)
         p = jnp.minimum(p, num_cand - 1)
         j = jnp.take_along_axis(cand_flat, p, axis=1)
-        s = jnp.take_along_axis(shift_flat, p[..., None], axis=1)
+        packed_all = pack_shifts(sx, sy, sz)
+        s = jnp.take_along_axis(packed_all, p, axis=1)
         nm = jnp.where(valid, j, jnp.asarray(fill_value, dtype=INDEX_DTYPE))
-        sh = jnp.where(valid[..., None], s, 0).astype(INDEX_DTYPE)
+        zero_code = pack_shifts(
+            jnp.zeros((), INDEX_DTYPE), jnp.zeros((), INDEX_DTYPE), jnp.zeros((), INDEX_DTYPE)
+        )
+        sh = jnp.where(valid, s, zero_code)
         num = jnp.sum(mask, axis=1, dtype=INDEX_DTYPE)
         return nm, num, sh
 
@@ -363,8 +388,38 @@ def query_cell_list(
     return (
         nm.reshape(n_pad, k)[:n],
         num.reshape(n_pad)[:n],
-        sh.reshape(n_pad, k, 3)[:n],
+        sh.reshape(n_pad, k)[:n],
     )
+
+
+def query_cell_list(
+    positions,
+    cutoff,
+    cell,
+    pbc,
+    cell_list_data: CellList,
+    search_radius: tuple[int, int, int],
+    cell_capacity: int,
+    max_neighbors: int,
+    half_fill: bool = False,
+    fill_value: int = -1,
+    row_block: int = 1024,
+    shift_format: str = "aos",
+):
+    """Query returning shifts in the requested layout.
+
+    ``shift_format="aos"`` gives the reference-parity [N, K, 3] matrix;
+    ``"packed"`` keeps the TPU-native one-int32-per-pair encoding (use this
+    at scale — the AoS layout is tile-padded 42x on TPU).
+    """
+    nm, num, sh = query_cell_list_packed(
+        positions, cutoff, cell, pbc, cell_list_data, search_radius,
+        cell_capacity, max_neighbors, half_fill=half_fill,
+        fill_value=fill_value, row_block=row_block,
+    )
+    if shift_format == "packed":
+        return nm, num, sh
+    return nm, num, shifts_to_aos(sh)
 
 
 # ---------------------------------------------------------------------------
@@ -384,6 +439,7 @@ def cell_list(
     neighbor_matrix=None,
     max_nbins: int = 1000,
     cell_capacity: int | None = None,
+    shift_format: str = "aos",
     **_ignored,
 ):
     """Build + query in one call, with automatic capacity estimation.
@@ -427,6 +483,7 @@ def cell_list(
         int(max_neighbors),
         half_fill=half_fill,
         fill_value=int(fill_value),
+        shift_format=shift_format,
     )
 
     if return_neighbor_list:

@@ -42,6 +42,10 @@ __all__ = [
     "pack_block",
     "merge_topk",
     "decode_keys",
+    "pack_shifts",
+    "unpack_shifts",
+    "shifts_to_aos",
+    "shifts_from_aos",
 ]
 
 
@@ -295,3 +299,54 @@ def prepare_batch_idx_ptr(batch_idx, batch_ptr, num_atoms: int):
         jnp.asarray(idx.astype(np.int32)),
         jnp.asarray(np.asarray(jax.device_get(batch_ptr), dtype=np.int32)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed shift encoding (TPU layout optimization)
+# ---------------------------------------------------------------------------
+#
+# On TPU every array is tiled (8, 128) over its last two dimensions, so an
+# AoS shift matrix [N, K, 3] int32 is padded 42x in HBM (3 -> 128 lanes) —
+# infeasible at 100k-atom scale.  The TPU-native storage is one int32 per
+# pair with the three components bit-packed (10 bits each, range ±511,
+# far beyond any physical shift range):
+#
+#     packed = (sx + 512) << 20 | (sy + 512) << 10 | (sz + 512)
+#
+# All interaction kernels accept either layout; the packed one keeps every
+# array 2-D and perfectly tiled.
+
+SHIFT_PACK_BIAS = 512
+SHIFT_PACK_MASK = 1023
+
+
+def pack_shifts(sx, sy, sz):
+    """Pack three int shift components (|s| <= 511) into one int32."""
+    sx = sx.astype(INDEX_DTYPE)
+    sy = sy.astype(INDEX_DTYPE)
+    sz = sz.astype(INDEX_DTYPE)
+    return (
+        ((sx + SHIFT_PACK_BIAS) << 20)
+        | ((sy + SHIFT_PACK_BIAS) << 10)
+        | (sz + SHIFT_PACK_BIAS)
+    )
+
+
+def unpack_shifts(packed):
+    """Unpack an int32 shift code into (sx, sy, sz) int32 arrays."""
+    packed = packed.astype(INDEX_DTYPE)
+    sx = ((packed >> 20) & SHIFT_PACK_MASK) - SHIFT_PACK_BIAS
+    sy = ((packed >> 10) & SHIFT_PACK_MASK) - SHIFT_PACK_BIAS
+    sz = (packed & SHIFT_PACK_MASK) - SHIFT_PACK_BIAS
+    return sx, sy, sz
+
+
+def shifts_to_aos(packed):
+    """Packed [.., K] -> AoS [.., K, 3] (CPU/API-parity convenience)."""
+    sx, sy, sz = unpack_shifts(packed)
+    return jnp.stack([sx, sy, sz], axis=-1)
+
+
+def shifts_from_aos(aos):
+    """AoS [.., K, 3] -> packed [.., K]."""
+    return pack_shifts(aos[..., 0], aos[..., 1], aos[..., 2])

@@ -180,6 +180,91 @@ def _flat_indices(gidx, mesh_dims, batch_idx, num_systems):
 
 
 # ---------------------------------------------------------------------------
+# Separable one-hot matmul formulation (TPU fast path)
+# ---------------------------------------------------------------------------
+#
+# Scatter/gather at one element per (atom, stencil point) runs at ~1e8
+# elements/s on TPU — 50 ms for 100k atoms at order 4.  The B-spline stencil
+# is separable, so spreading is instead expressed as three dense per-axis
+# weight matrices contracted on the MXU:
+#
+#   S_x[n, gx] = sum_i w_x[n, i] * [gx == gidx_x[n, i]]      (dense [N, nx])
+#   mesh[x, y, z] = sum_n (q S_x)[n, x] S_y[n, y] S_z[n, z]
+#
+# evaluated as chunked matmuls (~N * nx * ny * nz flops — sub-ms at 100k
+# atoms on a 64^3 mesh).  Interpolation (gather) and gradients are the same
+# contractions transposed / with derivative weights.
+
+
+def _axis_weight_matrix(gidx_d, w_d, n_mesh: int):
+    """Dense per-axis spread matrix [N, n_mesh] from stencil indices/weights."""
+    mesh_iota = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, 1, n_mesh), 2)
+    onehot = (gidx_d[:, :, None] == mesh_iota).astype(w_d.dtype)
+    return jnp.einsum("nio,ni->no", onehot, w_d)
+
+
+def _separable_spread(values, sx, sy, sz, chunk: int = 2048):
+    """mesh[x,y,z] = sum_n values[n] sx[n,x] sy[n,y] sz[n,z] via chunked matmul."""
+    n = values.shape[0]
+    nx, ny, nz = sx.shape[1], sy.shape[1], sz.shape[1]
+    dtype = values.dtype
+    num_chunks = max(1, -(-n // chunk))
+    n_pad = num_chunks * chunk
+    qx = jnp.pad(values[:, None] * sx, ((0, n_pad - n), (0, 0)))
+    syp = jnp.pad(sy, ((0, n_pad - n), (0, 0)))
+    szp = jnp.pad(sz, ((0, n_pad - n), (0, 0)))
+
+    def body(mesh, c):
+        zero = jnp.zeros((), INDEX_DTYPE)
+        a = jax.lax.dynamic_slice(qx, (c, zero), (chunk, nx))
+        b = jax.lax.dynamic_slice(syp, (c, zero), (chunk, ny))
+        d = jax.lax.dynamic_slice(szp, (c, zero), (chunk, nz))
+        t = jnp.einsum("ny,nz->nyz", b, d).reshape(chunk, ny * nz)
+        mesh = mesh + jnp.einsum("nx,nm->xm", a, t).reshape(nx, ny, nz)
+        return mesh, None
+
+    starts = jnp.arange(num_chunks, dtype=INDEX_DTYPE) * chunk
+    mesh, _ = jax.lax.scan(body, jnp.zeros((nx, ny, nz), dtype), starts)
+    return mesh
+
+
+def _separable_gather(mesh, sx, sy, sz, chunk: int = 2048):
+    """out[n] = sum_xyz mesh[x,y,z] sx[n,x] sy[n,y] sz[n,z] via chunked matmul."""
+    n = sx.shape[0]
+    nx, ny, nz = sx.shape[1], sy.shape[1], sz.shape[1]
+    num_chunks = max(1, -(-n // chunk))
+    n_pad = num_chunks * chunk
+    sxp = jnp.pad(sx, ((0, n_pad - n), (0, 0)))
+    syp = jnp.pad(sy, ((0, n_pad - n), (0, 0)))
+    szp = jnp.pad(sz, ((0, n_pad - n), (0, 0)))
+    mesh2 = mesh.reshape(nx, ny * nz)
+
+    def body(_, c):
+        zero = jnp.zeros((), INDEX_DTYPE)
+        a = jax.lax.dynamic_slice(sxp, (c, zero), (chunk, nx))
+        b = jax.lax.dynamic_slice(syp, (c, zero), (chunk, ny))
+        d = jax.lax.dynamic_slice(szp, (c, zero), (chunk, nz))
+        t = jnp.einsum("nx,xm->nm", a, mesh2).reshape(chunk, ny, nz)
+        out = jnp.einsum("nyz,ny,nz->n", t, b, d)
+        return None, out
+
+    starts = jnp.arange(num_chunks, dtype=INDEX_DTYPE) * chunk
+    _, out = jax.lax.scan(body, None, starts)
+    return out.reshape(n_pad)[:n]
+
+
+def _stencil_axis_matrices(positions, cell, mesh_dims, order, batch_idx,
+                           derivative_axis: int | None = None):
+    """Per-axis dense spread matrices (optionally with d/du on one axis)."""
+    gidx, w, dw, inv = _stencil(positions, cell, mesh_dims, order, batch_idx)
+    mats = []
+    for d in range(3):
+        wd = dw[:, d] if derivative_axis == d else w[:, d]
+        mats.append(_axis_weight_matrix(gidx[:, d], wd, int(mesh_dims[d])))
+    return mats, inv
+
+
+# ---------------------------------------------------------------------------
 # Public spread / gather (reference: spline.py:2581-2786)
 # ---------------------------------------------------------------------------
 
@@ -202,6 +287,19 @@ def _num_systems(cell, batch_idx):
 def _spread_impl(positions, values, cell, batch_idx, mesh_dims, spline_order, num_systems, channels):
     dtype = positions.dtype
     nx, ny, nz = mesh_dims
+
+    if batch_idx is None and num_systems == 1:
+        # single system: separable matmul path (no scatter)
+        mats, _ = _stencil_axis_matrices(positions, cell, mesh_dims, spline_order, None)
+        sx, sy, sz = mats
+        if channels:
+            c = values.shape[1]
+            return jnp.stack(
+                [_separable_spread(values[:, ci], sx, sy, sz) for ci in range(c)],
+                axis=0,
+            )
+        return _separable_spread(values, sx, sy, sz)
+
     gidx, w, _, _ = _stencil(positions, cell, mesh_dims, spline_order, batch_idx)
     flat = _flat_indices(gidx, mesh_dims, batch_idx, num_systems)
     wxyz = jnp.einsum("ni,nj,nk->nijk", w[:, 0], w[:, 1], w[:, 2]).reshape(
@@ -210,12 +308,14 @@ def _spread_impl(positions, values, cell, batch_idx, mesh_dims, spline_order, nu
     total = num_systems * nx * ny * nz
     if channels:
         c = values.shape[1]
-        contrib = values[:, None, :] * wxyz[..., None]  # [N, o^3, C]
-        mesh = jnp.zeros((total, c), dtype=dtype).at[flat.reshape(-1)].add(
-            contrib.reshape(-1, c)
-        )
-        mesh = mesh.reshape(num_systems, nx, ny, nz, c)
-        mesh = jnp.moveaxis(mesh, -1, 1)  # [B, C, nx, ny, nz]
+        planes = [
+            jnp.zeros((total,), dtype=dtype)
+            .at[flat.reshape(-1)]
+            .add((values[:, ci:ci + 1] * wxyz).reshape(-1))
+            for ci in range(c)
+        ]
+        mesh = jnp.stack(planes, axis=0).reshape(c, num_systems, nx, ny, nz)
+        mesh = jnp.moveaxis(mesh, 0, 1)  # [B, C, nx, ny, nz]
         return mesh[0] if num_systems == 1 and batch_idx is None else mesh
     contrib = values[:, None] * wxyz
     mesh = jnp.zeros((total,), dtype=dtype).at[flat.reshape(-1)].add(contrib.reshape(-1))
@@ -254,15 +354,50 @@ def _gather_impl(positions, mesh, charges, cell, batch_idx, spline_order, num_sy
     n = positions.shape[0]
     o = spline_order
 
+    if batch_idx is None and num_systems == 1:
+        # single system: separable matmul path (no element gathers)
+        if mode == "scalar":
+            dims = mesh.shape[-3:]
+            (sx, sy, sz), _ = _stencil_axis_matrices(positions, cell, dims, o, None)
+            return _separable_gather(mesh, sx, sy, sz)
+        if mode == "vec3":
+            dims = mesh.shape[0:3]
+            (sx, sy, sz), _ = _stencil_axis_matrices(positions, cell, dims, o, None)
+            comps = [
+                charges * _separable_gather(mesh[..., ci], sx, sy, sz)
+                for ci in range(3)
+            ]
+            return jnp.stack(comps, axis=-1)
+        if mode == "channels":
+            c = mesh.shape[0]
+            dims = mesh.shape[1:4]
+            (sx, sy, sz), _ = _stencil_axis_matrices(positions, cell, dims, o, None)
+            return jnp.stack(
+                [_separable_gather(mesh[ci], sx, sy, sz) for ci in range(c)], axis=-1
+            )
+        if mode == "gradient":
+            dims = mesh.shape[-3:]
+            f_comps = []
+            for d in range(3):
+                (sx, sy, sz), inv = _stencil_axis_matrices(
+                    positions, cell, dims, o, None, derivative_axis=d
+                )
+                f_comps.append(-charges * _separable_gather(mesh, sx, sy, sz))
+            f_frac = jnp.stack(f_comps, axis=-1)
+            return f_frac @ inv[0].T
+
+    # per-plane flattening: gathering arrays with a small trailing dim (3 or
+    # C) is tile-padded 42x on TPU, so vector/channel meshes are gathered one
+    # scalar plane at a time.
     if mode == "channels":
         mesh_b = mesh if mesh.ndim == 5 else mesh[None]  # [B, C, nx, ny, nz]
         c = mesh_b.shape[1]
         dims = mesh_b.shape[2:5]
-        mesh_flat = jnp.moveaxis(mesh_b, 1, -1).reshape(-1, c)
+        mesh_planes = [mesh_b[:, ci].reshape(-1) for ci in range(c)]
     elif mode == "vec3":
         mesh_b = mesh if mesh.ndim == 5 else mesh[None]  # [B, nx, ny, nz, 3]
         dims = mesh_b.shape[1:4]
-        mesh_flat = mesh_b.reshape(-1, 3)
+        mesh_planes = [mesh_b[..., ci].reshape(-1) for ci in range(3)]
     else:
         mesh_b = mesh if mesh.ndim == 4 else mesh[None]  # [B, nx, ny, nz]
         dims = mesh_b.shape[1:4]
@@ -276,11 +411,13 @@ def _gather_impl(positions, mesh, charges, cell, batch_idx, spline_order, num_sy
         vals = mesh_flat[flat]  # [N, o^3]
         return jnp.sum(vals * wxyz, axis=1)
     if mode == "vec3":
-        vals = mesh_flat[flat]  # [N, o^3, 3]
-        return charges[:, None] * jnp.einsum("nps,np->ns", vals, wxyz)
+        comps = [
+            charges * jnp.sum(plane[flat] * wxyz, axis=1) for plane in mesh_planes
+        ]
+        return jnp.stack(comps, axis=-1)
     if mode == "channels":
-        vals = mesh_flat[flat]  # [N, o^3, C]
-        return jnp.einsum("npc,np->nc", vals, wxyz)
+        comps = [jnp.sum(plane[flat] * wxyz, axis=1) for plane in mesh_planes]
+        return jnp.stack(comps, axis=-1)
     if mode == "gradient":
         vals = mesh_flat[flat]  # [N, o^3]
         # separable gradient: (dwx wy wz, wx dwy wz, wx wy dwz)

@@ -1,0 +1,159 @@
+"""Halo-grid engine tests against the oracle and the matrix-path kernels."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nvalchemiops_tpu.grid import (
+    build_atom_grid,
+    estimate_grid_geometry,
+    grid_coordination_numbers,
+    grid_coulomb_energy_forces,
+    grid_neighbor_count,
+)
+from nvalchemiops_tpu.neighborlist import naive_neighbor_list
+from nvalchemiops_tpu.interactions.electrostatics import coulomb_energy_forces
+
+from tests.neighborlist.oracle import brute_force_neighbors
+
+
+def make_grid(pos, cell, pbc, cutoff, n, occ=0.4, bins_per_cutoff=1):
+    dims, radius, cap = estimate_grid_geometry(
+        cell, pbc, cutoff, n, target_occupancy=occ, bins_per_cutoff=bins_per_cutoff
+    )
+    g = build_atom_grid(jnp.asarray(pos), jnp.asarray(cell), pbc, dims, radius, cap)
+    assert int(g.counts_max) <= cap, "grid capacity overflow in test setup"
+    return g
+
+
+@pytest.mark.parametrize("pbc", [[True] * 3, [False] * 3, [True, False, True]])
+@pytest.mark.parametrize("bins_per_cutoff", [1, 2])
+def test_grid_counts_match_oracle(pbc, bins_per_cutoff):
+    rng = np.random.default_rng(1)
+    cell = np.diag([12.0, 14.0, 11.0])
+    pos = rng.uniform(0, 11.0, (300, 3))
+    cutoff = 3.2
+    g = make_grid(pos, cell, np.array(pbc), cutoff, 300, bins_per_cutoff=bins_per_cutoff)
+    counts = np.asarray(grid_neighbor_count(g, cutoff, 300))
+    rows = brute_force_neighbors(pos, cutoff, cell, pbc)
+    assert np.array_equal(counts, [len(r) for r in rows])
+
+
+def test_grid_triclinic_counts():
+    rng = np.random.default_rng(2)
+    cell = np.array([[12.0, 0, 0], [2.0, 11.0, 0], [-1.0, 1.5, 13.0]])
+    pos = rng.uniform(0, 1, (250, 3)) @ cell
+    cutoff = 3.0
+    g = make_grid(pos, cell, np.array([True] * 3), cutoff, 250)
+    counts = np.asarray(grid_neighbor_count(g, cutoff, 250))
+    rows = brute_force_neighbors(pos, cutoff, cell, [True] * 3)
+    assert np.array_equal(counts, [len(r) for r in rows])
+
+
+def test_grid_unwrapped_positions():
+    rng = np.random.default_rng(3)
+    cell = np.eye(3) * 12.0
+    pos = rng.uniform(0, 12.0, (200, 3)) + np.array([25.0, -13.0, 7.0])
+    cutoff = 3.5
+    g = make_grid(pos, cell, np.array([True] * 3), cutoff, 200)
+    counts = np.asarray(grid_neighbor_count(g, cutoff, 200))
+    rows = brute_force_neighbors(pos, cutoff, cell, [True] * 3, extra_margin=5)
+    assert np.array_equal(counts, [len(r) for r in rows])
+
+
+def test_grid_coulomb_matches_matrix_path():
+    rng = np.random.default_rng(4)
+    cell = np.eye(3) * 12.0
+    pos = rng.uniform(0, 12.0, (200, 3))
+    q = rng.normal(size=200)
+    pbc = np.array([True] * 3)
+    cutoff = 3.5
+    g = make_grid(pos, cell, pbc, cutoff, 200)
+    e, f = grid_coulomb_energy_forces(g, jnp.asarray(q), cutoff, 0.3)
+    nm, num, sh = naive_neighbor_list(jnp.asarray(pos), cutoff, pbc=pbc, cell=jnp.asarray(cell))
+    e2, f2 = coulomb_energy_forces(
+        jnp.asarray(pos), jnp.asarray(q), jnp.asarray(cell), cutoff, 0.3,
+        neighbor_matrix=nm, neighbor_matrix_shifts=sh,
+    )
+    # grid path uses the Abramowitz-Stegun erfc (1.5e-7 abs) by design
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e2), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f2), atol=5e-6)
+
+
+def test_grid_coordination_numbers_match_d3():
+    from nvalchemiops_tpu.interactions.dispersion import dftd3
+    from tests.interactions.dispersion.test_dftd3 import element_tables, A1, A2, S8
+
+    rng = np.random.default_rng(5)
+    cell = np.eye(3) * 10.0
+    pos = rng.uniform(0, 10.0, (150, 3))
+    numbers = rng.integers(1, 6, 150).astype(np.int32)
+    params = element_tables()
+    cutoff = 3.0
+    pbc = np.array([True] * 3)
+    nm, num, sh = naive_neighbor_list(jnp.asarray(pos), cutoff, pbc=pbc, cell=jnp.asarray(cell))
+    _, _, cn_ref = dftd3(
+        jnp.asarray(pos), jnp.asarray(numbers), A1, A2, S8,
+        d3_params=params, cell=jnp.asarray(cell),
+        neighbor_matrix=nm, neighbor_matrix_shifts=sh, output_dtype=None,
+    )
+    g = make_grid(pos, cell, pbc, cutoff, 150)
+    rcov_per_atom = params.rcov[jnp.asarray(numbers)]
+    cn = grid_coordination_numbers(g, rcov_per_atom, cutoff)
+    np.testing.assert_allclose(np.asarray(cn), np.asarray(cn_ref), rtol=1e-10)
+
+
+def test_grid_dftd3_matches_matrix_path():
+    from nvalchemiops_tpu.interactions.dispersion import dftd3, D3Parameters
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
+        element_cn_ref, grid_dftd3,
+    )
+
+    rng = np.random.default_rng(6)
+    zmax = 5
+    # element-structured tables (cn_ref[zi, zj, p, q] = cnA[zi, p])
+    rcov = np.concatenate([[0.0], rng.uniform(0.6, 1.4, zmax)])
+    r4r2 = np.concatenate([[0.0], rng.uniform(2.0, 6.0, zmax)])
+    cna = np.concatenate([np.zeros((1, 5)), np.cumsum(rng.uniform(0.3, 1.0, (zmax, 5)), 1)])
+    cn_ref = np.broadcast_to(cna[:, None, :, None], (zmax + 1,) * 2 + (5, 5)).copy()
+    c6 = rng.uniform(5.0, 40.0, (zmax + 1, zmax + 1, 5, 5))
+    c6[0] = 0.0
+    c6[:, 0] = 0.0
+    c6[rng.random(c6.shape) < 0.2] = 0.0
+    c6 = 0.5 * (c6 + np.swapaxes(np.swapaxes(c6, 0, 1), 2, 3))
+    params = D3Parameters(rcov=rcov, r4r2=r4r2, c6ab=c6, cn_ref=cn_ref)
+
+    cell = np.eye(3) * 11.0
+    pos = rng.uniform(0, 11.0, (180, 3))
+    numbers = rng.integers(1, zmax + 1, 180).astype(np.int32)
+    cutoff = 3.4
+    pbc = np.array([True] * 3)
+    a1, a2, s8 = 0.42, 4.1, 1.7
+
+    nm, num, sh = naive_neighbor_list(
+        jnp.asarray(pos), cutoff, pbc=pbc, cell=jnp.asarray(cell)
+    )
+    e_ref, f_ref, cn_ref_out = dftd3(
+        jnp.asarray(pos), jnp.asarray(numbers), a1, a2, s8,
+        d3_params=params, cell=jnp.asarray(cell),
+        neighbor_matrix=nm, neighbor_matrix_shifts=sh, output_dtype=None,
+    )
+
+    g = make_grid(pos, cell, pbc, cutoff, 180)
+    cna_j = element_cn_ref(jnp.asarray(cn_ref))
+    e_g, f_g, cn_g = grid_dftd3(
+        g, jnp.asarray(numbers), jnp.asarray(rcov), jnp.asarray(r4r2),
+        jnp.asarray(c6), cna_j, cutoff, a1, a2, s8,
+    )
+    np.testing.assert_allclose(np.asarray(cn_g), np.asarray(cn_ref_out), rtol=1e-10)
+    np.testing.assert_allclose(float(e_g), float(e_ref.sum()), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(f_g), np.asarray(f_ref), rtol=1e-8, atol=1e-12)
+
+
+def test_element_cn_ref_rejects_general_tables():
+    rng = np.random.default_rng(7)
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import element_cn_ref
+
+    bad = rng.uniform(0, 1, (4, 4, 5, 5))
+    with pytest.raises(ValueError):
+        element_cn_ref(jnp.asarray(bad))
