@@ -35,13 +35,18 @@ def gto_normalization(sigma):
 
 
 def gto_self_overlap(l: int, sigma):
-    """Self-overlap ``<phi_{l,m} | phi_{l,m}> = 1 / (2 sqrt(pi) sigma^3)``.
+    """Self-overlap ``<phi_{l,m} | phi_{l,m}> = 1 / (8 pi^{3/2} sigma^3)``.
 
-    (reference: math/gto.py:480-525 — independent of l for this
-    normalization convention).
+    Independent of l (the real harmonics are orthonormal on the sphere).
+    Note: the reference's closed form ``1/(2 sqrt(pi) sigma^3)``
+    (math/gto.py:480-525) is inconsistent with its own density
+    normalization by exactly a factor 4 pi (it drops |Y_00|^2 = 1/(4 pi));
+    this implementation returns the value consistent with
+    :func:`eval_gto_density`, verified by quadrature in the tests.
     """
     del l
-    return 1.0 / (2.0 * jnp.sqrt(jnp.asarray(math.pi, dtype=jnp.result_type(sigma, 1.0))) * sigma**3)
+    pi = jnp.asarray(math.pi, dtype=jnp.result_type(sigma, 1.0))
+    return 1.0 / (8.0 * pi * jnp.sqrt(pi) * sigma**3)
 
 
 def eval_gto_density(positions, sigma, l_max: int = 2):
