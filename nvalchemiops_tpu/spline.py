@@ -228,8 +228,22 @@ def _separable_spread(values, sx, sy, sz, chunk: int = 2048):
     return mesh
 
 
+def _use_pallas_gather(mesh) -> bool:
+    """Pallas gather pays off when the [chunk, ny*nz] projection would
+    otherwise round-trip HBM (big meshes) and we are on a real TPU backend."""
+    return (
+        jax.default_backend() not in ("cpu",)
+        and mesh.size >= 128 * 128 * 128
+    )
+
+
 def _separable_gather(mesh, sx, sy, sz, chunk: int = 2048):
     """out[n] = sum_xyz mesh[x,y,z] sx[n,x] sy[n,y] sz[n,z] via chunked matmul."""
+    if _use_pallas_gather(mesh):
+        from nvalchemiops_tpu.pallas.spread import pallas_separable_gather
+
+        return pallas_separable_gather(mesh, sx, sy, sz).astype(mesh.dtype)
+
     n = sx.shape[0]
     nx, ny, nz = sx.shape[1], sy.shape[1], sz.shape[1]
     num_chunks = max(1, -(-n // chunk))
