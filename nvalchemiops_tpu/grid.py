@@ -410,14 +410,19 @@ def _extend_like(grid: AtomGrid, plane, fill):
 
 @partial(jax.jit, static_argnames=("dims", "radius", "cap"))
 def _coulomb_impl(grid: AtomGrid, q_plane, q_ext, cutoff, alpha, dims, radius, cap):
+    """Symmetric half-space sweep: each pair computed once, j-side folded."""
     dtype = grid.ext_px.dtype
     cutoff_t = jnp.asarray(cutoff, dtype=dtype)
     alpha_t = jnp.asarray(alpha, dtype=dtype)
     from nvalchemiops_tpu.mathops.math import erfc_approx
 
     two_over_sqrt_pi = 1.1283791670955126
+    cz, cy, cx = dims
+    slot = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, 1, 1, cap, cap), 3)
+    slot_j = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, 1, 1, cap, cap), 4)
+    upper = slot < slot_j
 
-    def kern(carry, own, cand, oi):
+    def kern(carry, own, cand, home):
         e, fx, fy, fz = carry
         dx = cand["px"][..., None, :] - own["px"][..., :, None]
         dy = cand["py"][..., None, :] - own["py"][..., :, None]
@@ -429,6 +434,8 @@ def _coulomb_impl(grid: AtomGrid, q_plane, q_ext, cutoff, alpha, dims, radius, c
             & (d2 < cutoff_t * cutoff_t)
             & (d2 > 1e-20)
         )
+        if home:
+            ok &= upper
         r = jnp.sqrt(jnp.where(ok, d2, 1.0))
         inv_r = 1.0 / r
         qq = own["q"][..., :, None] * cand["q"][..., None, :]
@@ -442,21 +449,31 @@ def _coulomb_impl(grid: AtomGrid, q_plane, q_ext, cutoff, alpha, dims, radius, c
             * inv_r * inv_r,
             inv_r * inv_r * inv_r,
         )
-        e = e + jnp.sum(jnp.where(ok, 0.5 * qq * phi, 0.0), axis=-1)
+        e_pair = jnp.where(ok, 0.5 * qq * phi, 0.0)
         coef = jnp.where(ok, qq * mag, 0.0)
-        fx = fx + jnp.sum(coef * (-dx), axis=-1)
-        fy = fy + jnp.sum(coef * (-dy), axis=-1)
-        fz = fz + jnp.sum(coef * (-dz), axis=-1)
-        return e, fx, fy, fz
+        cfx = coef * dx
+        cfy = coef * dy
+        cfz = coef * dz
+        e = e + jnp.sum(e_pair, axis=-1)
+        fx = fx + jnp.sum(-cfx, axis=-1)
+        fy = fy + jnp.sum(-cfy, axis=-1)
+        fz = fz + jnp.sum(-cfz, axis=-1)
+        # j-side: same pair energy, opposite force
+        deltas = (
+            jnp.sum(e_pair, axis=-2),
+            jnp.sum(cfx, axis=-2),
+            jnp.sum(cfy, axis=-2),
+            jnp.sum(cfz, axis=-2),
+        )
+        return (e, fx, fy, fz), deltas
 
-    cz, cy, cx = dims
     zeros = jnp.zeros((cz, cy, cx, cap), dtype)
-    init = (zeros, zeros, zeros, zeros)
-    return grid_pair_reduce(
-        grid, kern, init,
+    (e, fx, fy, fz), (e2, fx2, fy2, fz2) = grid_pair_reduce_sym(
+        grid, kern, (zeros, zeros, zeros, zeros), 4,
         extra_ext_planes=(("q", q_ext),),
         extra_own_planes=(("q", q_plane),),
     )
+    return e + e2, fx + fx2, fy + fy2, fz + fz2
 
 
 def grid_coulomb_energy_forces(grid: AtomGrid, charges, cutoff, alpha=0.0):
@@ -499,3 +516,149 @@ def build_atom_grid_auto(positions, cell, pbc, cutoff: float,
         cap = int(np.ceil(observed * 1.1 / 4)) * 4
         g = build_atom_grid(positions, cell, pbc, dims, radius, cap)
     return g
+
+
+# ---------------------------------------------------------------------------
+# Symmetric (half-space) pair sweep
+# ---------------------------------------------------------------------------
+#
+# The full-space sweep touches every pair twice (once from each side).  The
+# symmetric sweep walks only the half-space of cell offsets, computes each
+# pair block once, and accumulates the j-side contribution into an extended
+# (halo) accumulator plane; halo regions then fold back onto their interior
+# source cells with pure slice adds — the TPU equivalent of the reference's
+# symmetric atomic insertion (neighbor_utils.py:70-147), with the 2x pair
+# saving and no atomics.
+
+
+def _halfspace_offsets(radius):
+    """Half-space offsets (dz, dy, dx), home (0,0,0) excluded."""
+    rz, ry, rx = radius
+    offs = []
+    for dz in range(-rz, rz + 1):
+        for dy in range(-ry, ry + 1):
+            for dx in range(-rx, rx + 1):
+                if dz > 0 or (dz == 0 and dy > 0) or (dz == 0 and dy == 0 and dx > 0):
+                    offs.append((dz, dy, dx))
+    return np.asarray(offs, dtype=np.int32)
+
+
+def fold_halo(grid: AtomGrid, ext_acc):
+    """Fold an extended accumulator's halo back onto the interior (wrap)."""
+    rz, ry, rx = grid.radius
+    cz, cy, cx = grid.dims
+    a = ext_acc
+    # fold z
+    if rz:
+        core = a[rz:rz + cz]
+        core = core.at[:rz].add(a[rz + cz:rz + cz + rz])
+        core = core.at[cz - rz:].add(a[0:rz])
+        a = core
+    else:
+        a = a[0:cz]
+    if ry:
+        core = a[:, ry:ry + cy]
+        core = core.at[:, :ry].add(a[:, ry + cy:ry + cy + ry])
+        core = core.at[:, cy - ry:].add(a[:, 0:ry])
+        a = core
+    else:
+        a = a[:, 0:cy]
+    if rx:
+        core = a[:, :, rx:rx + cx]
+        core = core.at[:, :, :rx].add(a[:, :, rx + cx:rx + cx + rx])
+        core = core.at[:, :, cx - rx:].add(a[:, :, 0:rx])
+        a = core
+    else:
+        a = a[:, :, 0:cx]
+    return a
+
+
+def grid_pair_reduce_sym(grid: AtomGrid, kernel, init, num_ext_acc: int,
+                         extra_ext_planes=(), extra_own_planes=()):
+    """Half-space offset sweep with symmetric accumulation.
+
+    ``kernel(carry, own, cand, home)`` must return
+    ``(carry, cand_deltas)`` where ``cand_deltas`` is a tuple of
+    ``num_ext_acc`` arrays [Cz, Cy, Cx, cap] holding the j-side
+    contributions of this offset's pair blocks (use an upper-triangle slot
+    mask when ``home`` is True — the home block pairs each cell with
+    itself).  Returns ``(carry, folded_ext_accumulators)`` where each
+    accumulator is the folded interior [Cz, Cy, Cx, cap] sum of all j-side
+    deltas.
+    """
+    rz, ry, rx = grid.radius
+    cz, cy, cx = grid.dims
+    cap = grid.cap
+    dtype = grid.ext_px.dtype
+
+    own = {
+        "px": _interior(grid, grid.ext_px),
+        "py": _interior(grid, grid.ext_py),
+        "pz": _interior(grid, grid.ext_pz),
+        "valid": _interior(grid, grid.ext_valid),
+        "aid": _interior(grid, grid.ext_aid),
+    }
+    for name, plane in extra_own_planes:
+        own[name] = plane
+
+    ext = {
+        "px": grid.ext_px,
+        "py": grid.ext_py,
+        "pz": grid.ext_pz,
+        "valid": grid.ext_valid,
+        "aid": grid.ext_aid,
+    }
+    for name, plane in extra_ext_planes:
+        ext[name] = plane
+
+    ez, ey, ex = cz + 2 * rz, cy + 2 * ry, cx + 2 * rx
+    ext_acc = tuple(
+        jnp.zeros((ez, ey, ex, cap), dtype) for _ in range(num_ext_acc)
+    )
+
+    # home block (offset 0): interior vs interior, upper-triangle pairs
+    home_cand = {name: _interior(grid, plane) for name, plane in ext.items()}
+    home_cand["code"] = jnp.zeros((cz, cy, cx, 1), INDEX_DTYPE) + pack_shifts(
+        jnp.zeros((), INDEX_DTYPE), jnp.zeros((), INDEX_DTYPE), jnp.zeros((), INDEX_DTYPE)
+    )
+    carry, deltas = kernel(init, own, home_cand, True)
+    ext_acc = tuple(
+        acc.at[rz:rz + cz, ry:ry + cy, rx:rx + cx].add(d)
+        for acc, d in zip(ext_acc, deltas)
+    )
+
+    offs = _halfspace_offsets(grid.radius)
+    off_arr = jnp.asarray(offs, dtype=INDEX_DTYPE)
+
+    def body(state, oi):
+        carry, ext_acc = state
+        d = off_arr[oi]
+        z0 = d[0] + rz
+        y0 = d[1] + ry
+        x0 = d[2] + rx
+        cand = {
+            name: jax.lax.dynamic_slice(
+                plane, (z0, y0, x0, jnp.zeros((), INDEX_DTYPE)),
+                (cz, cy, cx, plane.shape[-1]),
+            )
+            for name, plane in ext.items()
+        }
+        code = jax.lax.dynamic_slice(grid.ext_shift_code, (z0, y0, x0), (cz, cy, cx))
+        cand["code"] = code[..., None]
+        carry, deltas = kernel(carry, own, cand, False)
+        new_acc = []
+        for acc, delta in zip(ext_acc, deltas):
+            old = jax.lax.dynamic_slice(
+                acc, (z0, y0, x0, jnp.zeros((), INDEX_DTYPE)), (cz, cy, cx, cap)
+            )
+            acc = jax.lax.dynamic_update_slice(
+                acc, old + delta, (z0, y0, x0, jnp.zeros((), INDEX_DTYPE))
+            )
+            new_acc.append(acc)
+        return (carry, tuple(new_acc)), None
+
+    (carry, ext_acc), _ = jax.lax.scan(
+        body, (carry, ext_acc), jnp.arange(offs.shape[0], dtype=INDEX_DTYPE)
+    )
+    folded = tuple(fold_halo(grid, acc) for acc in ext_acc)
+    return carry, folded

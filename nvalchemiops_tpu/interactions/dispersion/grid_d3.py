@@ -34,7 +34,7 @@ from nvalchemiops_tpu.grid import (
     AtomGrid,
     _extend_like,
     gather_from_grid,
-    grid_pair_reduce,
+    grid_pair_reduce_sym,
     scatter_to_grid,
 )
 
@@ -96,19 +96,26 @@ def _grid_d3_impl(
         r = jnp.sqrt(jnp.where(ok, d2, 1.0))
         return ok, r, dx, dy, dz
 
-    # ---- pass 1: coordination numbers ------------------------------------
-    def cn_kern(cn, own, cand, oi):
+    # ---- pass 1: coordination numbers (symmetric half-space sweep) -------
+    slot_i = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, 1, 1, cap, cap), 3)
+    slot_j = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, 1, 1, cap, cap), 4)
+    upper = slot_i < slot_j
+
+    def cn_kern(cn, own, cand, home):
         ok, r, *_ = geom(own, cand)
+        if home:
+            ok &= upper
         rc = own["rcov"][..., :, None] + cand["rcov"][..., None, :]
-        f = 1.0 / (1.0 + jnp.exp(-k1 * (rc / r - 1.0)))
-        return cn + jnp.sum(jnp.where(ok, f, 0.0), axis=-1)
+        f = jnp.where(ok, 1.0 / (1.0 + jnp.exp(-k1 * (rc / r - 1.0))), 0.0)
+        return cn + jnp.sum(f, axis=-1), (jnp.sum(f, axis=-2),)
 
     extra_ext = (("z", z_ext), ("rcov", rcov_ext))
     extra_own = (("z", z_plane), ("rcov", rcov_plane))
-    cn_plane = grid_pair_reduce(
-        grid, cn_kern, jnp.zeros((cz, cy, cx, cap), dtype),
+    cn_plane, (cn_fold,) = grid_pair_reduce_sym(
+        grid, cn_kern, jnp.zeros((cz, cy, cx, cap), dtype), 1,
         extra_ext_planes=extra_ext, extra_own_planes=extra_own,
     )
+    cn_plane = cn_plane + cn_fold
     cn_ext = _extend_like(grid, cn_plane, 0.0)
 
     # ---- pass 2: energy, direct forces, dE/dCN ---------------------------
@@ -147,11 +154,14 @@ def _grid_d3_impl(
         cn_plane.shape + (4 * zm,)
     )  # [.., cap_i, 4*Z*mesh]
 
-    def direct_kern(carry, own, cand, oi):
+    def direct_kern(carry, own, cand, home):
         e, fx_a, fy_a, fz_a, decn = carry
         ok, r, dx, dy, dz = geom(own, cand)
+        if home:
+            ok &= upper
 
-        # right features: R_j[z*mesh + q] = [z == zj] * e_j[q]
+        # right features: R_j[z*mesh + q] = [z == zj] * e_j[q] (and * dj for
+        # the j-side CN derivative)
         zj = cand["z"]  # [.., cap]
         cnab_j = jnp.stack(
             [cand[f"cna{q}"] for q in range(mesh)], axis=-1
@@ -164,17 +174,23 @@ def _grid_d3_impl(
         r_feat = (ohj[..., :, None] * e_j[..., None, :]).reshape(
             zj.shape + (zm,)
         )  # [.., cap_j, Z*mesh]
+        r_feat_dj = (ohj[..., :, None] * (e_j * dj_vec)[..., None, :]).reshape(
+            zj.shape + (zm,)
+        )
 
         lf = own["l_feat"].reshape(own["l_feat"].shape[:-1] + (4, zm))
         zacc = jnp.einsum("...if,...jf->...ij", lf[..., 0, :], r_feat)
         z_di = jnp.einsum("...if,...jf->...ij", lf[..., 1, :], r_feat)
         w = jnp.einsum("...if,...jf->...ij", lf[..., 2, :], r_feat)
         w_di = jnp.einsum("...if,...jf->...ij", lf[..., 3, :], r_feat)
+        z_dj = jnp.einsum("...if,...jf->...ij", lf[..., 0, :], r_feat_dj)
+        w_dj = jnp.einsum("...if,...jf->...ij", lf[..., 2, :], r_feat_dj)
 
         good = w > 1e-12
         w_safe = jnp.where(good, w, 1.0)
         c6 = jnp.where(good, zacc / w_safe, 0.0)
         dc6_dcni = jnp.where(good, 2.0 * k3 / w_safe * (z_di - c6 * w_di), 0.0)
+        dc6_dcnj = jnp.where(good, 2.0 * k3 / w_safe * (z_dj - c6 * w_dj), 0.0)
 
         pair_ok = ok & (c6 >= 1e-12)
         rr = 3.0 * own["r4r2"][..., :, None] * cand["r4r2"][..., None, :]
@@ -196,12 +212,21 @@ def _grid_d3_impl(
         de_dr = -c6 * (dd6 + dd8)
 
         coef = jnp.where(pair_ok, de_dr / r, 0.0)
+        cfx = coef * dx
+        cfy = coef * dy
+        cfz = coef * dz
         e = e + jnp.sum(jnp.where(pair_ok, e_ij, 0.0), axis=-1)
-        fx_a = fx_a + jnp.sum(coef * dx, axis=-1)
-        fy_a = fy_a + jnp.sum(coef * dy, axis=-1)
-        fz_a = fz_a + jnp.sum(coef * dz, axis=-1)
+        fx_a = fx_a + jnp.sum(cfx, axis=-1)
+        fy_a = fy_a + jnp.sum(cfy, axis=-1)
+        fz_a = fz_a + jnp.sum(cfz, axis=-1)
         decn = decn + jnp.sum(jnp.where(pair_ok, -damp_sum * dc6_dcni, 0.0), axis=-1)
-        return e, fx_a, fy_a, fz_a, decn
+        deltas = (
+            jnp.sum(-cfx, axis=-2),
+            jnp.sum(-cfy, axis=-2),
+            jnp.sum(-cfz, axis=-2),
+            jnp.sum(jnp.where(pair_ok, -damp_sum * dc6_dcnj, 0.0), axis=-2),
+        )
+        return (e, fx_a, fy_a, fz_a, decn), deltas
 
     zeros = jnp.zeros((cz, cy, cx, cap), dtype)
     extra_ext2 = extra_ext + (("cn", cn_ext), ("r4r2", r4r2_ext)) + tuple(
@@ -210,33 +235,50 @@ def _grid_d3_impl(
     extra_own2 = extra_own + (
         ("cn", cn_plane), ("r4r2", r4r2_plane), ("l_feat", l_feat),
     )
-    e_pl, fx_pl, fy_pl, fz_pl, decn_pl = grid_pair_reduce(
-        grid, direct_kern, (zeros, zeros, zeros, zeros, zeros),
+    (e_pl, fx_pl, fy_pl, fz_pl, decn_pl), (dfx, dfy, dfz, ddecn) = grid_pair_reduce_sym(
+        grid, direct_kern, (zeros, zeros, zeros, zeros, zeros), 4,
         extra_ext_planes=extra_ext2, extra_own_planes=extra_own2,
     )
+    fx_pl = fx_pl + dfx
+    fy_pl = fy_pl + dfy
+    fz_pl = fz_pl + dfz
+    decn_pl = decn_pl + ddecn
     decn_ext = _extend_like(grid, decn_pl, 0.0)
 
-    # ---- pass 3: CN chain-rule forces ------------------------------------
-    def chain_kern(carry, own, cand, oi):
+    # ---- pass 3: CN chain-rule forces (symmetric) --------------------------
+    def chain_kern(carry, own, cand, home):
         fx_a, fy_a, fz_a = carry
         ok, r, dx, dy, dz = geom(own, cand)
+        if home:
+            ok &= upper
         rc = own["rcov"][..., :, None] + cand["rcov"][..., None, :]
         rrq = rc / r
         f_cn = 1.0 / (1.0 + jnp.exp(-k1 * (rrq - 1.0)))
         dcn_dr = -f_cn * (1.0 - f_cn) * k1 * rrq / r
         de_chain = (own["decn"][..., :, None] + cand["decn"][..., None, :]) * dcn_dr
         coef = jnp.where(ok, de_chain / r, 0.0)
-        fx_a = fx_a + jnp.sum(coef * dx, axis=-1)
-        fy_a = fy_a + jnp.sum(coef * dy, axis=-1)
-        fz_a = fz_a + jnp.sum(coef * dz, axis=-1)
-        return fx_a, fy_a, fz_a
+        cfx = coef * dx
+        cfy = coef * dy
+        cfz = coef * dz
+        fx_a = fx_a + jnp.sum(cfx, axis=-1)
+        fy_a = fy_a + jnp.sum(cfy, axis=-1)
+        fz_a = fz_a + jnp.sum(cfz, axis=-1)
+        deltas = (
+            jnp.sum(-cfx, axis=-2),
+            jnp.sum(-cfy, axis=-2),
+            jnp.sum(-cfz, axis=-2),
+        )
+        return (fx_a, fy_a, fz_a), deltas
 
     extra_ext3 = extra_ext + (("decn", decn_ext),)
     extra_own3 = extra_own + (("decn", decn_pl),)
-    fx2, fy2, fz2 = grid_pair_reduce(
-        grid, chain_kern, (fx_pl, fy_pl, fz_pl),
+    (fx2, fy2, fz2), (dfx3, dfy3, dfz3) = grid_pair_reduce_sym(
+        grid, chain_kern, (fx_pl, fy_pl, fz_pl), 3,
         extra_ext_planes=extra_ext3, extra_own_planes=extra_own3,
     )
+    fx2 = fx2 + dfx3
+    fy2 = fy2 + dfy3
+    fz2 = fz2 + dfz3
     return e_pl, fx2, fy2, fz2, cn_plane
 
 
@@ -299,7 +341,7 @@ def grid_dftd3(
         jnp.asarray(k3, dtype),
         grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
     )
-    energy = 0.5 * jnp.sum(e_pl)
+    energy = jnp.sum(e_pl)  # pairs counted once in the symmetric sweep
     forces = jnp.stack(
         [gather_from_grid(grid, fx_pl), gather_from_grid(grid, fy_pl),
          gather_from_grid(grid, fz_pl)],
