@@ -45,7 +45,7 @@ BASELINE_US_PER_ATOM = 0.286  # H100 components: 0.051 (NL) + 0.19 (D3) + 0.045 
 
 
 def main():
-    n_rep, a = 46, 3.0
+    n_rep, a = 48, 3.0  # box 144 A: bins commensurate with the 9 A cutoff
     rng = np.random.default_rng(0)
     grid_pts = np.stack(
         np.meshgrid(*([np.arange(n_rep)] * 3), indexing="ij"), -1
@@ -125,7 +125,7 @@ def main():
     total = t_nl + t_d3 + t_coul + t_pme
     us_per_atom = total * 1e6 / n
     result = {
-        "metric": "NL+D3+PME end-to-end (97,336 atoms, f32, energies+forces, TPU v5e chip)",
+        "metric": "NL+D3+PME end-to-end (110,592 atoms, f32, energies+forces, TPU chip)",
         "value": round(us_per_atom, 4),
         "unit": "us/atom",
         "vs_baseline": round(us_per_atom / BASELINE_US_PER_ATOM, 3),

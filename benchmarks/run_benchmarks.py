@@ -1,0 +1,212 @@
+"""Benchmark suite driver: YAML config -> CSV results.
+
+Counterpart of the reference's per-domain benchmark runners
+(benchmarks/neighborlist/benchmark_neighborlist.py etc.): runs the
+neighbor-list, DFT-D3, PME, and batched-Ewald benchmarks on the current
+default device and writes one CSV per domain.
+
+Usage:  python benchmarks/run_benchmarks.py [--config benchmarks/benchmark_config.yaml]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import yaml
+import jax
+import jax.numpy as jnp
+
+from benchmarks.harness import measure, perturb_positions
+
+
+def crystal(n_rep, a):
+    g = np.stack(
+        np.meshgrid(*([np.arange(n_rep)] * 3), indexing="ij"), -1
+    ).reshape(-1, 3) * a
+    rng = np.random.default_rng(0)
+    return g + rng.uniform(-0.2, 0.2, g.shape), np.eye(3) * (n_rep * a)
+
+
+def write_csv(path, rows, header):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+    print(f"wrote {path}")
+
+
+def bench_neighborlist(cfg, label, outdir, iters):
+    from nvalchemiops_tpu.grid import build_atom_grid, estimate_grid_geometry
+
+    dep = perturb_positions()
+    rows = []
+    for n_rep in cfg["sizes"]:
+        pos_np, cell_np = crystal(n_rep, cfg["lattice_constant"])
+        n = pos_np.shape[0]
+        pos = jnp.asarray(pos_np, jnp.float32)
+        cell = jnp.asarray(cell_np, jnp.float32)
+        pbc = np.array([True] * 3)
+        dims, radius, cap = estimate_grid_geometry(cell, pbc, cfg["cutoff"], n)
+        g = build_atom_grid(pos, cell, pbc, dims, radius, cap)
+        if int(jax.device_get(g.counts_max)) > cap:
+            cap = int(np.ceil(int(jax.device_get(g.counts_max)) * 1.05 / 4)) * 4
+        t = measure(
+            lambda p: build_atom_grid(p, cell, pbc, dims, radius, cap).ext_px,
+            dep, (pos,), iters=iters,
+        )
+        rows.append(["grid-build", n, round(t * 1e3, 4), round(t * 1e6 / n, 4)])
+        print(f"  NL n={n}: {t*1e3:.3f} ms")
+    write_csv(
+        f"{outdir}/neighborlist_benchmark_{label}.csv", rows,
+        ["method", "atoms", "time_ms", "us_per_atom"],
+    )
+
+
+def bench_dftd3(cfg, label, outdir, iters):
+    from nvalchemiops_tpu.grid import build_atom_grid, estimate_grid_geometry
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import grid_dftd3
+
+    dep = perturb_positions()
+    rng = np.random.default_rng(1)
+    zmax = cfg["zmax"]
+    rcov = jnp.asarray(np.r_[0, rng.uniform(0.6, 1.2, zmax)], jnp.float32)
+    r4r2 = jnp.asarray(np.r_[0, rng.uniform(2, 5, zmax)], jnp.float32)
+    cna = jnp.asarray(
+        np.vstack([np.zeros(5), np.cumsum(rng.uniform(0.3, 1, (zmax, 5)), 1)]),
+        jnp.float32,
+    )
+    c6_np = rng.uniform(5, 40, (zmax + 1, zmax + 1, 5, 5))
+    c6_np[0] = 0
+    c6_np[:, 0] = 0
+    c6_np = 0.5 * (c6_np + np.swapaxes(np.swapaxes(c6_np, 0, 1), 2, 3))
+    c6 = jnp.asarray(c6_np, jnp.float32)
+
+    rows = []
+    for n_rep in cfg["sizes"]:
+        pos_np, cell_np = crystal(n_rep, cfg["lattice_constant"])
+        n = pos_np.shape[0]
+        pos = jnp.asarray(pos_np, jnp.float32)
+        cell = jnp.asarray(cell_np, jnp.float32)
+        pbc = np.array([True] * 3)
+        numbers = jnp.asarray(rng.integers(1, zmax + 1, n), jnp.int32)
+        dims, radius, cap = estimate_grid_geometry(cell, pbc, cfg["cutoff"], n)
+        g = build_atom_grid(pos, cell, pbc, dims, radius, cap)
+        if int(jax.device_get(g.counts_max)) > cap:
+            cap = int(np.ceil(int(jax.device_get(g.counts_max)) * 1.05 / 4)) * 4
+
+        def step(p):
+            gg = build_atom_grid(p, cell, pbc, dims, radius, cap)
+            _, f, _ = grid_dftd3(gg, numbers, rcov, r4r2, c6, cna,
+                                 cfg["cutoff"], 0.4, 4.2, 1.8)
+            return f
+
+        t = measure(step, dep, (pos,), iters=max(iters // 2, 2))
+        rows.append(["grid-d3", n, round(t * 1e3, 4), round(t * 1e6 / n, 4)])
+        print(f"  D3 n={n}: {t*1e3:.3f} ms")
+    write_csv(
+        f"{outdir}/dftd3_benchmark_{label}.csv", rows,
+        ["method", "atoms", "time_ms", "us_per_atom"],
+    )
+
+
+def bench_pme(cfg, label, outdir, iters):
+    from nvalchemiops_tpu.interactions.electrostatics.pme import _pme_reciprocal_impl
+
+    dep = perturb_positions()
+    rng = np.random.default_rng(2)
+    rows = []
+    for case in cfg["cases"]:
+        pos_np, cell_np = crystal(case["n_rep"], cfg["lattice_constant"])
+        n = pos_np.shape[0]
+        pos = jnp.asarray(pos_np, jnp.float32)
+        cell = jnp.asarray(cell_np, jnp.float32).reshape(1, 3, 3)
+        q = jnp.asarray(rng.normal(size=n), jnp.float32)
+        m = (case["mesh"],) * 3
+
+        def step(p):
+            return _pme_reciprocal_impl(
+                p, q, cell, jnp.asarray([cfg["alpha"]], jnp.float32), m,
+                cfg["spline_order"], None, False, False, None, None,
+            )[0]
+
+        t = measure(step, dep, (pos,), iters=max(iters // 2, 2))
+        rows.append(["pme-recip", n, case["mesh"], round(t * 1e3, 4),
+                     round(t * 1e6 / n, 4)])
+        print(f"  PME n={n} mesh={case['mesh']}: {t*1e3:.3f} ms")
+    write_csv(
+        f"{outdir}/pme_benchmark_{label}.csv", rows,
+        ["method", "atoms", "mesh", "time_ms", "us_per_atom"],
+    )
+
+
+def bench_ewald_batch(cfg, label, outdir, iters):
+    from nvalchemiops_tpu.interactions.electrostatics.ewald import _reciprocal_core
+    from nvalchemiops_tpu.interactions.electrostatics import (
+        estimate_ewald_parameters, generate_k_vectors_ewald_summation)
+
+    dep = perturb_positions()
+    rng = np.random.default_rng(3)
+    B, npersys, box = cfg["num_systems"], cfg["atoms_per_system"], cfg["box"]
+    pos = jnp.asarray(rng.uniform(0, box, (B * npersys, 3)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=B * npersys), jnp.float32)
+    cells = jnp.asarray(np.tile(np.eye(3) * box, (B, 1, 1)), jnp.float32)
+    batch_idx = jnp.asarray(np.repeat(np.arange(B), npersys), jnp.int32)
+    batch_ptr = jnp.asarray(np.arange(B + 1) * npersys, jnp.int32)
+    params = estimate_ewald_parameters(pos[:npersys], cells[0],
+                                       accuracy=cfg["accuracy"])
+    alpha = float(params.alpha[0])
+    kv = generate_k_vectors_ewald_summation(
+        cells, float(params.reciprocal_space_cutoff[0])
+    )
+    alpha_arr = jnp.full((B,), alpha, jnp.float32)
+
+    rows = []
+    for forces in (False, True):
+        def step(p):
+            out = _reciprocal_core(p, q, cells, kv, alpha_arr, batch_idx,
+                                   batch_ptr, npersys, B, forces, False)
+            return out[1] if forces else out[0]
+
+        t = measure(step, dep, (pos,), iters=max(iters // 2, 2))
+        rows.append(["ewald-recip" + ("-forces" if forces else ""),
+                     B * npersys, B, round(t * 1e3, 4)])
+        print(f"  Ewald batch forces={forces}: {t*1e3:.3f} ms")
+    write_csv(
+        f"{outdir}/ewald_benchmark_{label}.csv", rows,
+        ["method", "atoms", "systems", "time_ms"],
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmark_config.yaml"))
+    ap.add_argument("--domains", nargs="*", default=None,
+                    help="subset of: neighborlist dftd3 pme ewald_batch")
+    args = ap.parse_args()
+    cfg = yaml.safe_load(open(args.config))
+    label = cfg.get("hardware_label", "device")
+    outdir = cfg.get("output_dir", "benchmarks/results")
+    iters = int(cfg.get("iters", 4))
+
+    domains = args.domains or ["neighborlist", "dftd3", "pme", "ewald_batch"]
+    runners = {
+        "neighborlist": bench_neighborlist,
+        "dftd3": bench_dftd3,
+        "pme": bench_pme,
+        "ewald_batch": bench_ewald_batch,
+    }
+    for d in domains:
+        print(f"== {d}")
+        runners[d](cfg[d], label, outdir, iters)
+
+
+if __name__ == "__main__":
+    main()
