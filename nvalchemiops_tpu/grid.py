@@ -47,6 +47,8 @@ __all__ = [
     "build_atom_grid",
     "build_atom_grid_auto",
     "grid_pair_reduce",
+    "grid_row_reduce_sym",
+    "row_home_mask",
     "grid_neighbor_count",
     "grid_coordination_numbers",
     "grid_coulomb_energy_forces",
@@ -418,9 +420,7 @@ def _coulomb_impl(grid: AtomGrid, q_plane, q_ext, cutoff, alpha, dims, radius, c
 
     two_over_sqrt_pi = 1.1283791670955126
     cz, cy, cx = dims
-    slot = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, 1, 1, cap, cap), 3)
-    slot_j = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, 1, 1, cap, cap), 4)
-    upper = slot < slot_j
+    upper = row_home_mask(cap, radius[2])
 
     def kern(carry, own, cand, home):
         e, fx, fy, fz = carry
@@ -468,7 +468,7 @@ def _coulomb_impl(grid: AtomGrid, q_plane, q_ext, cutoff, alpha, dims, radius, c
         return (e, fx, fy, fz), deltas
 
     zeros = jnp.zeros((cz, cy, cx, cap), dtype)
-    (e, fx, fy, fz), (e2, fx2, fy2, fz2) = grid_pair_reduce_sym(
+    (e, fx, fy, fz), (e2, fx2, fy2, fz2) = grid_row_reduce_sym(
         grid, kern, (zeros, zeros, zeros, zeros), 4,
         extra_ext_planes=(("q", q_ext),),
         extra_own_planes=(("q", q_plane),),
@@ -660,5 +660,112 @@ def grid_pair_reduce_sym(grid: AtomGrid, kernel, init, num_ext_acc: int,
     (carry, ext_acc), _ = jax.lax.scan(
         body, (carry, ext_acc), jnp.arange(offs.shape[0], dtype=INDEX_DTYPE)
     )
+    folded = tuple(fold_halo(grid, acc) for acc in ext_acc)
+    return carry, folded
+
+
+# ---------------------------------------------------------------------------
+# Row-merged symmetric sweep (x-axis folded into the candidate window)
+# ---------------------------------------------------------------------------
+#
+# The per-cell sweep pairs [cap x cap] blocks, whose trailing dim (cap ~ 56)
+# wastes more than half of every 128-wide TPU vector register and tiles the
+# bilinear matmuls poorly.  The row sweep instead pairs each cell against a
+# whole x-window of (2Rx+1) cells at once: candidate planes are a concat of
+# x-shifted static slices with trailing dim (2Rx+1)*cap, so the (dz, dy)
+# offset loop shrinks from (2R+1)^3/2 offsets to (2Rz+1)(2Ry+1)/2 and every
+# pair block is lane-aligned.  Offsets are unrolled Python loops with fully
+# static slice indices (no scan, no dynamic_slice) — XLA schedules them as
+# one straight-line program.
+
+
+def row_home_mask(cap: int, rx: int):
+    """Pair-once mask for the home row window [1,1,1,cap,(rx+1)*cap].
+
+    The home window holds chunks dxoff = 0..rx; the dxoff = 0 chunk is the
+    cell paired with itself (keep i < j), chunks dxoff > 0 are distinct
+    cells seen only from the left side (keep all).
+    """
+    slot_i = jax.lax.broadcasted_iota(INDEX_DTYPE, (cap, (rx + 1) * cap), 0)
+    slot_j = jax.lax.broadcasted_iota(INDEX_DTYPE, (cap, (rx + 1) * cap), 1)
+    keep = (slot_j >= cap) | (slot_i < slot_j)
+    return keep.reshape(1, 1, 1, cap, (rx + 1) * cap)
+
+
+def grid_row_reduce_sym(grid: AtomGrid, kernel, init, num_ext_acc: int,
+                        extra_ext_planes=(), extra_own_planes=()):
+    """Half-space (dz, dy) sweep with x-merged candidate windows.
+
+    ``kernel(carry, own, cand, home)`` sees candidate planes of trailing
+    dim W = (2*Rx+1)*cap (home: (Rx+1)*cap) and must apply
+    :func:`row_home_mask` when ``home`` is True.  Contract otherwise
+    identical to :func:`grid_pair_reduce_sym`: returns ``(carry, deltas)``
+    with ``num_ext_acc`` j-side delta arrays [Cz, Cy, Cx, W]; the sweep
+    scatters the window chunks back and returns the folded interior
+    accumulators.
+    """
+    rz, ry, rx = grid.radius
+    cz, cy, cx = grid.dims
+    cap = grid.cap
+    dtype = grid.ext_px.dtype
+
+    own = {
+        "px": _interior(grid, grid.ext_px),
+        "py": _interior(grid, grid.ext_py),
+        "pz": _interior(grid, grid.ext_pz),
+        "valid": _interior(grid, grid.ext_valid),
+        "aid": _interior(grid, grid.ext_aid),
+    }
+    for name, plane in extra_own_planes:
+        own[name] = plane
+
+    ext = {
+        "px": grid.ext_px,
+        "py": grid.ext_py,
+        "pz": grid.ext_pz,
+        "valid": grid.ext_valid,
+        "aid": grid.ext_aid,
+    }
+    for name, plane in extra_ext_planes:
+        ext[name] = plane
+
+    ez, ey, ex = cz + 2 * rz, cy + 2 * ry, cx + 2 * rx
+    ext_acc = [
+        jnp.zeros((ez, ey, ex, cap), dtype) for _ in range(num_ext_acc)
+    ]
+
+    def window(plane, z0, y0, chunks):
+        return jnp.concatenate(
+            [plane[z0:z0 + cz, y0:y0 + cy, c:c + cx, :] for c in chunks],
+            axis=-1,
+        )
+
+    def run_offset(carry, z0, y0, chunks, home):
+        cand = {name: window(plane, z0, y0, chunks) for name, plane in ext.items()}
+        code = jnp.stack(
+            [grid.ext_shift_code[z0:z0 + cz, y0:y0 + cy, c:c + cx]
+             for c in chunks],
+            axis=-1,
+        )
+        cand["code"] = jnp.repeat(code, cap, axis=-1)
+        carry, deltas = kernel(carry, own, cand, home)
+        for k, delta in enumerate(deltas):
+            d = delta.reshape(cz, cy, cx, len(chunks), cap)
+            acc = ext_acc[k]
+            for ci, c in enumerate(chunks):
+                acc = acc.at[z0:z0 + cz, y0:y0 + cy, c:c + cx].add(d[..., ci, :])
+            ext_acc[k] = acc
+        return carry
+
+    # home row: dz = dy = 0, right-side x chunks only (dxoff 0..rx)
+    carry = run_offset(init, rz, ry, list(range(rx, 2 * rx + 1)), True)
+
+    # half-space (dz, dy) offsets: full x window (dxoff -rx..rx)
+    full_chunks = list(range(2 * rx + 1))
+    for dz in range(-rz, rz + 1):
+        for dy in range(-ry, ry + 1):
+            if dz > 0 or (dz == 0 and dy > 0):
+                carry = run_offset(carry, dz + rz, dy + ry, full_chunks, False)
+
     folded = tuple(fold_halo(grid, acc) for acc in ext_acc)
     return carry, folded

@@ -34,7 +34,8 @@ from nvalchemiops_tpu.grid import (
     AtomGrid,
     _extend_like,
     gather_from_grid,
-    grid_pair_reduce_sym,
+    grid_row_reduce_sym,
+    row_home_mask,
     scatter_to_grid,
 )
 
@@ -96,10 +97,8 @@ def _grid_d3_impl(
         r = jnp.sqrt(jnp.where(ok, d2, 1.0))
         return ok, r, dx, dy, dz
 
-    # ---- pass 1: coordination numbers (symmetric half-space sweep) -------
-    slot_i = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, 1, 1, cap, cap), 3)
-    slot_j = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, 1, 1, cap, cap), 4)
-    upper = slot_i < slot_j
+    # ---- pass 1: coordination numbers (symmetric row sweep) --------------
+    upper = row_home_mask(cap, radius[2])
 
     def cn_kern(cn, own, cand, home):
         ok, r, *_ = geom(own, cand)
@@ -111,7 +110,7 @@ def _grid_d3_impl(
 
     extra_ext = (("z", z_ext), ("rcov", rcov_ext))
     extra_own = (("z", z_plane), ("rcov", rcov_plane))
-    cn_plane, (cn_fold,) = grid_pair_reduce_sym(
+    cn_plane, (cn_fold,) = grid_row_reduce_sym(
         grid, cn_kern, jnp.zeros((cz, cy, cx, cap), dtype), 1,
         extra_ext_planes=extra_ext, extra_own_planes=extra_own,
     )
@@ -235,7 +234,7 @@ def _grid_d3_impl(
     extra_own2 = extra_own + (
         ("cn", cn_plane), ("r4r2", r4r2_plane), ("l_feat", l_feat),
     )
-    (e_pl, fx_pl, fy_pl, fz_pl, decn_pl), (dfx, dfy, dfz, ddecn) = grid_pair_reduce_sym(
+    (e_pl, fx_pl, fy_pl, fz_pl, decn_pl), (dfx, dfy, dfz, ddecn) = grid_row_reduce_sym(
         grid, direct_kern, (zeros, zeros, zeros, zeros, zeros), 4,
         extra_ext_planes=extra_ext2, extra_own_planes=extra_own2,
     )
@@ -272,7 +271,7 @@ def _grid_d3_impl(
 
     extra_ext3 = extra_ext + (("decn", decn_ext),)
     extra_own3 = extra_own + (("decn", decn_pl),)
-    (fx2, fy2, fz2), (dfx3, dfy3, dfz3) = grid_pair_reduce_sym(
+    (fx2, fy2, fz2), (dfx3, dfy3, dfz3) = grid_row_reduce_sym(
         grid, chain_kern, (fx_pl, fy_pl, fz_pl), 3,
         extra_ext_planes=extra_ext3, extra_own_planes=extra_own3,
     )
