@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from nvalchemiops_tpu.types import INDEX_DTYPE
-from nvalchemiops_tpu.neighborlist.neighbor_utils import pack_shifts
+from nvalchemiops_tpu.neighborlist.neighbor_utils import bucket_ranks, pack_shifts
 
 __all__ = [
     "AtomGrid",
@@ -155,14 +155,8 @@ def build_atom_grid(positions, cell, pbc, dims, radius, cap) -> AtomGrid:
     lin = ccoords[:, 0] + cx * (ccoords[:, 1] + cy * ccoords[:, 2])  # x fastest
     ncells = cx * cy * cz
 
-    order = jnp.argsort(lin, stable=True).astype(INDEX_DTYPE)
-    sorted_lin = lin[order]
-    starts = jnp.searchsorted(sorted_lin, jnp.arange(ncells, dtype=INDEX_DTYPE),
-                              side="left").astype(INDEX_DTYPE)
-    rank_sorted = jnp.arange(n, dtype=INDEX_DTYPE) - starts[sorted_lin]
-    rank = jnp.zeros((n,), INDEX_DTYPE).at[order].set(rank_sorted)
+    rank, counts_max = bucket_ranks(lin, ncells)
     overflow = rank >= cap
-    counts_max = jnp.max(rank, initial=-1) + 1
 
     flat = jnp.where(overflow, ncells * cap, lin * cap + rank)  # trash slot at end
 

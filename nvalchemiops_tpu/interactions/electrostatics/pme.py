@@ -6,8 +6,11 @@ pme.py:1338-1479, public API at :1482-1994) and the Green's-function /
 correction kernels in ``pme_kernels.py:120-664``.  Pipeline:
 
     spline_spread -> rfftn -> (/ |B(k)|^2) * G(k) -> irfftn -> spline_gather
-    -> self/background corrections; forces via ik-space E-field + 3 irfftns
-    + spline_gather_vec3 with F = 2 q E.
+    -> self/background corrections.  Forces depart from the reference's
+    ik-space path (3 irfftns + vec3 gather, pme.py:1450-1477): they are the
+    analytic spline-derivative gradient of the discrete energy on the single
+    potential mesh (F = -dE/dr exactly, one irfftn total), sharing the
+    tile-windowed stencil of ``spline_windowed.py`` with the energy gather.
 
 Conventions identical to the reference:
 
@@ -34,7 +37,7 @@ import jax.numpy as jnp
 
 from nvalchemiops_tpu.spline import (
     spline_gather,
-    spline_gather_vec3,
+    spline_gather_gradient,
     spline_spread,
 )
 from nvalchemiops_tpu.mathops.math import sinc_normalized
@@ -140,13 +143,39 @@ def _pme_reciprocal_impl(
         jnp.asarray(alpha, dtype=dtype).reshape(-1), (num_systems,)
     )
 
-    # 1. spread charges
-    mesh = spline_spread(
-        positions, charges, cell_b if is_batch else cell_b[0],
-        mesh_dims=mesh_dimensions, spline_order=spline_order, batch_idx=batch_idx,
-    )
-    if is_batch and mesh.ndim == 3:
-        mesh = mesh[None]
+    # 1. spread charges.  Single-system: tile-windowed fast path with shared
+    # tiles reused by the gather/force stage (spline_windowed.py); batch:
+    # scatter-add path.
+    from nvalchemiops_tpu import spline_windowed as sw
+
+    use_win = (not is_batch) and sw.windowed_applicable(mesh_dimensions, spline_order)
+    tiles = None
+    if use_win:
+        cap = sw.mesh_tile_capacity(n, mesh_dimensions)
+        tiles = sw.build_mesh_tiles(
+            positions, cell_b[0], mesh_dimensions, spline_order, cap,
+            need_grad=compute_forces,
+        )
+        from nvalchemiops_tpu.spline import _separable_spread, _stencil_axis_matrices
+
+        tiles_ok = tiles.counts_max <= cap
+
+        def _dense_spread(_):
+            (sx, sy, sz), _u = _stencil_axis_matrices(
+                positions, cell_b[0], mesh_dimensions, spline_order, None
+            )
+            return _separable_spread(charges, sx, sy, sz)
+
+        mesh = jax.lax.cond(
+            tiles_ok, lambda _: sw.windowed_spread(tiles, charges), _dense_spread, None
+        )
+    else:
+        mesh = spline_spread(
+            positions, charges, cell_b if is_batch else cell_b[0],
+            mesh_dims=mesh_dimensions, spline_order=spline_order, batch_idx=batch_idx,
+        )
+        if is_batch and mesh.ndim == 3:
+            mesh = mesh[None]
 
     # 2. FFT
     mesh_fft = jnp.fft.rfftn(mesh, norm="backward", axes=fft_axes)
@@ -169,11 +198,37 @@ def _pme_reciprocal_impl(
         convolved, s=mesh_dimensions, norm="forward", axes=fft_axes
     ).astype(dtype)
 
-    # 6. gather potential at atoms
-    raw = spline_gather(
-        positions, potential_mesh, cell_b if is_batch else cell_b[0],
-        spline_order=spline_order, batch_idx=batch_idx,
-    )
+    # 6. gather potential (and, for forces, its spline-derivative gradient)
+    # at atoms.  Forces use the analytic gradient of the *discrete* energy —
+    # one irfftn total instead of the reference's three ik-space E-field
+    # transforms + vec3 gather (pme.py:1450-1477); with the factor 2 below
+    # this equals -dE/dr exactly (the spread-side dependence contributes an
+    # identical term by the symmetry of the convolution).
+    grad_frac = None
+    if use_win:
+        def _win_gather(_):
+            if compute_forces:
+                return sw.windowed_gather(tiles, potential_mesh, with_gradient=True)
+            return sw.windowed_gather(tiles, potential_mesh), jnp.zeros((n, 3), dtype)
+
+        def _dense_gather(_):
+            r = spline_gather(
+                positions, potential_mesh, cell_b[0], spline_order=spline_order
+            )
+            if compute_forces:
+                g = -spline_gather_gradient(
+                    positions, jnp.ones_like(charges), potential_mesh, cell_b[0],
+                    spline_order=spline_order,
+                ) @ jnp.asarray(cell, dtype=dtype).reshape(-1, 3, 3)[0].T
+                return r, g
+            return r, jnp.zeros((n, 3), dtype)
+
+        raw, grad_frac = jax.lax.cond(tiles_ok, _win_gather, _dense_gather, None)
+    else:
+        raw = spline_gather(
+            positions, potential_mesh, cell_b if is_batch else cell_b[0],
+            spline_order=spline_order, batch_idx=batch_idx,
+        )
 
     # 7. corrections (reference: pme_kernels.py:339-494)
     volume = jnp.abs(jnp.linalg.det(cell_b))  # [B]
@@ -204,18 +259,27 @@ def _pme_reciprocal_impl(
 
     forces = None
     if compute_forces:
-        kx = k_vectors[..., 0]
-        ky = k_vectors[..., 1]
-        kz = k_vectors[..., 2]
-        ex = jnp.fft.irfftn(-1j * kx * convolved, s=mesh_dimensions, norm="forward", axes=fft_axes)
-        ey = jnp.fft.irfftn(-1j * ky * convolved, s=mesh_dimensions, norm="forward", axes=fft_axes)
-        ez = jnp.fft.irfftn(-1j * kz * convolved, s=mesh_dimensions, norm="forward", axes=fft_axes)
-        e_mesh = jnp.stack([ex, ey, ez], axis=-1).astype(dtype)
-        field = spline_gather_vec3(
-            positions, charges, e_mesh, cell_b if is_batch else cell_b[0],
-            spline_order=spline_order, batch_idx=batch_idx,
-        )
-        forces = 2.0 * field
+        if use_win:
+            forces = 2.0 * (-charges[:, None] * grad_frac) @ tiles.inv.T
+        else:
+            forces = 2.0 * spline_gather_gradient(
+                positions, charges, potential_mesh,
+                cell_b if is_batch else cell_b[0],
+                spline_order=spline_order, batch_idx=batch_idx,
+            )
+        # Smooth-PME gradient forces conserve energy exactly but carry a
+        # mesh-accuracy net force (the discrete energy is not exactly
+        # translation invariant); remove it uniformly, the standard SPME
+        # remedy, so momentum is conserved like the reference's ik path.
+        if is_batch:
+            b_of2 = batch_idx.astype(INDEX_DTYPE)
+            counts = jax.ops.segment_sum(
+                jnp.ones_like(charges), b_of2, num_segments=num_systems
+            )
+            net = jax.ops.segment_sum(forces, b_of2, num_segments=num_systems)
+            forces = forces - net[b_of2] / jnp.maximum(counts[b_of2], 1.0)[:, None]
+        else:
+            forces = forces - jnp.mean(forces, axis=0, keepdims=True)
 
     return energies, forces, charge_grads
 

@@ -350,3 +350,45 @@ def shifts_to_aos(packed):
 def shifts_from_aos(aos):
     """AoS [.., K, 3] -> packed [.., K]."""
     return pack_shifts(aos[..., 0], aos[..., 1], aos[..., 2])
+
+
+# ---------------------------------------------------------------------------
+# Gather-free bucket ranking (TPU layout optimization)
+# ---------------------------------------------------------------------------
+
+
+def bucket_ranks(lin, num_buckets: int):
+    """Per-element rank within its bucket, gather-free.
+
+    The textbook formulation (argsort + ``starts[sorted_lin]`` +
+    ``lin[order]``) costs two N-element random gathers (~1e8 elem/s on TPU,
+    the slowest primitive we have).  Instead the (bucket, index) pair is
+    packed into one sort key — one sort, a boundary scan for the ranks, one
+    scatter back to the original order.
+
+    Returns ``(rank [N] int32, counts_max scalar)``; callers build slot ids
+    as ``lin * cap + rank``.  Requires ``num_buckets * N < 2^31`` for the
+    packed key; falls back to the gather formulation otherwise.
+    """
+    n = lin.shape[0]
+    lin = lin.astype(INDEX_DTYPE)
+    if n == 0:
+        return jnp.zeros((0,), INDEX_DTYPE), jnp.zeros((), INDEX_DTYPE)
+    if float(num_buckets) * float(n) < 2**31:
+        key = jnp.sort(lin * n + jnp.arange(n, dtype=INDEX_DTYPE))
+        sorted_lin = key // n
+        order = key - sorted_lin * n
+    else:
+        order = jnp.argsort(lin, stable=True).astype(INDEX_DTYPE)
+        sorted_lin = lin[order]
+    idx = jnp.arange(n, dtype=INDEX_DTYPE)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_lin[1:] != sorted_lin[:-1]]
+    )
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(boundary, idx, 0)
+    )
+    rank_sorted = idx - run_start
+    rank = jnp.zeros((n,), INDEX_DTYPE).at[order].set(rank_sorted)
+    counts_max = jnp.max(rank_sorted, initial=-1) + 1
+    return rank, counts_max

@@ -303,16 +303,37 @@ def _spread_impl(positions, values, cell, batch_idx, mesh_dims, spline_order, nu
     nx, ny, nz = mesh_dims
 
     if batch_idx is None and num_systems == 1:
-        # single system: separable matmul path (no scatter)
-        mats, _ = _stencil_axis_matrices(positions, cell, mesh_dims, spline_order, None)
-        sx, sy, sz = mats
-        if channels:
-            c = values.shape[1]
-            return jnp.stack(
-                [_separable_spread(values[:, ci], sx, sy, sz) for ci in range(c)],
-                axis=0,
+        from nvalchemiops_tpu import spline_windowed as sw
+
+        def dense(_):
+            mats, _u = _stencil_axis_matrices(positions, cell, mesh_dims, spline_order, None)
+            sx, sy, sz = mats
+            if channels:
+                c = values.shape[1]
+                return jnp.stack(
+                    [_separable_spread(values[:, ci], sx, sy, sz) for ci in range(c)],
+                    axis=0,
+                )
+            return _separable_spread(values, sx, sy, sz)
+
+        if sw.windowed_applicable(mesh_dims, spline_order):
+            # tile-windowed fast path; dense fallback on tile overflow
+            cap = sw.mesh_tile_capacity(positions.shape[0], mesh_dims)
+            tiles = sw.build_mesh_tiles(
+                positions, cell, mesh_dims, spline_order, cap, need_grad=False
             )
-        return _separable_spread(values, sx, sy, sz)
+
+            def fast(_):
+                if channels:
+                    return jnp.stack(
+                        [sw.windowed_spread(tiles, values[:, ci])
+                         for ci in range(values.shape[1])],
+                        axis=0,
+                    )
+                return sw.windowed_spread(tiles, values)
+
+            return jax.lax.cond(tiles.counts_max <= cap, fast, dense, None)
+        return dense(None)
 
     gidx, w, _, _ = _stencil(positions, cell, mesh_dims, spline_order, batch_idx)
     flat = _flat_indices(gidx, mesh_dims, batch_idx, num_systems)
@@ -369,28 +390,32 @@ def _gather_impl(positions, mesh, charges, cell, batch_idx, spline_order, num_sy
     o = spline_order
 
     if batch_idx is None and num_systems == 1:
-        # single system: separable matmul path (no element gathers)
-        if mode == "scalar":
-            dims = mesh.shape[-3:]
-            (sx, sy, sz), _ = _stencil_axis_matrices(positions, cell, dims, o, None)
-            return _separable_gather(mesh, sx, sy, sz)
+        from nvalchemiops_tpu import spline_windowed as sw
+
         if mode == "vec3":
             dims = mesh.shape[0:3]
-            (sx, sy, sz), _ = _stencil_axis_matrices(positions, cell, dims, o, None)
-            comps = [
-                charges * _separable_gather(mesh[..., ci], sx, sy, sz)
-                for ci in range(3)
-            ]
-            return jnp.stack(comps, axis=-1)
-        if mode == "channels":
-            c = mesh.shape[0]
-            dims = mesh.shape[1:4]
-            (sx, sy, sz), _ = _stencil_axis_matrices(positions, cell, dims, o, None)
-            return jnp.stack(
-                [_separable_gather(mesh[ci], sx, sy, sz) for ci in range(c)], axis=-1
-            )
-        if mode == "gradient":
+        elif mode == "channels":
+            dims = mesh.shape[1:4] if mesh.ndim == 4 else mesh.shape[0:3]
+        else:
             dims = mesh.shape[-3:]
+
+        def dense(_):
+            if mode == "scalar":
+                (sx, sy, sz), _u = _stencil_axis_matrices(positions, cell, dims, o, None)
+                return _separable_gather(mesh, sx, sy, sz)
+            if mode == "vec3":
+                (sx, sy, sz), _u = _stencil_axis_matrices(positions, cell, dims, o, None)
+                comps = [
+                    charges * _separable_gather(mesh[..., ci], sx, sy, sz)
+                    for ci in range(3)
+                ]
+                return jnp.stack(comps, axis=-1)
+            if mode == "channels":
+                c = mesh.shape[0]
+                (sx, sy, sz), _u = _stencil_axis_matrices(positions, cell, dims, o, None)
+                return jnp.stack(
+                    [_separable_gather(mesh[ci], sx, sy, sz) for ci in range(c)], axis=-1
+                )
             f_comps = []
             for d in range(3):
                 (sx, sy, sz), inv = _stencil_axis_matrices(
@@ -399,6 +424,33 @@ def _gather_impl(positions, mesh, charges, cell, batch_idx, spline_order, num_sy
                 f_comps.append(-charges * _separable_gather(mesh, sx, sy, sz))
             f_frac = jnp.stack(f_comps, axis=-1)
             return f_frac @ inv[0].T
+
+        if sw.windowed_applicable(dims, o):
+            cap = sw.mesh_tile_capacity(positions.shape[0], dims)
+            tiles = sw.build_mesh_tiles(
+                positions, cell, dims, o, cap, need_grad=(mode == "gradient")
+            )
+
+            def fast(_):
+                if mode == "scalar":
+                    return sw.windowed_gather(tiles, mesh)
+                if mode == "vec3":
+                    return jnp.stack(
+                        [charges * sw.windowed_gather(tiles, mesh[..., ci])
+                         for ci in range(3)],
+                        axis=-1,
+                    )
+                if mode == "channels":
+                    return jnp.stack(
+                        [sw.windowed_gather(tiles, mesh[ci])
+                         for ci in range(mesh.shape[0])],
+                        axis=-1,
+                    )
+                _vals, g = sw.windowed_gather(tiles, mesh, with_gradient=True)
+                return (-charges[:, None] * g) @ tiles.inv.T
+
+            return jax.lax.cond(tiles.counts_max <= cap, fast, dense, None)
+        return dense(None)
 
     # per-plane flattening: gathering arrays with a small trailing dim (3 or
     # C) is tile-padded 42x on TPU, so vector/channel meshes are gathered one

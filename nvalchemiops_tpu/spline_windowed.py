@@ -1,0 +1,307 @@
+"""Spatially-windowed B-spline spread/gather: the at-scale TPU fast path.
+
+The dense separable formulation (spline.py:_separable_spread, reference
+kernels spline.py:496-760) contracts every atom against *full* mesh axes —
+``[N, nx] x [N, ny*nz]`` — which costs ``N * nx * ny * nz`` MXU flops (464
+GFLOP at 110k atoms on a 128^3 mesh) for what is logically an order^3 = 64
+point stencil per atom.  This module exploits spatial locality instead:
+
+1. **Tile binning** (one argsort + a row scatter, the same build as
+   ``grid.AtomGrid``): atoms are bucketed by the mesh tile (``T^3`` mesh
+   points, default T=8) containing their stencil *base* index, stored as
+   fixed-capacity slot planes ``[ntiles, cap]``.
+2. **Local axis matrices**: each atom's order-point 1-D stencil lands in a
+   window of ``W = T + 4`` mesh points per axis anchored at ``tile*T - 1``
+   (stencil offsets lie in [-1, 2] for orders <= 4), so the dense per-axis
+   weight matrices are tiny ``[cap, W]`` blocks instead of ``[N, n_axis]``
+   — all six (weights + derivatives) live in one ``[ntiles, cap, 6W]``
+   buffer filled by a single row scatter.
+3. **Per-tile separable contraction** on the MXU:
+   ``window[t, wz, (wy,wx)] = qS_z[t]^T ... (S_y (x) S_x)[t]`` — ~1 GFLOP
+   total at the same size, a 450x flop reduction.  The ``(x)`` products are
+   built with constant one-hot matmuls so no intermediate ever carries a
+   TPU-hostile trailing dim (the (8,128) tiling pads a trailing 12 by 10x).
+4. **Parity fold**: windows (stride T, width W <= 2T) overlap their
+   neighbors, so even/odd tiles fold with pure pad/reshape/adds (no
+   scatter); the fold chain is ordered z -> y -> x so every relayout keeps
+   the last two dims fat (>= 128 lanes).
+5. **Gather** extracts windows with whole-slab ``take`` (read-only overlap
+   is fine) through the mirror-image chain; the energy gather and the three
+   force-gradient gathers share the extraction, the tile structure, and the
+   z-projection, which is what makes spline-derivative PME forces (one
+   ``irfftn``) beat the reference's ik-space path (three ``irfftn``s + a
+   separate vec3 gather; reference pme.py:1450-1477).
+
+All ops are dense XLA (argsort, scatter rows, matmuls, reshapes): the path
+jits, differentiates, and runs identically on CPU and TPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nvalchemiops_tpu.types import INDEX_DTYPE
+from nvalchemiops_tpu.spline import bspline_weight, bspline_derivative
+from nvalchemiops_tpu.neighborlist.neighbor_utils import bucket_ranks
+
+__all__ = [
+    "windowed_applicable",
+    "mesh_tile_capacity",
+    "build_mesh_tiles",
+    "windowed_spread",
+    "windowed_gather",
+    "MeshTiles",
+]
+
+_HALO_LEFT = 1   # stencil offsets reach base - 1 for orders 3-4
+_HALO_RIGHT = 3  # and base + 2; window width = T + 4
+
+
+def windowed_applicable(mesh_dims, spline_order: int, tile: int = 8) -> bool:
+    """True when the windowed path supports this configuration."""
+    return (
+        1 <= spline_order <= 4
+        and all(int(d) % tile == 0 for d in mesh_dims)
+        and all(int(d) >= tile for d in mesh_dims)
+    )
+
+
+def mesh_tile_capacity(num_atoms: int, mesh_dims, tile: int = 8) -> int:
+    """Static per-tile slot capacity (Poisson-safe, multiple of 8)."""
+    ntiles = int(np.prod([int(d) // tile for d in mesh_dims]))
+    occ = num_atoms / max(ntiles, 1)
+    cap = occ + 6.0 * np.sqrt(occ + 4.0)
+    return max(int(np.ceil(cap / 8.0)) * 8, 16)
+
+
+@jax.tree_util.register_pytree_node_class
+class MeshTiles:
+    """Tile-binned separable stencil.
+
+    ``smat`` holds the per-slot axis matrices side by side on the lane axis:
+    ``[ntiles, cap, k*W]`` with blocks (Sx, Sy, Sz[, dSx, dSy, dSz]).
+    """
+
+    _fields = ("smat", "flat_slot", "counts_max", "inv")
+
+    def __init__(self, smat, flat_slot, counts_max, inv, mesh_dims, tile,
+                 cap, order, has_grad):
+        self.smat = smat
+        self.flat_slot = flat_slot
+        self.counts_max = counts_max
+        self.inv = inv
+        self.mesh_dims = tuple(int(d) for d in mesh_dims)
+        self.tile = int(tile)
+        self.cap = int(cap)
+        self.order = int(order)
+        self.has_grad = bool(has_grad)
+
+    @property
+    def w_win(self):
+        return self.tile + _HALO_LEFT + _HALO_RIGHT
+
+    def axis_mat(self, idx: int):
+        w = self.w_win
+        return self.smat[..., idx * w:(idx + 1) * w]
+
+    def tree_flatten(self):
+        return (
+            tuple(getattr(self, f) for f in self._fields),
+            (self.mesh_dims, self.tile, self.cap, self.order, self.has_grad),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        mesh_dims, tile, cap, order, has_grad = aux
+        return cls(*children, mesh_dims=mesh_dims, tile=tile, cap=cap,
+                   order=order, has_grad=has_grad)
+
+
+def build_mesh_tiles(positions, cell, mesh_dims, order: int, cap: int,
+                     tile: int = 8, need_grad: bool = True) -> MeshTiles:
+    """Bin atoms by stencil-base mesh tile and build local axis matrices.
+
+    ``cap`` must come from :func:`mesh_tile_capacity` (static under jit);
+    ``counts_max`` reports the observed maximum for overflow checks.
+    """
+    dtype = positions.dtype
+    n = positions.shape[0]
+    nx, ny, nz = (int(d) for d in mesh_dims)
+    w_win = tile + _HALO_LEFT + _HALO_RIGHT
+    dims_f = jnp.asarray([nx, ny, nz], dtype)
+
+    inv = jnp.linalg.inv(jnp.asarray(cell, dtype=dtype).reshape(3, 3))
+    frac = positions @ inv
+    mc = frac * dims_f
+    mc = mc - jnp.floor(mc / dims_f) * dims_f  # wrap into [0, dims)
+    mc = jnp.where(mc >= dims_f, 0.0, mc)      # float-rounding seam guard
+    base_f = jnp.floor(mc)
+    theta = mc - base_f
+    base = base_f.astype(INDEX_DTYPE)
+
+    i = jnp.arange(order, dtype=INDEX_DTYPE)
+    offset_start = jnp.floor(theta - (order - 2) * 0.5).astype(INDEX_DTYPE)
+    u = order * 0.5 + theta[..., None] - (i[None, None, :] + offset_start[..., None]).astype(dtype)
+    w = bspline_weight(u, order)                              # [N, 3, order]
+
+    tile_idx = base // tile                                    # [N, 3]
+    # window-local index of stencil point 0 (window origin tile*T - 1)
+    local0 = base + offset_start - (tile_idx * tile - _HALO_LEFT)  # [N, 3]
+
+    ntx, nty, ntz = nx // tile, ny // tile, nz // tile
+    lin = (tile_idx[:, 0] * nty + tile_idx[:, 1]) * ntz + tile_idx[:, 2]
+    ntiles = ntx * nty * ntz
+
+    rank, counts_max = bucket_ranks(lin, ntiles)
+    flat_slot = jnp.where(rank >= cap, ntiles * cap, lin * cap + rank)
+
+    # one-hot local axis matrices packed to [N, k*W] in a single fused pass
+    # (never materializing a thin [N, 3, order, W] intermediate, which the
+    # (8,128) tiling would pad 10x)
+    k_blocks = 6 if need_grad else 3
+    kw = k_blocks * w_win
+    jiota = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, kw), 1)
+    if need_grad:
+        dw = bspline_derivative(u, order) * dims_f[None, :, None]
+    rows = jnp.zeros((n, kw), dtype)
+    for b in range(k_blocks):
+        d = b % 3
+        vals = w if b < 3 else dw
+        target = b * w_win + local0[:, d, None]
+        for ii in range(order):
+            rows = rows + vals[:, d, ii, None] * (jiota == target + ii).astype(dtype)
+
+    buf = jnp.zeros((ntiles * cap + 1, rows.shape[1]), dtype=dtype)
+    smat = buf.at[flat_slot].set(rows)[:-1].reshape(ntiles, cap, rows.shape[1])
+
+    return MeshTiles(smat, flat_slot, counts_max, inv, (nx, ny, nz), tile,
+                     cap, order, need_grad)
+
+
+def _fold_axis(arr, nt_axis: int, n: int, tile: int):
+    """Fold overlapping (tile, window) pairs along one axis.
+
+    ``arr``: [..., nt, W, ...trailing] with the tile axis at ``nt_axis`` and
+    its window axis immediately after.  Windows start at ``t*tile - 1`` with
+    width W <= 2*tile, so even/odd tiles write disjoint stride-2*tile blocks.
+    Returns the folded, periodically wrapped axis of length ``n``.
+    """
+    arr = jnp.moveaxis(jnp.moveaxis(arr, nt_axis, 0), nt_axis + 1, 1)
+    nt, w_win = arr.shape[0], arr.shape[1]
+    rest = arr.shape[2:]
+    nt_even = nt + (nt % 2)
+    if nt_even != nt:
+        arr = jnp.pad(arr, ((0, 1), (0, 0)) + ((0, 0),) * len(rest))
+    # ext covers global indices [-1, ...]: parity blocks span
+    # [tile*a - 1, tile*a - 1 + (nt_even/2)*2*tile)
+    ext_len = n + (nt_even - nt) * tile + tile + _HALO_RIGHT + _HALO_LEFT
+    ext = jnp.zeros((ext_len,) + rest, arr.dtype)
+    for a in (0, 1):
+        sub = arr[a::2]                                    # [nt_even/2, W, ...]
+        sub = jnp.pad(sub, ((0, 0), (0, 2 * tile - w_win)) + ((0, 0),) * len(rest))
+        span = sub.shape[0] * 2 * tile
+        ext = ext.at[tile * a: tile * a + span].add(sub.reshape((span,) + rest))
+    # ext index e holds global g = e - 1; wrap halo back onto [0, n)
+    core = ext[_HALO_LEFT:_HALO_LEFT + n]
+    right = ext[_HALO_LEFT + n:]
+    while right.shape[0] > 0:  # halo can exceed n when nt is tiny
+        t = min(right.shape[0], n)
+        core = core.at[:t].add(right[:t])
+        right = right[t:]
+    core = core.at[n - _HALO_LEFT:].add(ext[:_HALO_LEFT])
+    return jnp.moveaxis(core, 0, nt_axis)
+
+
+def _expand_onehots(w_win: int, dtype):
+    """Constant one-hots R_y[y, (y',x')] and R_x[x, (y',x')] for (x) products."""
+    m = w_win * w_win
+    ry = np.zeros((w_win, m), np.float32)
+    rx = np.zeros((w_win, m), np.float32)
+    for yy in range(w_win):
+        for xx in range(w_win):
+            ry[yy, yy * w_win + xx] = 1.0
+            rx[xx, yy * w_win + xx] = 1.0
+    return jnp.asarray(ry, dtype), jnp.asarray(rx, dtype)
+
+
+def _tyx(tiles: MeshTiles, iy: int, ix: int):
+    """(S_y (x) S_x) flat [ntiles, cap, W*W] without thin intermediates."""
+    ry, rx = _expand_onehots(tiles.w_win, tiles.smat.dtype)
+    return (tiles.axis_mat(iy) @ ry) * (tiles.axis_mat(ix) @ rx)
+
+
+def windowed_spread(tiles: MeshTiles, values):
+    """mesh[x,y,z] = sum_n values[n] S_x S_y S_z via per-tile contraction."""
+    nx, ny, nz = tiles.mesh_dims
+    tile, cap, w_win = tiles.tile, tiles.cap, tiles.w_win
+    ntx, nty, ntz = nx // tile, ny // tile, nz // tile
+    ntiles = ntx * nty * ntz
+
+    qbuf = jnp.zeros((ntiles * cap + 1,), values.dtype)
+    q_t = qbuf.at[tiles.flat_slot].set(values)[:-1].reshape(ntiles, cap)
+
+    qsz = q_t[..., None] * tiles.axis_mat(2)
+    tyx = _tyx(tiles, 1, 0)
+    windows = jnp.einsum("tcz,tcm->tzm", qsz, tyx)       # [t, W, W*W]
+
+    # fold chain ordered z -> y -> x; every relayout keeps fat trailing dims
+    a = windows.reshape(ntx, nty, ntz, w_win, w_win * w_win)
+    a = _fold_axis(a, 2, nz, tile)                       # [tx, ty, nz, W*W]
+    a = jnp.swapaxes(a, 2, 3)                            # [tx, ty, W*W, nz]
+    a = a.reshape(ntx, nty, w_win, w_win, nz)            # [tx, ty, wy, wx, nz]
+    a = _fold_axis(a, 1, ny, tile)                       # [tx, ny, wx, nz]
+    a = jnp.swapaxes(a, 1, 2)                            # [tx, wx, ny, nz]
+    return _fold_axis(a, 0, nx, tile)                    # [nx, ny, nz]
+
+
+def _extract_windows(mesh, tile: int):
+    """Overlapping per-tile windows [ntiles, W, W*W] via whole-slab takes."""
+    nx, ny, nz = mesh.shape
+    w_win = tile + _HALO_LEFT + _HALO_RIGHT
+    ntx, nty, ntz = nx // tile, ny // tile, nz // tile
+
+    def win_idx(nt, n):
+        idx = (np.arange(nt)[:, None] * tile - _HALO_LEFT
+               + np.arange(w_win)[None, :]) % n
+        return jnp.asarray(idx.reshape(-1), INDEX_DTYPE)
+
+    a = jnp.take(mesh, win_idx(ntx, nx), axis=0)         # [(tx,wx), ny, nz]
+    a = a.reshape(ntx, w_win, ny, nz)
+    a = jnp.swapaxes(a, 1, 2)                            # [tx, ny, wx, nz]
+    a = jnp.take(a, win_idx(nty, ny), axis=1)            # [tx, (ty,wy), wx, nz]
+    a = a.reshape(ntx, nty, w_win, w_win, nz)            # [tx, ty, wy, wx, nz]
+    a = a.reshape(ntx, nty, w_win * w_win, nz)
+    a = jnp.swapaxes(a, 2, 3)                            # [tx, ty, nz, W*W]
+    a = jnp.take(a, win_idx(ntz, nz), axis=2)            # [tx, ty, (tz,wz), W*W]
+    return a.reshape(ntx * nty * ntz, w_win, w_win * w_win)
+
+
+def windowed_gather(tiles: MeshTiles, mesh, with_gradient: bool = False):
+    """Per-atom interpolation (and optional fractional-axis gradients).
+
+    Returns ``values [N]`` or ``(values, grad_frac [N, 3])`` where the
+    gradient components are d/d(fractional coord) scaled by mesh dims (like
+    spline._stencil's ``dw``); rotate with ``tiles.inv`` for Cartesian.
+    """
+    win = _extract_windows(mesh, tiles.tile)             # [t, W, W*W]
+
+    # contract the fat (W*W) axis first: Q[t, c, z] = sum_m tyx . win is a
+    # real batched matmul and the per-z reductions then run on thin-but-
+    # cheap [t, c, W] arrays
+    def per_atom(plane):
+        return plane.reshape(-1)[jnp.minimum(tiles.flat_slot, plane.size - 1)]
+
+    def q_of(tyx_variant):
+        return jnp.einsum("tcm,tzm->tcz", tyx_variant, win)
+
+    q = q_of(_tyx(tiles, 1, 0))
+    values = per_atom(jnp.sum(tiles.axis_mat(2) * q, axis=-1))
+    if not with_gradient:
+        return values
+
+    gx = per_atom(jnp.sum(tiles.axis_mat(2) * q_of(_tyx(tiles, 1, 3)), axis=-1))
+    gy = per_atom(jnp.sum(tiles.axis_mat(2) * q_of(_tyx(tiles, 4, 0)), axis=-1))
+    gz = per_atom(jnp.sum(tiles.axis_mat(5) * q, axis=-1))
+    return values, jnp.stack([gx, gy, gz], axis=-1)

@@ -85,21 +85,24 @@ def test_pme_reciprocal_forces_match_autodiff_and_ewald():
 
     g_pos = jax.grad(e_total, argnums=0)(jnp.asarray(pos), jnp.asarray(q))
     g_q = jax.grad(e_total, argnums=1)(jnp.asarray(pos), jnp.asarray(q))
-    # analytical (ik-space) forces vs autodiff through spread/FFT/gather:
-    # these are different discretizations; they agree to mesh accuracy
+    # spline-derivative (smooth-PME) forces are exactly -dE/dr of the
+    # discrete energy up to the uniform net-force removal, so the autodiff
+    # agreement is much tighter than the reference's ik-space discretization
     f = np.asarray(forces)
     scale = np.abs(f).max()
-    np.testing.assert_allclose(f, -np.asarray(g_pos), atol=2e-3 * scale)
+    np.testing.assert_allclose(f, -np.asarray(g_pos), atol=5e-4 * scale)
     np.testing.assert_allclose(np.asarray(cg), np.asarray(g_q), atol=1e-8)
 
-    # and against the exact Ewald reciprocal forces
+    # and against the exact Ewald reciprocal forces (mesh-accuracy agreement;
+    # the gradient discretization has a slightly larger error constant than
+    # ik differentiation at the same mesh)
     kv = generate_k_vectors_ewald_summation(jnp.asarray(cell), 22.0)
     e_ref, f_ref = ewald_reciprocal_space(
         jnp.asarray(pos), jnp.asarray(q), jnp.asarray(cell), kv, alpha,
         compute_forces=True,
     )
     np.testing.assert_allclose(float(energies.sum()), float(e_ref.sum()), rtol=1e-5)
-    np.testing.assert_allclose(f, np.asarray(f_ref), atol=2e-3 * scale)
+    np.testing.assert_allclose(f, np.asarray(f_ref), atol=3e-3 * scale)
     # physics invariants
     assert np.abs(f.sum(axis=0)).max() < 1e-6 * scale
 
