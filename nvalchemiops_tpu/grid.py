@@ -398,10 +398,13 @@ def _extend_like(grid: AtomGrid, plane, fill):
     # wrap everywhere and mask with ext_valid at use sites.
     pads = [(rz, rz), (ry, ry), (rx, rx)]
     for ax, p in enumerate(pads):
-        cfg = [(0, 0)] * 4
+        cfg = [(0, 0)] * plane.ndim
         cfg[ax] = p
         out = jnp.pad(out, cfg, mode="wrap")
-    return jnp.where(grid.ext_valid, out, fill)
+    valid = grid.ext_valid
+    if plane.ndim == 5:  # feature planes [.., cap, F]
+        valid = valid[..., None]
+    return jnp.where(valid, out, fill)
 
 
 @partial(jax.jit, static_argnames=("dims", "radius", "cap"))
@@ -729,9 +732,11 @@ def grid_row_reduce_sym(grid: AtomGrid, kernel, init, num_ext_acc: int,
     ]
 
     def window(plane, z0, y0, chunks):
+        # concat along the slot axis (axis 3) so extra planes may carry a
+        # trailing feature axis [.., cap, F]
         return jnp.concatenate(
-            [plane[z0:z0 + cz, y0:y0 + cy, c:c + cx, :] for c in chunks],
-            axis=-1,
+            [plane[z0:z0 + cz, y0:y0 + cy, c:c + cx] for c in chunks],
+            axis=3,
         )
 
     def run_offset(carry, z0, y0, chunks, home):

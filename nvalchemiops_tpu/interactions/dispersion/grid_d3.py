@@ -2,23 +2,32 @@
 
 Same physics as ``dftd3.py`` (see its docstring for formulas and reference
 citations), evaluated over ``nvalchemiops_tpu.grid.AtomGrid`` candidate
-blocks so the hot loop contains no per-pair gathers:
+blocks so the hot loop contains no per-pair gathers and no per-pair
+transcendentals:
 
-- per-atom element data (rcov, r4r2, per-element reference CNs, and the
-  atom's C6 row ``c6ab[z_i]``) is fetched once per atom (N-element gathers)
-  and scattered into grid planes;
-- per-pair C6 references are reconstructed with a z-contraction
-  ``c6(i,j,p,q) = sum_z c6_row_i[z, pq] * [z_j == z]`` — a batched
-  [cap, Z+1] x [Z+1, cap] matmul per cell per reference point, which the
-  MXU eats instead of 25 serialized [N, K, 5, 5] gathers;
-- the 5x5 interpolation uses the same online-LSE accumulation as
-  ``_kernels.py``.
+- per-atom element data (rcov, r4r2, reference CNs, the atom's C6 row
+  ``c6ab[z_i]``) is fetched once per atom and scattered into grid planes;
+- the Gaussian 5x5 interpolation factorizes exactly over the reference grid
+  (``exp(k3(di^2+dj^2)) = e_i e_j``), so the per-pair quantities are
+  bilinear forms; the *feature planes* ``R_j[z*mesh+q] = [z==z_j] e_j[q]``
+  are built ONCE per pass (flat, via constant one-hot matmuls — never
+  materializing a TPU-hostile ``[.., 17, 5]`` trailing pair) and windowed
+  by the sweep, leaving THREE batched MXU matmuls per pair block
+  (z, z_di, z_dj);
+- the normalization ``w = e_i^T M01 e_j`` exploits that real D3 tables have
+  a *separable* availability mask ``M01[zi,zj,p,q] = m[zi,p] m[zj,q]``
+  (a reference compound either exists for an element or it doesn't), so
+  w and its CN derivatives are rank-1: products of per-atom scalars —
+  no matmul at all.  :func:`element_c6_mask` validates separability.
+- per-atom ``e_i`` are max-scaled over the *masked* reference points (an
+  exact LSE stabilization — the scales cancel in every ratio) and zeroed at
+  nonexistent points so garbage ``cn_ref`` entries can neither overflow nor
+  poison the interpolation.
 
-Structural requirement: the grid path assumes the physically-structured
-reference tables of real DFT-D3 data, where ``cn_ref[zi, zj, p, q]``
-depends only on ``(zi, p)`` (each element's reference-compound CNs).  The
-general [Z, Z, 5, 5] form of the reference API is supported by the matrix
-path; :func:`element_cn_ref` validates/extracts the structured form.
+Structural requirements (validated on the host, like the reference's own
+format checks): element-structured ``cn_ref`` (:func:`element_cn_ref`) and
+separable C6 availability.  Fully general tables use the matrix-path
+``dftd3``.
 """
 
 from __future__ import annotations
@@ -39,9 +48,7 @@ from nvalchemiops_tpu.grid import (
     scatter_to_grid,
 )
 
-__all__ = ["element_cn_ref", "grid_dftd3"]
-
-NEG_BIG = -1e20
+__all__ = ["element_cn_ref", "element_c6_mask", "grid_dftd3"]
 
 
 def element_cn_ref(cn_ref, atol=0.0):
@@ -63,19 +70,47 @@ def element_cn_ref(cn_ref, atol=0.0):
     return jnp.asarray(cand)
 
 
+def element_c6_mask(c6ab):
+    """Per-element reference availability mask m [Zmax+1, mesh].
+
+    Validates that the C6 zero pattern is separable,
+    ``(c6ab != 0)[zi, zj, p, q] == m[zi, p] & m[zj, q]`` — true for real
+    DFT-D3 parameter tables, where a reference compound either exists for
+    an element or it doesn't.  Raises otherwise (matrix path handles the
+    general case).
+    """
+    c6 = np.asarray(jax.device_get(c6ab))
+    nz = c6 != 0.0
+    m = nz.any(axis=(1, 3))  # [Z+1, mesh]
+    sep = m[:, None, :, None] & m[None, :, None, :]
+    # element 0 (padding) has an all-zero table; exclude it from the check
+    sep[0] = False
+    sep[:, 0] = False
+    chk = nz.copy()
+    chk[0] = False
+    chk[:, 0] = False
+    if not (chk == sep).all():
+        raise ValueError(
+            "c6ab zero pattern is not separable per element; use the "
+            "matrix-path dftd3 instead"
+        )
+    return jnp.asarray(m.astype(c6.dtype))
+
+
 @partial(
     jax.jit,
-    static_argnames=("dims", "radius", "cap", "mesh", "zmax1"),
+    static_argnames=("dims", "radius", "cap", "mesh", "zmax1", "precision"),
 )
 def _grid_d3_impl(
     grid: AtomGrid,
     z_plane, z_ext,
     rcov_plane, rcov_ext,
     r4r2_plane, r4r2_ext,
-    cna_plane, cna_ext,          # tuples of per-p planes [.., cap]
-    c6row_plane,                 # [.., cap, zmax1*mesh^2] own-atom C6 rows (flat)
+    cna_a,                        # [N, mesh] per-atom reference CNs
+    mask_a,                       # [N, mesh] per-atom availability mask
+    c6p_a,                        # [N, mesh, zmax1*mesh] per-atom C6, p-major
     cutoff, a1, a2, s6, s8, k1, k3,
-    dims, radius, cap, mesh: int, zmax1: int,
+    dims, radius, cap, mesh: int, zmax1: int, precision=None,
 ):
     dtype = grid.ext_px.dtype
     cz, cy, cx = dims
@@ -115,75 +150,83 @@ def _grid_d3_impl(
         extra_ext_planes=extra_ext, extra_own_planes=extra_own,
     )
     cn_plane = cn_plane + cn_fold
+    cn_a = gather_from_grid(grid, cn_plane)  # [N]
+
+    # ---- per-atom interpolation features (built ONCE, flat layouts) ------
+    #
+    # e_i[p] = m_i[p] exp(k3 (CN_i - cnA_i[p])^2 - masked_max): exact LSE
+    # scaling over *available* reference points; zeroed where unavailable so
+    # garbage cn_ref entries at nonexistent references cannot overflow or
+    # leak into any accumulator (c6 rows are 0 there; w excludes them).
+    zm = zmax1 * mesh
+    d_vec = cn_a[..., None] - cna_a                       # [N, mesh]
+    arg = k3 * d_vec * d_vec
+    arg_m = jnp.where(mask_a > 0, arg, -jnp.inf)
+    arg_max = jnp.maximum(jnp.max(arg_m, axis=-1, keepdims=True), -1e30)
+    e_a = jnp.where(mask_a > 0, jnp.exp(arg - arg_max), 0.0)   # [N, mesh]
+    ed_a = e_a * d_vec
+
+    # scalar normalization features (rank-1 w): w_pair = wA_i * wA_j
+    w_a = jnp.sum(e_a, axis=-1)                           # [N]
+    wd_a = jnp.sum(ed_a, axis=-1)                         # [N]
+
+    # left features: l0[(z,q)] = sum_p c6[p, (z,q)] e[p]; l1 with (e d).
+    # c6p_a is p-major [N, mesh, zm] so each p-slice is contiguous.
+    l0_a = jnp.einsum("npf,np->nf", c6p_a, e_a, precision=precision)  # [N, zm]
+    l1_a = jnp.einsum("npf,np->nf", c6p_a, ed_a, precision=precision)
+
+    # right features: R[(z,q)] = [z == z_j] e_j[q], built flat with constant
+    # one-hot expanders (never materializing a [.., Z, mesh] trailing pair)
+    # layout (z, q): column m = z*mesh + q
+    rz_map = np.zeros((zmax1, zm), np.float32)
+    rq_map = np.zeros((mesh, zm), np.float32)
+    for z in range(zmax1):
+        rz_map[z, z * mesh:(z + 1) * mesh] = 1.0
+    for q in range(mesh):
+        rq_map[q, q::mesh] = 1.0
+    rz_c = jnp.asarray(rz_map, dtype)
+    rq_c = jnp.asarray(rq_map, dtype)
+
+    numbers_a = gather_from_grid(grid, z_plane)
+    ziota = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, zmax1), 1)
+    ohz = (numbers_a[:, None] == ziota).astype(dtype)     # [N, Z+1]
+    rf_a = (ohz @ rz_c) * (e_a @ rq_c)                    # [N, zm]
+    rfd_a = (ohz @ rz_c) * (ed_a @ rq_c)
+
+    def feat_plane(vals):
+        nslots = cz * cy * cx * cap
+        buf = jnp.zeros((nslots + 1, vals.shape[-1]), dtype)
+        return buf.at[grid.flat_slot].set(vals)[:-1].reshape(
+            cz, cy, cx, cap, vals.shape[-1]
+        )
+
+    lf_plane = feat_plane(jnp.concatenate([l0_a, l1_a], axis=-1))
+    rf_plane = feat_plane(rf_a)
+    rfd_plane = feat_plane(rfd_a)
+    rf_ext = _extend_like(grid, rf_plane, 0.0)
+    rfd_ext = _extend_like(grid, rfd_plane, 0.0)
+    w_plane = scatter_to_grid(grid, w_a)
+    wd_plane = scatter_to_grid(grid, wd_a)
+    w_ext = _extend_like(grid, w_plane, 0.0)
+    wd_ext = _extend_like(grid, wd_plane, 0.0)
     cn_ext = _extend_like(grid, cn_plane, 0.0)
 
     # ---- pass 2: energy, direct forces, dE/dCN ---------------------------
-    #
-    # The Gaussian interpolation factorizes EXACTLY over the reference grid:
-    #   L_pq = exp(k3 (di_p^2 + dj_q^2)) = e_i[p] * e_j[q]
-    # so every accumulator is a bilinear form in the per-atom 5-vectors
-    #   e_i[p] = exp(k3 (CN_i - cnA_i[p])^2):
-    #   w    = e_i^T M01[zi, zj] e_j        (M01 = [c6 != 0] mask table)
-    #   z    = e_i^T C6 [zi, zj] e_j
-    #   w_di = (e_i d_i)^T M01 e_j,   z_di = (e_i d_i)^T C6 e_j
-    # With u_i[z, q] = sum_p T[zi, z, p, q] (e_i)_p precomputed per own atom
-    # (four feature sets, 4 * zmax1 * mesh values), each pair block reduces
-    # to ONE batched [cap, 4*Z*mesh] x [Z*mesh, cap] MXU matmul per cell —
-    # the 25-point interpolation costs matmul flops instead of 25 serialized
-    # transcendental passes.  (No LSE: k3 < 0 keeps every exponent <= 0;
-    # fully-underflowed weights fall back to c6 = 0 like the w <= eps path.)
-    m2 = mesh * mesh
-    zm = zmax1 * mesh
-
-    # per-own-atom feature block L [.., cap, 4, zmax1, mesh]
-    cna_stack = jnp.stack(cna_plane, axis=-1)  # [.., cap, mesh]
-    di_vec = cn_plane[..., None] - cna_stack
-    # per-atom max-exponent scaling: exp factors cancel in the c6 = z/w and
-    # dC6 ratios, so this is an exact LSE stabilization of the bilinear form
-    arg_i = k3 * di_vec * di_vec
-    e_i = jnp.exp(arg_i - jnp.max(arg_i, axis=-1, keepdims=True))
-    eid = e_i * di_vec
-    c6t = c6row_plane.reshape(c6row_plane.shape[:-1] + (zmax1, mesh, mesh))
-    m01 = (c6t != 0.0).astype(dtype)
-    l1 = jnp.einsum("...zpq,...p->...zq", c6t, e_i)
-    l2 = jnp.einsum("...zpq,...p->...zq", c6t, eid)
-    l3 = jnp.einsum("...zpq,...p->...zq", m01, e_i)
-    l4 = jnp.einsum("...zpq,...p->...zq", m01, eid)
-    l_feat = jnp.stack([l1, l2, l3, l4], axis=-3).reshape(
-        cn_plane.shape + (4 * zm,)
-    )  # [.., cap_i, 4*Z*mesh]
-
     def direct_kern(carry, own, cand, home):
         e, fx_a, fy_a, fz_a, decn = carry
         ok, r, dx, dy, dz = geom(own, cand)
         if home:
             ok &= upper
 
-        # right features: R_j[z*mesh + q] = [z == zj] * e_j[q] (and * dj for
-        # the j-side CN derivative)
-        zj = cand["z"]  # [.., cap]
-        cnab_j = jnp.stack(
-            [cand[f"cna{q}"] for q in range(mesh)], axis=-1
-        )  # [.., cap_j, mesh]
-        dj_vec = cand["cn"][..., None] - cnab_j
-        arg_j = k3 * dj_vec * dj_vec
-        e_j = jnp.exp(arg_j - jnp.max(arg_j, axis=-1, keepdims=True))
-        ziota = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, 1, 1, 1, zmax1), 4)
-        ohj = (zj[..., None] == ziota).astype(dtype)  # [.., cap_j, Z+1]
-        r_feat = (ohj[..., :, None] * e_j[..., None, :]).reshape(
-            zj.shape + (zm,)
-        )  # [.., cap_j, Z*mesh]
-        r_feat_dj = (ohj[..., :, None] * (e_j * dj_vec)[..., None, :]).reshape(
-            zj.shape + (zm,)
-        )
-
-        lf = own["l_feat"].reshape(own["l_feat"].shape[:-1] + (4, zm))
-        zacc = jnp.einsum("...if,...jf->...ij", lf[..., 0, :], r_feat)
-        z_di = jnp.einsum("...if,...jf->...ij", lf[..., 1, :], r_feat)
-        w = jnp.einsum("...if,...jf->...ij", lf[..., 2, :], r_feat)
-        w_di = jnp.einsum("...if,...jf->...ij", lf[..., 3, :], r_feat)
-        z_dj = jnp.einsum("...if,...jf->...ij", lf[..., 0, :], r_feat_dj)
-        w_dj = jnp.einsum("...if,...jf->...ij", lf[..., 2, :], r_feat_dj)
+        lf = own["lf"]
+        l0 = lf[..., :zm]
+        l1 = lf[..., zm:]
+        zacc = jnp.einsum("...if,...jf->...ij", l0, cand["rf"], precision=precision)
+        z_di = jnp.einsum("...if,...jf->...ij", l1, cand["rf"], precision=precision)
+        z_dj = jnp.einsum("...if,...jf->...ij", l0, cand["rfd"], precision=precision)
+        w = own["w"][..., :, None] * cand["w"][..., None, :]
+        w_di = own["wd"][..., :, None] * cand["w"][..., None, :]
+        w_dj = own["w"][..., :, None] * cand["wd"][..., None, :]
 
         good = w > 1e-12
         w_safe = jnp.where(good, w, 1.0)
@@ -228,11 +271,13 @@ def _grid_d3_impl(
         return (e, fx_a, fy_a, fz_a, decn), deltas
 
     zeros = jnp.zeros((cz, cy, cx, cap), dtype)
-    extra_ext2 = extra_ext + (("cn", cn_ext), ("r4r2", r4r2_ext)) + tuple(
-        (f"cna{p}", cna_ext[p]) for p in range(mesh)
+    extra_ext2 = extra_ext + (
+        ("r4r2", r4r2_ext), ("rf", rf_ext), ("rfd", rfd_ext),
+        ("w", w_ext), ("wd", wd_ext),
     )
     extra_own2 = extra_own + (
-        ("cn", cn_plane), ("r4r2", r4r2_plane), ("l_feat", l_feat),
+        ("r4r2", r4r2_plane), ("lf", lf_plane),
+        ("w", w_plane), ("wd", wd_plane),
     )
     (e_pl, fx_pl, fy_pl, fz_pl, decn_pl), (dfx, dfy, dfz, ddecn) = grid_row_reduce_sym(
         grid, direct_kern, (zeros, zeros, zeros, zeros, zeros), 4,
@@ -291,54 +336,57 @@ def grid_dftd3(
     cutoff: float,
     a1, a2, s8,
     s6=1.0, k1=16.0, k3=-4.0,
+    precision=None,
 ):
     """DFT-D3(BJ) energies/forces/CNs on the atom grid.
 
     ``cn_ref_elem`` is the [Zmax+1, mesh] element-structured CN reference
-    table (see :func:`element_cn_ref`).  Returns
+    table (see :func:`element_cn_ref`); the C6 availability mask must be
+    separable (see :func:`element_c6_mask`).  Returns
     ``(energy_total, forces [N,3], coord_num [N])`` in the grid's dtype.
+
+    ``precision`` controls the MXU precision of the C6-interpolation
+    matmuls.  The default (TPU bf16-input passes) gives ~5e-4 relative
+    energy and ~1e-4 force agreement with the exact f32 matrix path at
+    100k atoms; pass ``jax.lax.Precision.HIGHEST`` for full-f32 matmuls
+    (~2-3x slower interpolation) when tighter energies are required.
     """
     dtype = grid.ext_px.dtype
     numbers = jnp.asarray(numbers, INDEX_DTYPE)
     n = numbers.shape[0]
     zmax1 = rcov.shape[0]
     mesh = cn_ref_elem.shape[1]
+    mask_elem = element_c6_mask(c6ab)
 
-    # per-atom element data (cheap N-length gathers), scattered to planes
+    # per-atom element data (cheap N-length gathers)
     rcov_a = rcov.astype(dtype)[numbers]
     r4r2_a = r4r2.astype(dtype)[numbers]
-    cna_a = cn_ref_elem.astype(dtype)[numbers]  # [N, mesh]
-    c6row_a = c6ab.astype(dtype).reshape(zmax1, zmax1, mesh * mesh)[numbers]  # [N, Z+1, m2]
+    cna_a = cn_ref_elem.astype(dtype)[numbers]                  # [N, mesh]
+    mask_a = mask_elem.astype(dtype)[numbers]                   # [N, mesh]
+    # p-major per-atom C6 rows: [N, mesh(p), zmax1*mesh(z,q)]
+    c6p = jnp.transpose(c6ab.astype(dtype), (0, 2, 1, 3)).reshape(
+        zmax1, mesh, zmax1 * mesh
+    )
+    c6p_a = c6p[numbers]
 
     z_plane = scatter_to_grid(grid, numbers, fill=0)
     rcov_plane = scatter_to_grid(grid, rcov_a)
     r4r2_plane = scatter_to_grid(grid, r4r2_a)
-    cna_plane = tuple(scatter_to_grid(grid, cna_a[:, p]) for p in range(mesh))
-    # one row-scatter for the whole per-atom C6 row block (flat [N, Z+1 * m2])
-    cz_, cy_, cx_ = grid.dims
-    nslots = cz_ * cy_ * cx_ * grid.cap
-    feat = c6row_a.reshape(n, zmax1 * mesh * mesh)
-    buf = jnp.zeros((nslots + 1, feat.shape[1]), dtype=dtype)
-    c6row_plane = buf.at[grid.flat_slot].set(feat)[:-1].reshape(
-        cz_, cy_, cx_, grid.cap, feat.shape[1]
-    )
-
     z_ext = _extend_like(grid, z_plane, 0)
     rcov_ext = _extend_like(grid, rcov_plane, 0.0)
     r4r2_ext = _extend_like(grid, r4r2_plane, 0.0)
-    cna_ext = tuple(_extend_like(grid, p_, 0.0) for p_ in cna_plane)
 
     e_pl, fx_pl, fy_pl, fz_pl, cn_pl = _grid_d3_impl(
         grid,
         z_plane, z_ext,
         rcov_plane, rcov_ext,
         r4r2_plane, r4r2_ext,
-        cna_plane, cna_ext,
-        c6row_plane,
+        cna_a, mask_a, c6p_a,
         jnp.asarray(cutoff, dtype), jnp.asarray(a1, dtype), jnp.asarray(a2, dtype),
         jnp.asarray(s6, dtype), jnp.asarray(s8, dtype), jnp.asarray(k1, dtype),
         jnp.asarray(k3, dtype),
         grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
+        precision,
     )
     energy = jnp.sum(e_pl)  # pairs counted once in the symmetric sweep
     forces = jnp.stack(

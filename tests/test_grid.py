@@ -119,7 +119,12 @@ def test_grid_dftd3_matches_matrix_path():
     c6 = rng.uniform(5.0, 40.0, (zmax + 1, zmax + 1, 5, 5))
     c6[0] = 0.0
     c6[:, 0] = 0.0
-    c6[rng.random(c6.shape) < 0.2] = 0.0
+    # per-element reference availability (real D3 tables: a reference
+    # compound exists for an element or it doesn't -> separable zero mask)
+    avail = rng.random((zmax + 1, 5)) < 0.8
+    avail[:, 0] = True
+    avail[0] = False
+    c6 *= avail[:, None, :, None] & avail[None, :, None, :]
     c6 = 0.5 * (c6 + np.swapaxes(np.swapaxes(c6, 0, 1), 2, 3))
     params = D3Parameters(rcov=rcov, r4r2=r4r2, c6ab=c6, cn_ref=cn_ref)
 
