@@ -433,8 +433,8 @@ def _coulomb_impl(grid: AtomGrid, q_plane, q_ext, cutoff, alpha, dims, radius, c
         )
         if home:
             ok &= upper
-        r = jnp.sqrt(jnp.where(ok, d2, 1.0))
-        inv_r = 1.0 / r
+        inv_r = jax.lax.rsqrt(jnp.where(ok, d2, 1.0))
+        r = jnp.where(ok, d2, 1.0) * inv_r
         qq = own["q"][..., :, None] * cand["q"][..., None, :]
         ar = alpha_t * r
         erfc_ar = erfc_approx(ar)

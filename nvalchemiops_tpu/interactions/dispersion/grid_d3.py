@@ -117,6 +117,12 @@ def _grid_d3_impl(
     cutoff_sq = jnp.asarray(cutoff, dtype=dtype) ** 2
 
     def geom(own, cand):
+        """Returns (ok, inv_r, dx, dy, dz); r = d2 * inv_r.
+
+        One rsqrt instead of sqrt + later divisions — every downstream
+        1/r^k is assembled from inv_r products (divisions are the most
+        expensive VPU ops in these bodies).
+        """
         dx = cand["px"][..., None, :] - own["px"][..., :, None]
         dy = cand["py"][..., None, :] - own["py"][..., :, None]
         dz = cand["pz"][..., None, :] - own["pz"][..., :, None]
@@ -129,18 +135,19 @@ def _grid_d3_impl(
             & (own["z"][..., :, None] != 0)
             & (cand["z"][..., None, :] != 0)
         )
-        r = jnp.sqrt(jnp.where(ok, d2, 1.0))
-        return ok, r, dx, dy, dz
+        r2m = jnp.where(ok, d2, 1.0)
+        inv_r = jax.lax.rsqrt(r2m)
+        return ok, inv_r, r2m, dx, dy, dz
 
     # ---- pass 1: coordination numbers (symmetric row sweep) --------------
     upper = row_home_mask(cap, radius[2])
 
     def cn_kern(cn, own, cand, home):
-        ok, r, *_ = geom(own, cand)
+        ok, inv_r, _r2, *_ = geom(own, cand)
         if home:
             ok &= upper
         rc = own["rcov"][..., :, None] + cand["rcov"][..., None, :]
-        f = jnp.where(ok, 1.0 / (1.0 + jnp.exp(-k1 * (rc / r - 1.0))), 0.0)
+        f = jnp.where(ok, 1.0 / (1.0 + jnp.exp(-k1 * (rc * inv_r - 1.0))), 0.0)
         return cn + jnp.sum(f, axis=-1), (jnp.sum(f, axis=-2),)
 
     extra_ext = (("z", z_ext), ("rcov", rcov_ext))
@@ -214,7 +221,7 @@ def _grid_d3_impl(
     # ---- pass 2: energy, direct forces, dE/dCN ---------------------------
     def direct_kern(carry, own, cand, home):
         e, fx_a, fy_a, fz_a, decn = carry
-        ok, r, dx, dy, dz = geom(own, cand)
+        ok, inv_r, r2_, dx, dy, dz = geom(own, cand)
         if home:
             ok &= upper
 
@@ -229,15 +236,15 @@ def _grid_d3_impl(
         w_dj = own["w"][..., :, None] * cand["wd"][..., None, :]
 
         good = w > 1e-12
-        w_safe = jnp.where(good, w, 1.0)
-        c6 = jnp.where(good, zacc / w_safe, 0.0)
-        dc6_dcni = jnp.where(good, 2.0 * k3 / w_safe * (z_di - c6 * w_di), 0.0)
-        dc6_dcnj = jnp.where(good, 2.0 * k3 / w_safe * (z_dj - c6 * w_dj), 0.0)
+        w_inv = 1.0 / jnp.where(good, w, 1.0)
+        c6 = jnp.where(good, zacc * w_inv, 0.0)
+        two_k3_winv = jnp.where(good, (2.0 * k3) * w_inv, 0.0)
+        dc6_dcni = two_k3_winv * (z_di - c6 * w_di)
+        dc6_dcnj = two_k3_winv * (z_dj - c6 * w_dj)
 
         pair_ok = ok & (c6 >= 1e-12)
         rr = 3.0 * own["r4r2"][..., :, None] * cand["r4r2"][..., None, :]
         r0 = a1 * jnp.sqrt(rr) + a2
-        r2_ = r * r
         r4 = r2_ * r2_
         r6 = r4 * r2_
         r8 = r4 * r4
@@ -249,11 +256,11 @@ def _grid_d3_impl(
         damp_sum = s6 * den6_inv + s8 * rr * den8_inv
 
         e_ij = -c6 * damp_sum
-        dd6 = -6.0 * s6 * r4 * r * den6_inv * den6_inv
-        dd8 = -8.0 * s8 * rr * r6 * r * den8_inv * den8_inv
-        de_dr = -c6 * (dd6 + dd8)
+        # (dE/dr) / r directly: dd6/r = -6 s6 r^4 den6^2, dd8/r = -8 s8 rr r^6 den8^2
+        dd6 = -6.0 * s6 * r4 * den6_inv * den6_inv
+        dd8 = -8.0 * s8 * rr * r6 * den8_inv * den8_inv
 
-        coef = jnp.where(pair_ok, de_dr / r, 0.0)
+        coef = jnp.where(pair_ok, -c6 * (dd6 + dd8), 0.0)
         cfx = coef * dx
         cfy = coef * dy
         cfz = coef * dz
@@ -292,15 +299,16 @@ def _grid_d3_impl(
     # ---- pass 3: CN chain-rule forces (symmetric) --------------------------
     def chain_kern(carry, own, cand, home):
         fx_a, fy_a, fz_a = carry
-        ok, r, dx, dy, dz = geom(own, cand)
+        ok, inv_r, _r2, dx, dy, dz = geom(own, cand)
         if home:
             ok &= upper
         rc = own["rcov"][..., :, None] + cand["rcov"][..., None, :]
-        rrq = rc / r
+        rrq = rc * inv_r
         f_cn = 1.0 / (1.0 + jnp.exp(-k1 * (rrq - 1.0)))
-        dcn_dr = -f_cn * (1.0 - f_cn) * k1 * rrq / r
-        de_chain = (own["decn"][..., :, None] + cand["decn"][..., None, :]) * dcn_dr
-        coef = jnp.where(ok, de_chain / r, 0.0)
+        # (dCN/dr) / r = -f(1-f) k1 rc / r^3
+        dcn_dr_r = -f_cn * (1.0 - f_cn) * k1 * rrq * inv_r * inv_r
+        de_chain = (own["decn"][..., :, None] + cand["decn"][..., None, :]) * dcn_dr_r
+        coef = jnp.where(ok, de_chain, 0.0)
         cfx = coef * dx
         cfy = coef * dy
         cfz = coef * dz
@@ -326,6 +334,240 @@ def _grid_d3_impl(
     return e_pl, fx2, fy2, fz2, cn_plane
 
 
+# ---------------------------------------------------------------------------
+# Fused Pallas engine (pallas/row_sweep.py): same math, zero HBM pair blocks
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "dims", "radius", "cap", "mesh", "zmax1",
+        "cutoff", "a1", "a2", "s6", "s8", "k1", "k3", "interpret",
+    ),
+)
+def _grid_d3_pallas_impl(
+    grid: AtomGrid,
+    z_plane, z_ext,
+    rcov_plane, rcov_ext,
+    r4r2_plane, r4r2_ext,
+    cna_a, mask_a, c6p_a,
+    cutoff: float, a1: float, a2: float, s6: float, s8: float,
+    k1: float, k3: float,
+    dims, radius, cap, mesh: int, zmax1: int, interpret: bool,
+):
+    from nvalchemiops_tpu.grid import _interior, fold_halo
+    from nvalchemiops_tpu.pallas.row_sweep import (
+        row_sweep, to_cand_layout, to_own_feature_layout, to_own_scalar_layout,
+    )
+
+    dtype = grid.ext_px.dtype
+    cz, cy, cx = dims
+    cutoff_sq = cutoff * cutoff
+    zm = zmax1 * mesh
+
+    vm_ext = (grid.ext_valid & (z_ext != 0)).astype(dtype)
+    _t = to_own_scalar_layout
+    own_scalars = {
+        "px": _t(_interior(grid, grid.ext_px)),
+        "py": _t(_interior(grid, grid.ext_py)),
+        "pz": _t(_interior(grid, grid.ext_pz)),
+        "vm": _t(_interior(grid, vm_ext)),
+        "rcov": _t(rcov_plane),
+    }
+    cand_scalars = {
+        "px": to_cand_layout(grid.ext_px),
+        "py": to_cand_layout(grid.ext_py),
+        "pz": to_cand_layout(grid.ext_pz),
+        "vm": to_cand_layout(vm_ext),
+        "rcov": to_cand_layout(rcov_ext),
+    }
+
+    def geom(oc, cw, pair_mask):
+        dx = cw["px"] - oc["px"]
+        dy = cw["py"] - oc["py"]
+        dz = cw["pz"] - oc["pz"]
+        d2 = dx * dx + dy * dy + dz * dz
+        ok = (oc["vm"] > 0) & (cw["vm"] > 0) & (d2 < cutoff_sq) & (d2 > 1e-20)
+        if pair_mask is not None:
+            ok &= pair_mask
+        r = jnp.sqrt(jnp.where(ok, d2, 1.0))
+        return ok, r, dx, dy, dz
+
+    # ---- pass 1: coordination numbers ------------------------------------
+    def cn_body(oc, cw, of, cf, pair_mask):
+        ok, r, *_ = geom(oc, cw, pair_mask)
+        rc = oc["rcov"] + cw["rcov"]
+        f = jnp.where(ok, 1.0 / (1.0 + jnp.exp(-k1 * (rc / r - 1.0))), 0.0)
+        return (jnp.sum(f, axis=1, keepdims=True),), (jnp.sum(f, axis=0, keepdims=True),)
+
+    (cn_own,), (cn_ext_acc,) = row_sweep(
+        dims, radius, cap, own_scalars, {}, cand_scalars, {},
+        cn_body, 1, 1, dtype=dtype, interpret=interpret,
+    )
+    cn_plane = cn_own + fold_halo(grid, cn_ext_acc)
+    cn_a = gather_from_grid(grid, cn_plane)
+
+    # ---- per-atom interpolation features (identical to the XLA engine) ---
+    d_vec = cn_a[..., None] - cna_a
+    arg = k3 * d_vec * d_vec
+    arg_m = jnp.where(mask_a > 0, arg, -jnp.inf)
+    arg_max = jnp.maximum(jnp.max(arg_m, axis=-1, keepdims=True), -1e30)
+    e_a = jnp.where(mask_a > 0, jnp.exp(arg - arg_max), 0.0)
+    ed_a = e_a * d_vec
+    w_a = jnp.sum(e_a, axis=-1)
+    wd_a = jnp.sum(ed_a, axis=-1)
+    l0_a = jnp.einsum("npf,np->nf", c6p_a, e_a)
+    l1_a = jnp.einsum("npf,np->nf", c6p_a, ed_a)
+
+    rz_map = np.zeros((zmax1, zm), np.float32)
+    rq_map = np.zeros((mesh, zm), np.float32)
+    for z in range(zmax1):
+        rz_map[z, z * mesh:(z + 1) * mesh] = 1.0
+    for q in range(mesh):
+        rq_map[q, q::mesh] = 1.0
+    numbers_a = gather_from_grid(grid, z_plane)
+    ziota = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, zmax1), 1)
+    ohz = (numbers_a[:, None] == ziota).astype(dtype)
+    rf_a = (ohz @ jnp.asarray(rz_map, dtype)) * (e_a @ jnp.asarray(rq_map, dtype))
+    rfd_a = (ohz @ jnp.asarray(rz_map, dtype)) * (ed_a @ jnp.asarray(rq_map, dtype))
+
+    def feat_plane(vals):
+        nslots = cz * cy * cx * cap
+        buf = jnp.zeros((nslots + 1, vals.shape[-1]), dtype)
+        return buf.at[grid.flat_slot].set(vals)[:-1].reshape(
+            cz, cy, cx, cap, vals.shape[-1]
+        )
+
+    # interleaved own feature plane [cz, cy, cx, 2*cap, zm]: per cell the
+    # first cap slots hold l0 rows, the next cap hold l1 rows, so the
+    # kernel's per-x slice is a ready-made [zm, 2*cap] matmul lhs.
+    trash = cz * cy * cx * cap
+    is_trash = grid.flat_slot == trash
+    lin2 = grid.flat_slot // cap
+    rank2 = grid.flat_slot - lin2 * cap
+    s0 = jnp.where(is_trash, 2 * trash, lin2 * 2 * cap + rank2)
+    s1 = jnp.where(is_trash, 2 * trash, lin2 * 2 * cap + cap + rank2)
+    lf_buf = jnp.zeros((2 * trash + 1, zm), dtype)
+    lf_buf = lf_buf.at[s0].set(l0_a)
+    lf_buf = lf_buf.at[s1].set(l1_a)
+    lf2_plane = lf_buf[:-1].reshape(cz, cy, cx, 2 * cap, zm)
+
+    rf_ext = _extend_like(grid, feat_plane(rf_a), 0.0)
+    rfd_ext = _extend_like(grid, feat_plane(rfd_a), 0.0)
+    w_plane = scatter_to_grid(grid, w_a)
+    wd_plane = scatter_to_grid(grid, wd_a)
+
+    own2 = dict(own_scalars, r4r2=_t(r4r2_plane), w=_t(w_plane), wd=_t(wd_plane))
+    cand2 = dict(
+        cand_scalars,
+        r4r2=to_cand_layout(r4r2_ext),
+        w=to_cand_layout(_extend_like(grid, w_plane, 0.0)),
+        wd=to_cand_layout(_extend_like(grid, wd_plane, 0.0)),
+    )
+    own_feat = {"lf": to_own_feature_layout(lf2_plane)}
+    cand_feat = {"rf": to_cand_layout(rf_ext), "rfd": to_cand_layout(rfd_ext)}
+
+    # ---- pass 2: energy, direct forces, dE/dCN ---------------------------
+    def direct_body(oc, cw, of, cf, pair_mask):
+        ok, r, dx, dy, dz = geom(oc, cw, pair_mask)
+        w_win = cw["px"].shape[1]
+        # one bf16 MXU pass per x: [zm, 2*cap]^T x [zm, 2*W] -> all three
+        # bilinears as quadrants (the l1 x rfd quadrant is unused slack)
+        dn = (((0,), (0,)), ((), ()))
+        rhs = jnp.concatenate([cf["rf"], cf["rfd"]], axis=1)
+        out = jax.lax.dot_general(of["lf"], rhs, dn,
+                                  preferred_element_type=jnp.float32)
+        zacc = out[:cap, :w_win]
+        z_di = out[cap:2 * cap, :w_win]
+        z_dj = out[:cap, w_win:2 * w_win]
+        w = oc["w"] * cw["w"]
+        w_di = oc["wd"] * cw["w"]
+        w_dj = oc["w"] * cw["wd"]
+
+        good = w > 1e-12
+        w_safe = jnp.where(good, w, 1.0)
+        c6 = jnp.where(good, zacc / w_safe, 0.0)
+        dc6_dcni = jnp.where(good, 2.0 * k3 / w_safe * (z_di - c6 * w_di), 0.0)
+        dc6_dcnj = jnp.where(good, 2.0 * k3 / w_safe * (z_dj - c6 * w_dj), 0.0)
+
+        pair_ok = ok & (c6 >= 1e-12)
+        rr = 3.0 * oc["r4r2"] * cw["r4r2"]
+        r0 = a1 * jnp.sqrt(rr) + a2
+        r2_ = r * r
+        r4 = r2_ * r2_
+        r6 = r4 * r2_
+        r8 = r4 * r4
+        r0_2 = r0 * r0
+        r0_6 = r0_2 * r0_2 * r0_2
+        r0_8 = r0_2 * r0_2 * r0_2 * r0_2
+        den6_inv = 1.0 / (r6 + r0_6)
+        den8_inv = 1.0 / (r8 + r0_8)
+        damp_sum = s6 * den6_inv + s8 * rr * den8_inv
+        e_ij = jnp.where(pair_ok, -c6 * damp_sum, 0.0)
+        dd6 = -6.0 * s6 * r4 * r * den6_inv * den6_inv
+        dd8 = -8.0 * s8 * rr * r6 * r * den8_inv * den8_inv
+        coef = jnp.where(pair_ok, -c6 * (dd6 + dd8) / r, 0.0)
+        cfx = coef * dx
+        cfy = coef * dy
+        cfz = coef * dz
+        dei = jnp.where(pair_ok, -damp_sum * dc6_dcni, 0.0)
+        dej = jnp.where(pair_ok, -damp_sum * dc6_dcnj, 0.0)
+        own_d = (
+            jnp.sum(e_ij, 1, keepdims=True),
+            jnp.sum(cfx, 1, keepdims=True),
+            jnp.sum(cfy, 1, keepdims=True),
+            jnp.sum(cfz, 1, keepdims=True),
+            jnp.sum(dei, 1, keepdims=True),
+        )
+        j_d = (
+            jnp.sum(-cfx, 0, keepdims=True),
+            jnp.sum(-cfy, 0, keepdims=True),
+            jnp.sum(-cfz, 0, keepdims=True),
+            jnp.sum(dej, 0, keepdims=True),
+        )
+        return own_d, j_d
+
+    (e_pl, fx_pl, fy_pl, fz_pl, decn_pl), j_accs = row_sweep(
+        dims, radius, cap, own2, own_feat, cand2, cand_feat,
+        direct_body, 5, 4, dtype=dtype, interpret=interpret,
+    )
+    fx_pl = fx_pl + fold_halo(grid, j_accs[0])
+    fy_pl = fy_pl + fold_halo(grid, j_accs[1])
+    fz_pl = fz_pl + fold_halo(grid, j_accs[2])
+    decn_pl = decn_pl + fold_halo(grid, j_accs[3])
+
+    # ---- pass 3: CN chain-rule forces ------------------------------------
+    own3 = dict(own_scalars, decn=_t(decn_pl))
+    cand3 = dict(cand_scalars, decn=to_cand_layout(_extend_like(grid, decn_pl, 0.0)))
+
+    def chain_body(oc, cw, of, cf, pair_mask):
+        ok, r, dx, dy, dz = geom(oc, cw, pair_mask)
+        rc = oc["rcov"] + cw["rcov"]
+        rrq = rc / r
+        f_cn = 1.0 / (1.0 + jnp.exp(-k1 * (rrq - 1.0)))
+        dcn_dr = -f_cn * (1.0 - f_cn) * k1 * rrq / r
+        coef = jnp.where(ok, (oc["decn"] + cw["decn"]) * dcn_dr / r, 0.0)
+        cfx = coef * dx
+        cfy = coef * dy
+        cfz = coef * dz
+        return (
+            (jnp.sum(cfx, 1, keepdims=True), jnp.sum(cfy, 1, keepdims=True),
+             jnp.sum(cfz, 1, keepdims=True)),
+            (jnp.sum(-cfx, 0, keepdims=True), jnp.sum(-cfy, 0, keepdims=True),
+             jnp.sum(-cfz, 0, keepdims=True)),
+        )
+
+    (fx3, fy3, fz3), j3 = row_sweep(
+        dims, radius, cap, own3, {}, cand3, {},
+        chain_body, 3, 3, dtype=dtype, interpret=interpret,
+    )
+    fx_t = fx_pl + fx3 + fold_halo(grid, j3[0])
+    fy_t = fy_pl + fy3 + fold_halo(grid, j3[1])
+    fz_t = fz_pl + fz3 + fold_halo(grid, j3[2])
+    return e_pl, fx_t, fy_t, fz_t, cn_plane
+
+
 def grid_dftd3(
     grid: AtomGrid,
     numbers,
@@ -337,6 +579,7 @@ def grid_dftd3(
     a1, a2, s8,
     s6=1.0, k1=16.0, k3=-4.0,
     precision=None,
+    engine: str | None = None,
 ):
     """DFT-D3(BJ) energies/forces/CNs on the atom grid.
 
@@ -350,6 +593,13 @@ def grid_dftd3(
     energy and ~1e-4 force agreement with the exact f32 matrix path at
     100k atoms; pass ``jax.lax.Precision.HIGHEST`` for full-f32 matmuls
     (~2-3x slower interpolation) when tighter energies are required.
+
+    ``engine`` selects the sweep implementation: ``"xla"`` (pure-jnp
+    sweep, the default — XLA's flat pair-block fusions are currently the
+    fastest formulation measured on real hardware) or ``"pallas"``
+    (fused Mosaic kernels via pallas/row_sweep.py; same results, VMEM-
+    resident pair blocks, D3 parameters become static — one recompile
+    per parameter set).  ``precision`` applies to the XLA engine only.
     """
     dtype = grid.ext_px.dtype
     numbers = jnp.asarray(numbers, INDEX_DTYPE)
@@ -376,18 +626,33 @@ def grid_dftd3(
     rcov_ext = _extend_like(grid, rcov_plane, 0.0)
     r4r2_ext = _extend_like(grid, r4r2_plane, 0.0)
 
-    e_pl, fx_pl, fy_pl, fz_pl, cn_pl = _grid_d3_impl(
-        grid,
-        z_plane, z_ext,
-        rcov_plane, rcov_ext,
-        r4r2_plane, r4r2_ext,
-        cna_a, mask_a, c6p_a,
-        jnp.asarray(cutoff, dtype), jnp.asarray(a1, dtype), jnp.asarray(a2, dtype),
-        jnp.asarray(s6, dtype), jnp.asarray(s8, dtype), jnp.asarray(k1, dtype),
-        jnp.asarray(k3, dtype),
-        grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
-        precision,
-    )
+    if engine is None:
+        engine = "xla"
+    if engine == "pallas":
+        e_pl, fx_pl, fy_pl, fz_pl, cn_pl = _grid_d3_pallas_impl(
+            grid,
+            z_plane, z_ext,
+            rcov_plane, rcov_ext,
+            r4r2_plane, r4r2_ext,
+            cna_a, mask_a, c6p_a,
+            float(cutoff), float(a1), float(a2), float(s6), float(s8),
+            float(k1), float(k3),
+            grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
+            jax.default_backend() != "tpu",
+        )
+    else:
+        e_pl, fx_pl, fy_pl, fz_pl, cn_pl = _grid_d3_impl(
+            grid,
+            z_plane, z_ext,
+            rcov_plane, rcov_ext,
+            r4r2_plane, r4r2_ext,
+            cna_a, mask_a, c6p_a,
+            jnp.asarray(cutoff, dtype), jnp.asarray(a1, dtype), jnp.asarray(a2, dtype),
+            jnp.asarray(s6, dtype), jnp.asarray(s8, dtype), jnp.asarray(k1, dtype),
+            jnp.asarray(k3, dtype),
+            grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
+            precision,
+        )
     energy = jnp.sum(e_pl)  # pairs counted once in the symmetric sweep
     forces = jnp.stack(
         [gather_from_grid(grid, fx_pl), gather_from_grid(grid, fy_pl),

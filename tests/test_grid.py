@@ -162,3 +162,38 @@ def test_element_cn_ref_rejects_general_tables():
     bad = rng.uniform(0, 1, (4, 4, 5, 5))
     with pytest.raises(ValueError):
         element_cn_ref(jnp.asarray(bad))
+
+
+def test_grid_dftd3_pallas_engine_matches_xla():
+    """The fused Mosaic row-sweep engine must reproduce the jnp sweep."""
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import grid_dftd3
+
+    rng = np.random.default_rng(11)
+    zmax = 4
+    rcov = np.concatenate([[0.0], rng.uniform(0.6, 1.4, zmax)])
+    r4r2 = np.concatenate([[0.0], rng.uniform(2.0, 6.0, zmax)])
+    cna = np.concatenate([np.zeros((1, 5)), np.cumsum(rng.uniform(0.3, 1.0, (zmax, 5)), 1)])
+    c6 = rng.uniform(5.0, 40.0, (zmax + 1, zmax + 1, 5, 5))
+    c6[0] = 0.0
+    c6[:, 0] = 0.0
+    avail = rng.random((zmax + 1, 5)) < 0.8
+    avail[:, 0] = True
+    avail[0] = False
+    c6 *= avail[:, None, :, None] & avail[None, :, None, :]
+    c6 = 0.5 * (c6 + np.swapaxes(np.swapaxes(c6, 0, 1), 2, 3))
+
+    cell = np.eye(3) * 10.0
+    pos = rng.uniform(0, 10.0, (100, 3))
+    numbers = rng.integers(1, zmax + 1, 100).astype(np.int32)
+    pbc = np.array([True] * 3)
+    g = make_grid(pos, cell, pbc, 3.2, 100)
+    args = (
+        g, jnp.asarray(numbers), jnp.asarray(rcov, jnp.float32),
+        jnp.asarray(r4r2, jnp.float32), jnp.asarray(c6, jnp.float32),
+        jnp.asarray(cna, jnp.float32), 3.2, 0.42, 4.1, 1.7,
+    )
+    e_x, f_x, cn_x = grid_dftd3(*args, engine="xla")
+    e_p, f_p, cn_p = grid_dftd3(*args, engine="pallas")
+    np.testing.assert_allclose(float(e_p), float(e_x), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cn_p), np.asarray(cn_x), atol=1e-5)
