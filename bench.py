@@ -81,8 +81,9 @@ def main():
     dims, radius, cap = estimate_grid_geometry(cell, pbc, cutoff, n, target_occupancy=0.75)
     g0 = build_atom_grid(pos, cell, pbc, dims, radius, cap)
     observed = int(jax.device_get(g0.counts_max))
-    if observed > cap:
-        cap = int(np.ceil(observed * 1.05 / 4)) * 4
+    # tighten cap to observed occupancy (sweep cost ~ cap^2), sublane-rounded
+    cap = max(int(np.ceil((observed + 1) / 8)) * 8,
+              int(np.ceil(observed * 1.02 / 8)) * 8)
 
     dep = perturb_positions()
 

@@ -117,7 +117,9 @@ def estimate_grid_geometry(cell, pbc, cutoff: float, total_atoms: int,
     mean_occ = total_atoms / max(np.prod(cpd), 1)
     # Poisson-safe headroom: low-occupancy grids need several sigma of slack
     cap_est = max(mean_occ / target_occupancy, mean_occ + 5.0 * np.sqrt(mean_occ + 1.0))
-    cap = int(np.ceil(max(cap_est, 6.0) / 4)) * 4
+    # round to the f32 sublane tile: cap is the second-to-last dim of every
+    # pair block and a non-multiple-of-8 cap measurably degrades fusions
+    cap = int(np.ceil(max(cap_est, 8.0) / 8)) * 8
     # dims ordered (Cz, Cy, Cx) for plane layout, radius likewise
     return (
         (int(cpd[2]), int(cpd[1]), int(cpd[0])),
@@ -509,8 +511,13 @@ def build_atom_grid_auto(positions, cell, pbc, cutoff: float,
     )
     g = build_atom_grid(positions, cell, pbc, dims, radius, cap)
     observed = int(jax.device_get(g.counts_max))
-    if observed > cap:
-        cap = int(np.ceil(observed * 1.1 / 4)) * 4
+    # refine cap to the *observed* max occupancy (grow on overflow, shrink
+    # when the Poisson-safe estimate was pessimistic — e.g. near-crystalline
+    # systems): sweep cost scales ~cap^2, so a tight cap matters more than
+    # the extra build.  Keep a one-slot-then-round-to-8 headroom.
+    tight = int(np.ceil((observed + 1) / 8)) * 8
+    if observed > cap or tight < cap:
+        cap = max(tight, int(np.ceil(observed * 1.02 / 8)) * 8)
         g = build_atom_grid(positions, cell, pbc, dims, radius, cap)
     return g
 
