@@ -475,18 +475,100 @@ def _coulomb_impl(grid: AtomGrid, q_plane, q_ext, cutoff, alpha, dims, radius, c
     return e + e2, fx + fx2, fy + fy2, fz + fz2
 
 
-def grid_coulomb_energy_forces(grid: AtomGrid, charges, cutoff, alpha=0.0):
+@partial(jax.jit, static_argnames=("cutoff", "alpha", "dims", "radius", "cap",
+                                   "interpret"))
+def _coulomb_block_impl(grid: AtomGrid, q_plane, q_ext, cutoff: float,
+                        alpha: float, dims, radius, cap, interpret=False):
+    """Coulomb sweep on the fused super-chunk Pallas engine (block_sweep).
+
+    ``cutoff``/``alpha`` are static (one recompile per parameter set): kernel
+    bodies cannot close over traced scalars.
+    """
+    from nvalchemiops_tpu.pallas.block_sweep import block_sweep, pack_columns
+    from nvalchemiops_tpu.mathops.math import erfc_approx
+
+    dtype = grid.ext_px.dtype
+    cutoff_t = float(cutoff)
+    alpha_t = float(alpha)
+    two_over_sqrt_pi = 1.1283791670955126
+    cz, cy, cx = dims
+    vm_ext = grid.ext_valid.astype(dtype)
+    own_cols = {
+        "s": pack_columns(
+            _interior(grid, grid.ext_px), _interior(grid, grid.ext_py),
+            _interior(grid, grid.ext_pz), q_plane,
+            _interior(grid, vm_ext),
+        )
+    }
+    ez, ey, ex = cz + 2 * radius[0], cy + 2 * radius[1], cx + 2 * radius[2]
+    cand_rows = {
+        "px": grid.ext_px.reshape(ez, ey, ex * cap),
+        "py": grid.ext_py.reshape(ez, ey, ex * cap),
+        "pz": grid.ext_pz.reshape(ez, ey, ex * cap),
+        "q": q_ext.reshape(ez, ey, ex * cap),
+        "vm": vm_ext.reshape(ez, ey, ex * cap),
+    }
+
+    def body(own, crow, ccol, pair_ok):
+        s = own["s"]
+        dx = crow["px"] - s[:, 0:1]
+        dy = crow["py"] - s[:, 1:2]
+        dz = crow["pz"] - s[:, 2:3]
+        d2 = dx * dx + dy * dy + dz * dz
+        ok = (
+            pair_ok
+            & (s[:, 4:5] > 0) & (crow["vm"] > 0)
+            & (d2 < cutoff_t * cutoff_t) & (d2 > 1e-20)
+        )
+        inv_r = jax.lax.rsqrt(jnp.where(ok, d2, 1.0))
+        r = jnp.where(ok, d2, 1.0) * inv_r
+        qq = s[:, 3:4] * crow["q"]
+        if alpha_t > 0:
+            ar = alpha_t * r
+            erfc_ar = erfc_approx(ar)
+            phi = erfc_ar * inv_r
+            mag = (
+                erfc_ar * inv_r + two_over_sqrt_pi * alpha_t * jnp.exp(-ar * ar)
+            ) * inv_r * inv_r
+        else:
+            phi = inv_r
+            mag = inv_r * inv_r * inv_r
+        e_pair = jnp.where(ok, 0.5 * qq * phi, 0.0)
+        coef = jnp.where(ok, qq * mag, 0.0)
+        cfx = coef * dx
+        cfy = coef * dy
+        cfz = coef * dz
+        return (e_pair, -cfx, -cfy, -cfz), (e_pair, cfx, cfy, cfz)
+
+    (e, fx, fy, fz), (e2, fx2, fy2, fz2) = block_sweep(
+        dims, radius, cap, own_cols, cand_rows, {}, body, 4, 4,
+        dtype=dtype, interpret=interpret,
+    )
+    e2, fx2, fy2, fz2 = (fold_halo(grid, a) for a in (e2, fx2, fy2, fz2))
+    return e + e2, fx + fx2, fy + fy2, fz + fz2
+
+
+def grid_coulomb_energy_forces(grid: AtomGrid, charges, cutoff, alpha=0.0,
+                               engine: str | None = None):
     """(Damped-)Coulomb per-atom energies and forces via the grid sweep.
 
     Same physics contract as coulomb.pair_energies_forces; self-image pairs
     (r -> 0) are excluded by the r^2 > 0 guard like the reference kernels'
-    distance floor.
+    distance floor.  ``engine``: ``"xla"`` (default, pure-jnp row sweep) or
+    ``"block"`` (fused super-chunk Mosaic kernel, pallas/block_sweep.py).
     """
     q_plane = scatter_to_grid(grid, charges)
     q_ext = _extend_like(grid, q_plane, 0.0)
-    e, fx, fy, fz = _coulomb_impl(
-        grid, q_plane, q_ext, cutoff, alpha, grid.dims, grid.radius, grid.cap
-    )
+    if engine == "block":
+        e, fx, fy, fz = _coulomb_block_impl(
+            grid, q_plane, q_ext, float(cutoff), float(alpha),
+            grid.dims, grid.radius, grid.cap,
+            jax.default_backend() != "tpu",
+        )
+    else:
+        e, fx, fy, fz = _coulomb_impl(
+            grid, q_plane, q_ext, cutoff, alpha, grid.dims, grid.radius, grid.cap
+        )
     energies = gather_from_grid(grid, e)
     forces = jnp.stack(
         [gather_from_grid(grid, fx), gather_from_grid(grid, fy),

@@ -568,6 +568,233 @@ def _grid_d3_pallas_impl(
     return e_pl, fx_t, fy_t, fz_t, cn_plane
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "dims", "radius", "cap", "mesh", "zmax1",
+        "cutoff", "a1", "a2", "s6", "s8", "k1", "k3", "interpret",
+    ),
+)
+def _grid_d3_block_impl(
+    grid: AtomGrid,
+    z_plane, z_ext,
+    rcov_plane, rcov_ext,
+    r4r2_plane, r4r2_ext,
+    cna_a, mask_a, c6p_a,
+    cutoff: float, a1: float, a2: float, s6: float, s8: float,
+    k1: float, k3: float,
+    dims, radius, cap, mesh: int, zmax1: int, interpret: bool,
+):
+    """D3 on the super-chunk Pallas engine (pallas/block_sweep.py).
+
+    Same math as ``_grid_d3_impl``; the pass-2 bilinear contractions run on
+    the MXU inside the fused kernel, so the [.., cap, W] interpolation pair
+    blocks never reach HBM.  D3 parameters are static (one recompile per
+    parameter set).
+    """
+    from nvalchemiops_tpu.grid import _interior, fold_halo
+    from nvalchemiops_tpu.pallas.block_sweep import (
+        block_sweep, choose_super_chunk, pack_columns,
+    )
+
+    dtype = grid.ext_px.dtype
+    cz, cy, cx = dims
+    rz, ry, rx = radius
+    ez, ey, ex = cz + 2 * rz, cy + 2 * ry, cx + 2 * rx
+    lext = ex * cap
+    cutoff_sq = cutoff * cutoff
+    zm = zmax1 * mesh
+
+    vm_ext = (grid.ext_valid & (z_ext != 0)).astype(dtype)
+
+    def rows(p):
+        return p.reshape(ez, ey, lext)
+
+    geom_rows = {
+        "px": rows(grid.ext_px), "py": rows(grid.ext_py),
+        "pz": rows(grid.ext_pz), "vm": rows(vm_ext),
+    }
+
+    def geom(s, crow, pair_ok):
+        dx = crow["px"] - s[:, 0:1]
+        dy = crow["py"] - s[:, 1:2]
+        dz = crow["pz"] - s[:, 2:3]
+        d2 = dx * dx + dy * dy + dz * dz
+        ok = (
+            pair_ok & (s[:, 3:4] > 0) & (crow["vm"] > 0)
+            & (d2 < cutoff_sq) & (d2 > 1e-20)
+        )
+        r2m = jnp.where(ok, d2, 1.0)
+        inv_r = jax.lax.rsqrt(r2m)
+        return ok, inv_r, r2m, dx, dy, dz
+
+    geom_own = (
+        _interior(grid, grid.ext_px), _interior(grid, grid.ext_py),
+        _interior(grid, grid.ext_pz), _interior(grid, vm_ext),
+    )
+
+    # ---- pass 1: coordination numbers ------------------------------------
+    def cn_body(own, crow, ccol, pair_ok):
+        s = own["s"]
+        ok, inv_r, *_ = geom(s, crow, pair_ok)
+        rc = s[:, 4:5] + crow["rcov"]
+        f = jnp.where(ok, 1.0 / (1.0 + jnp.exp(-k1 * (rc * inv_r - 1.0))), 0.0)
+        return (f,), (f,)
+
+    own1 = {"s": pack_columns(*geom_own, rcov_plane)}
+    crow1 = dict(geom_rows, rcov=rows(rcov_ext))
+    (cn_own,), (cn_ext_acc,) = block_sweep(
+        dims, radius, cap, own1, crow1, {}, cn_body, 1, 1,
+        G=choose_super_chunk(cx, cap, rx, live_blocks=6),
+        dtype=dtype, interpret=interpret,
+    )
+    cn_plane = cn_own + fold_halo(grid, cn_ext_acc)
+    cn_a = gather_from_grid(grid, cn_plane)
+
+    # ---- per-atom interpolation features (same as the XLA engine) --------
+    d_vec = cn_a[..., None] - cna_a
+    arg = k3 * d_vec * d_vec
+    arg_m = jnp.where(mask_a > 0, arg, -jnp.inf)
+    arg_max = jnp.maximum(jnp.max(arg_m, axis=-1, keepdims=True), -1e30)
+    e_a = jnp.where(mask_a > 0, jnp.exp(arg - arg_max), 0.0)
+    ed_a = e_a * d_vec
+    w_a = jnp.sum(e_a, axis=-1)
+    wd_a = jnp.sum(ed_a, axis=-1)
+    l0_a = jnp.einsum("npf,np->nf", c6p_a, e_a)
+    l1_a = jnp.einsum("npf,np->nf", c6p_a, ed_a)
+
+    rz_map = np.zeros((zmax1, zm), np.float32)
+    rq_map = np.zeros((mesh, zm), np.float32)
+    for z in range(zmax1):
+        rz_map[z, z * mesh:(z + 1) * mesh] = 1.0
+    for q in range(mesh):
+        rq_map[q, q::mesh] = 1.0
+    numbers_a = gather_from_grid(grid, z_plane)
+    ziota = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, zmax1), 1)
+    ohz = (numbers_a[:, None] == ziota).astype(dtype)
+    rf_a = (ohz @ jnp.asarray(rz_map, dtype)) * (e_a @ jnp.asarray(rq_map, dtype))
+    rfd_a = (ohz @ jnp.asarray(rz_map, dtype)) * (ed_a @ jnp.asarray(rq_map, dtype))
+
+    def feat_plane(vals):
+        nslots = cz * cy * cx * cap
+        buf = jnp.zeros((nslots + 1, vals.shape[-1]), dtype)
+        return buf.at[grid.flat_slot].set(vals)[:-1].reshape(
+            cz, cy, cx, cap, vals.shape[-1]
+        )
+
+    lf_cols = feat_plane(jnp.concatenate([l0_a, l1_a], axis=-1)).reshape(
+        cz, cy, cx * cap, 2 * zm)
+    rf_ext5 = _extend_like(grid, feat_plane(rf_a), 0.0)
+    rfd_ext5 = _extend_like(grid, feat_plane(rfd_a), 0.0)
+    w_plane = scatter_to_grid(grid, w_a)
+    wd_plane = scatter_to_grid(grid, wd_a)
+    w_ext = _extend_like(grid, w_plane, 0.0)
+    wd_ext = _extend_like(grid, wd_plane, 0.0)
+
+    # ---- pass 2: energy, direct forces, dE/dCN ---------------------------
+    def direct_body(own, crow, ccol, pair_ok):
+        s = own["s"]
+        ok, inv_r, r2_, dx, dy, dz = geom(s, crow, pair_ok)
+        lf = own["lf"]
+        dn = (((1,), (1,)), ((), ()))
+        # Default (single-bf16-pass) dots: measured on chip, HIGHEST costs
+        # +5 ms and does NOT improve end accuracy — the dc6/dCN chain is a
+        # near-cancellation that amplifies CN input rounding (~1e-6) to
+        # ~1e-4 absolute force noise on weak-force atoms regardless of dot
+        # precision (the XLA engine shows the same internal spread).
+        zacc = jax.lax.dot_general(lf[:, :zm], ccol["rf"], dn,
+                                   preferred_element_type=dtype)
+        z_di = jax.lax.dot_general(lf[:, zm:], ccol["rf"], dn,
+                                   preferred_element_type=dtype)
+        z_dj = jax.lax.dot_general(lf[:, :zm], ccol["rfd"], dn,
+                                   preferred_element_type=dtype)
+        w = s[:, 5:6] * crow["w"]
+        w_di = s[:, 6:7] * crow["w"]
+        w_dj = s[:, 5:6] * crow["wd"]
+
+        good = w > 1e-12
+        w_inv = 1.0 / jnp.where(good, w, 1.0)
+        c6 = jnp.where(good, zacc * w_inv, 0.0)
+        two_k3_winv = jnp.where(good, (2.0 * k3) * w_inv, 0.0)
+        dc6_dcni = two_k3_winv * (z_di - c6 * w_di)
+        dc6_dcnj = two_k3_winv * (z_dj - c6 * w_dj)
+
+        pair_good = ok & (c6 >= 1e-12)
+        rr = 3.0 * s[:, 4:5] * crow["r4r2"]
+        r0 = a1 * jnp.sqrt(rr) + a2
+        r4 = r2_ * r2_
+        r6 = r4 * r2_
+        r8 = r4 * r4
+        r0_2 = r0 * r0
+        r0_6 = r0_2 * r0_2 * r0_2
+        r0_8 = r0_2 * r0_2 * r0_2 * r0_2
+        den6_inv = 1.0 / (r6 + r0_6)
+        den8_inv = 1.0 / (r8 + r0_8)
+        damp_sum = s6 * den6_inv + s8 * rr * den8_inv
+
+        e_ij = jnp.where(pair_good, -c6 * damp_sum, 0.0)
+        dd6 = -6.0 * s6 * r4 * den6_inv * den6_inv
+        dd8 = -8.0 * s8 * rr * r6 * den8_inv * den8_inv
+        coef = jnp.where(pair_good, -c6 * (dd6 + dd8), 0.0)
+        cfx = coef * dx
+        cfy = coef * dy
+        cfz = coef * dz
+        dei = jnp.where(pair_good, -damp_sum * dc6_dcni, 0.0)
+        dej = jnp.where(pair_good, -damp_sum * dc6_dcnj, 0.0)
+        return (e_ij, cfx, cfy, cfz, dei), (-cfx, -cfy, -cfz, dej)
+
+    own2 = {
+        "s": pack_columns(*geom_own, r4r2_plane, w_plane, wd_plane),
+        "lf": lf_cols,
+    }
+    crow2 = dict(
+        geom_rows,
+        r4r2=rows(r4r2_ext), w=rows(w_ext), wd=rows(wd_ext),
+    )
+    ccol2 = {
+        "rf": rf_ext5.reshape(ez, ey, lext, zm),
+        "rfd": rfd_ext5.reshape(ez, ey, lext, zm),
+    }
+    (e_pl, fx_pl, fy_pl, fz_pl, decn_pl), j2 = block_sweep(
+        dims, radius, cap, own2, crow2, ccol2, direct_body, 5, 4,
+        G=choose_super_chunk(cx, cap, rx, vmem_budget_bytes=10 << 20,
+                             live_blocks=12),
+        dtype=dtype, interpret=interpret,
+    )
+    fx_pl = fx_pl + fold_halo(grid, j2[0])
+    fy_pl = fy_pl + fold_halo(grid, j2[1])
+    fz_pl = fz_pl + fold_halo(grid, j2[2])
+    decn_pl = decn_pl + fold_halo(grid, j2[3])
+
+    # ---- pass 3: CN chain-rule forces ------------------------------------
+    def chain_body(own, crow, ccol, pair_ok):
+        s = own["s"]
+        ok, inv_r, _r2, dx, dy, dz = geom(s, crow, pair_ok)
+        rc = s[:, 4:5] + crow["rcov"]
+        rrq = rc * inv_r
+        f_cn = 1.0 / (1.0 + jnp.exp(-k1 * (rrq - 1.0)))
+        dcn_dr_r = -f_cn * (1.0 - f_cn) * k1 * rrq * inv_r * inv_r
+        de_chain = (s[:, 5:6] + crow["decn"]) * dcn_dr_r
+        coef = jnp.where(ok, de_chain, 0.0)
+        cfx = coef * dx
+        cfy = coef * dy
+        cfz = coef * dz
+        return (cfx, cfy, cfz), (-cfx, -cfy, -cfz)
+
+    own3 = {"s": pack_columns(*geom_own, rcov_plane, decn_pl)}
+    crow3 = dict(geom_rows, rcov=rows(rcov_ext),
+                 decn=rows(_extend_like(grid, decn_pl, 0.0)))
+    (fx3, fy3, fz3), j3 = block_sweep(
+        dims, radius, cap, own3, crow3, {}, chain_body, 3, 3,
+        G=choose_super_chunk(cx, cap, rx, live_blocks=8),
+        dtype=dtype, interpret=interpret,
+    )
+    fx_t = fx_pl + fx3 + fold_halo(grid, j3[0])
+    fy_t = fy_pl + fy3 + fold_halo(grid, j3[1])
+    fz_t = fz_pl + fz3 + fold_halo(grid, j3[2])
+    return e_pl, fx_t, fy_t, fz_t, cn_plane
+
+
 def grid_dftd3(
     grid: AtomGrid,
     numbers,
@@ -594,12 +821,21 @@ def grid_dftd3(
     100k atoms; pass ``jax.lax.Precision.HIGHEST`` for full-f32 matmuls
     (~2-3x slower interpolation) when tighter energies are required.
 
-    ``engine`` selects the sweep implementation: ``"xla"`` (pure-jnp
-    sweep, the default — XLA's flat pair-block fusions are currently the
-    fastest formulation measured on real hardware) or ``"pallas"``
-    (fused Mosaic kernels via pallas/row_sweep.py; same results, VMEM-
-    resident pair blocks, D3 parameters become static — one recompile
-    per parameter set).  ``precision`` applies to the XLA engine only.
+    ``engine`` selects the sweep implementation:
+
+    - ``"block"`` (TPU default): fused super-chunk Mosaic kernels
+      (pallas/block_sweep.py) — lane-aligned [G*cap, (G+2Rx)*cap] pair
+      blocks VMEM-resident, interpolation contractions on the MXU, ~8%
+      faster than the jnp sweep at 110k atoms.  D3 parameters become
+      static (one recompile per parameter set).
+    - ``"xla"`` (non-TPU default): pure-jnp row sweep.
+    - ``"pallas"``: first-generation per-cell Mosaic row sweep
+      (pallas/row_sweep.py), kept as the banded-sweep substrate.
+
+    ``precision`` applies to the XLA engine only.  Note the dC6/dCN chain
+    is a near-cancellation: ~1e-6 CN rounding differences amplify to
+    ~1e-4 *absolute* force noise on weak-force atoms in every engine and
+    precision mode (measured identically for xla-default vs xla-HIGHEST).
     """
     dtype = grid.ext_px.dtype
     numbers = jnp.asarray(numbers, INDEX_DTYPE)
@@ -627,8 +863,23 @@ def grid_dftd3(
     r4r2_ext = _extend_like(grid, r4r2_plane, 0.0)
 
     if engine is None:
-        engine = "xla"
-    if engine == "pallas":
+        # measured on chip at 110k atoms: the fused super-chunk engine is
+        # ~8% faster than the jnp sweep on TPU; interpret mode makes it
+        # far slower elsewhere
+        engine = "block" if jax.default_backend() == "tpu" else "xla"
+    if engine == "block":
+        e_pl, fx_pl, fy_pl, fz_pl, cn_pl = _grid_d3_block_impl(
+            grid,
+            z_plane, z_ext,
+            rcov_plane, rcov_ext,
+            r4r2_plane, r4r2_ext,
+            cna_a, mask_a, c6p_a,
+            float(cutoff), float(a1), float(a2), float(s6), float(s8),
+            float(k1), float(k3),
+            grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
+            jax.default_backend() != "tpu",
+        )
+    elif engine == "pallas":
         e_pl, fx_pl, fy_pl, fz_pl, cn_pl = _grid_d3_pallas_impl(
             grid,
             z_plane, z_ext,

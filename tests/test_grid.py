@@ -164,8 +164,9 @@ def test_element_cn_ref_rejects_general_tables():
         element_cn_ref(jnp.asarray(bad))
 
 
-def test_grid_dftd3_pallas_engine_matches_xla():
-    """The fused Mosaic row-sweep engine must reproduce the jnp sweep."""
+@pytest.mark.parametrize("engine", ["pallas", "block"])
+def test_grid_dftd3_mosaic_engines_match_xla(engine):
+    """The fused Mosaic engines must reproduce the jnp sweep."""
     from nvalchemiops_tpu.interactions.dispersion.grid_d3 import grid_dftd3
 
     rng = np.random.default_rng(11)
@@ -193,7 +194,25 @@ def test_grid_dftd3_pallas_engine_matches_xla():
         jnp.asarray(cna, jnp.float32), 3.2, 0.42, 4.1, 1.7,
     )
     e_x, f_x, cn_x = grid_dftd3(*args, engine="xla")
-    e_p, f_p, cn_p = grid_dftd3(*args, engine="pallas")
+    e_p, f_p, cn_p = grid_dftd3(*args, engine=engine)
     np.testing.assert_allclose(float(e_p), float(e_x), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), atol=1e-6)
     np.testing.assert_allclose(np.asarray(cn_p), np.asarray(cn_x), atol=1e-5)
+
+
+def test_grid_coulomb_block_engine_matches_xla():
+    """The super-chunk Mosaic Coulomb engine must reproduce the jnp sweep."""
+    from nvalchemiops_tpu.grid import grid_coulomb_energy_forces
+
+    rng = np.random.default_rng(5)
+    cell = np.eye(3) * 12.0
+    pos = rng.uniform(0, 12.0, (150, 3))
+    q = rng.normal(size=150).astype(np.float32)
+    pbc = np.array([True, True, False])
+    g = make_grid(pos, cell, pbc, 3.5, 150)
+    for alpha in (0.0, 0.4):
+        e_x, f_x = grid_coulomb_energy_forces(g, jnp.asarray(q), 3.5, alpha)
+        e_b, f_b = grid_coulomb_energy_forces(g, jnp.asarray(q), 3.5, alpha,
+                                              engine="block")
+        np.testing.assert_allclose(np.asarray(e_b), np.asarray(e_x), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_x), atol=1e-5)
