@@ -1,0 +1,123 @@
+"""Frozen-regression tests (reference pattern: the reference hard-codes
+pipeline outputs into TestRegression via generate_reference_outputs.py,
+test/interactions/dispersion/test_dftd3.py:418-451).
+
+Values were produced once by the current implementation on the CPU backend
+in f64 and frozen here; any future change that shifts physics, summation
+order contracts, or parameter handling trips these before an oracle would.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nvalchemiops_tpu.neighborlist import naive_neighbor_list
+from nvalchemiops_tpu.interactions.dispersion import dftd3, D3Parameters
+from nvalchemiops_tpu.interactions.electrostatics import (
+    estimate_ewald_parameters,
+    ewald_summation,
+    particle_mesh_ewald,
+)
+
+
+def _d3_fixture():
+    rng = np.random.default_rng(42)
+    zmax = 4
+    rcov = np.concatenate([[0.0], rng.uniform(0.6, 1.4, zmax)])
+    r4r2 = np.concatenate([[0.0], rng.uniform(2.0, 6.0, zmax)])
+    cn_ref = np.zeros((zmax + 1, zmax + 1, 5, 5))
+    cna = np.concatenate(
+        [np.zeros((1, 5)), np.cumsum(rng.uniform(0.3, 1.0, (zmax, 5)), 1)])
+    cn_ref[:] = cna[:, None, :, None]
+    c6 = rng.uniform(5.0, 40.0, (zmax + 1, zmax + 1, 5, 5))
+    c6[0] = 0.0
+    c6[:, 0] = 0.0
+    c6 = 0.5 * (c6 + np.swapaxes(np.swapaxes(c6, 0, 1), 2, 3))
+    params = D3Parameters(rcov=rcov, r4r2=r4r2, c6ab=c6, cn_ref=cn_ref)
+    cell = np.eye(3) * 7.5
+    pos = rng.uniform(0, 7.5, (24, 3))
+    numbers = rng.integers(1, zmax + 1, 24).astype(np.int32)
+    return params, cell, pos, numbers
+
+
+class TestD3Regression:
+    E_TOTAL = -0.02872071918929203
+    F0 = [9.350551534369035e-06, 0.00020401888262926843, 0.00019646637955409387]
+    F7 = [0.0005433237453104894, 0.00015520333449075925, 0.000294655227258301]
+    CN5 = [1.3125893985185195, 1.9359426184697843, 5.807360132850188,
+           2.157052579004059, 1.5453474927029032]
+    VIR_DIAG = [0.00040023988276443483, -0.000797888486672762,
+                -0.007922683570877678]
+    VIR_01 = -0.003930483835533196
+
+    def test_energy_forces_cn(self):
+        params, cell, pos, numbers = _d3_fixture()
+        nm, _, sh = naive_neighbor_list(
+            jnp.asarray(pos), 3.6, pbc=np.array([True] * 3),
+            cell=jnp.asarray(cell))
+        e, f, cn = dftd3(
+            jnp.asarray(pos), jnp.asarray(numbers), 0.48, 4.6, 1.9,
+            d3_params=params, cell=jnp.asarray(cell), neighbor_matrix=nm,
+            neighbor_matrix_shifts=sh, output_dtype=None)
+        np.testing.assert_allclose(float(e.sum()), self.E_TOTAL, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(f)[0], self.F0, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(f)[7], self.F7, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(cn)[:5], self.CN5, rtol=1e-12)
+
+    def test_virial(self):
+        params, cell, pos, numbers = _d3_fixture()
+        nm, _, sh = naive_neighbor_list(
+            jnp.asarray(pos), 3.6, pbc=np.array([True] * 3),
+            cell=jnp.asarray(cell))
+        _, _, _, vir = dftd3(
+            jnp.asarray(pos), jnp.asarray(numbers), 0.48, 4.6, 1.9,
+            d3_params=params, cell=jnp.asarray(cell), neighbor_matrix=nm,
+            neighbor_matrix_shifts=sh, compute_virial=True, output_dtype=None)
+        np.testing.assert_allclose(
+            np.diag(np.asarray(vir)[0]), self.VIR_DIAG, rtol=1e-10)
+        np.testing.assert_allclose(
+            float(np.asarray(vir)[0][0, 1]), self.VIR_01, rtol=1e-10)
+
+
+class TestElectrostaticsRegression:
+    EWALD_E = -1.931370414868419
+    EWALD_F3 = [-0.009413354147038852, -0.00924078904510154,
+                -0.02207624011211602]
+    PME_E = -1.9313704208000333
+    PME_F3 = [-0.00941334695718608, -0.009240783759024372,
+              -0.022076269807425664]
+
+    @pytest.fixture()
+    def system(self):
+        rng = np.random.default_rng(7)
+        cell = np.eye(3) * 9.0
+        pos = rng.uniform(0, 9.0, (20, 3))
+        q = rng.normal(size=20)
+        q -= q.mean()
+        p = estimate_ewald_parameters(
+            jnp.asarray(pos), jnp.asarray(cell).reshape(1, 3, 3), None, 1e-8)
+        rc = float(np.asarray(p.real_space_cutoff).max())
+        nm, _, sh = naive_neighbor_list(
+            jnp.asarray(pos), rc, pbc=np.array([True] * 3),
+            cell=jnp.asarray(cell))
+        return pos, q, cell, nm, sh
+
+    def test_ewald(self, system):
+        pos, q, cell, nm, sh = system
+        e, f = ewald_summation(
+            jnp.asarray(pos), jnp.asarray(q), jnp.asarray(cell),
+            accuracy=1e-8, compute_forces=True,
+            neighbor_matrix=nm, neighbor_matrix_shifts=sh)
+        np.testing.assert_allclose(float(np.asarray(e).sum()),
+                                   self.EWALD_E, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(f)[3], self.EWALD_F3, rtol=1e-8)
+
+    def test_pme(self, system):
+        pos, q, cell, nm, sh = system
+        e, f = particle_mesh_ewald(
+            jnp.asarray(pos), jnp.asarray(q), jnp.asarray(cell),
+            accuracy=1e-8, compute_forces=True,
+            neighbor_matrix=nm, neighbor_matrix_shifts=sh)
+        np.testing.assert_allclose(float(np.asarray(e).sum()),
+                                   self.PME_E, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(f)[3], self.PME_F3, rtol=1e-8)
