@@ -33,6 +33,7 @@ import jax.numpy as jnp  # noqa: E402
 from benchmarks.harness import measure, perturb_positions  # noqa: E402
 from nvalchemiops_tpu.grid import (  # noqa: E402
     build_atom_grid,
+    choose_grid_origin,
     estimate_grid_geometry,
     grid_coulomb_energy_forces,
 )
@@ -79,9 +80,9 @@ def main():
     c6 = jnp.asarray(c6_np, dtype)
 
     dims, radius, cap = estimate_grid_geometry(cell, pbc, cutoff, n, target_occupancy=0.75)
-    g0 = build_atom_grid(pos, cell, pbc, dims, radius, cap)
-    observed = int(jax.device_get(g0.counts_max))
-    # tighten cap to observed occupancy (sweep cost ~ cap^2), sublane-rounded
+    # origin search + observed-occupancy capacity (sweep cost ~ cap^2)
+    origin_np, observed = choose_grid_origin(pos, cell, pbc, dims)
+    origin = jnp.asarray(origin_np, dtype) if origin_np.any() else None
     cap = max(int(np.ceil((observed + 1) / 8)) * 8,
               int(np.ceil(observed * 1.02 / 8)) * 8)
 
@@ -89,13 +90,13 @@ def main():
 
     # --- stage 1: neighbor structure build ---------------------------------
     t_nl = measure(
-        lambda p: build_atom_grid(p, cell, pbc, dims, radius, cap).ext_px,
+        lambda p: build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin).ext_px,
         dep, (pos,), iters=8,
     )
 
     # --- stage 2: DFT-D3 energies + forces + CN (incl. its grid reuse) ------
     def d3_step(p):
-        gg = build_atom_grid(p, cell, pbc, dims, radius, cap)
+        gg = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
         _, forces, _ = grid_dftd3(
             gg, numbers, rcov, r4r2, c6, cna, cutoff, 0.4, 4.2, 1.8
         )
@@ -106,7 +107,7 @@ def main():
 
     # --- stage 3: real-space Coulomb on the same grid -----------------------
     def coul_step(p):
-        gg = build_atom_grid(p, cell, pbc, dims, radius, cap)
+        gg = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
         e, f = grid_coulomb_energy_forces(gg, charges, cutoff, alpha)
         return f
 

@@ -46,6 +46,7 @@ __all__ = [
     "estimate_grid_geometry",
     "build_atom_grid",
     "build_atom_grid_auto",
+    "choose_grid_origin",
     "grid_pair_reduce",
     "grid_row_reduce_sym",
     "row_home_mask",
@@ -129,8 +130,16 @@ def estimate_grid_geometry(cell, pbc, cutoff: float, total_atoms: int,
 
 
 @partial(jax.jit, static_argnames=("dims", "radius", "cap"))
-def build_atom_grid(positions, cell, pbc, dims, radius, cap) -> AtomGrid:
-    """Bin, sort, scatter into planes, and halo-extend (jit)."""
+def build_atom_grid(positions, cell, pbc, dims, radius, cap,
+                    origin=None) -> AtomGrid:
+    """Bin, sort, scatter into planes, and halo-extend (jit).
+
+    ``origin`` (optional [3] array, xyz order, in *bin* units) shifts the
+    periodic bin partition; any consistent partition is valid, and for
+    near-crystalline systems a half-bin shift can cut the max occupancy
+    (and with it the whole sweep cost, which scales ~cap^2) by moving
+    lattice planes off bin boundaries.  See :func:`build_atom_grid_auto`.
+    """
     n = positions.shape[0]
     dtype = positions.dtype
     cell = jnp.asarray(cell, dtype=dtype).reshape(3, 3)
@@ -141,7 +150,10 @@ def build_atom_grid(positions, cell, pbc, dims, radius, cap) -> AtomGrid:
 
     inv_cell = jnp.linalg.inv(cell)
     frac = positions @ inv_cell
-    coords = jnp.floor(frac * cpd_xyz.astype(dtype)).astype(INDEX_DTYPE)  # [N,3] xyz
+    bin_pos = frac * cpd_xyz.astype(dtype)
+    if origin is not None:
+        bin_pos = bin_pos - jnp.asarray(origin, dtype=dtype).reshape(1, 3)
+    coords = jnp.floor(bin_pos).astype(INDEX_DTYPE)  # [N,3] xyz
     wrap = jnp.floor_divide(coords, cpd_xyz)
     wrapped = coords - wrap * cpd_xyz
     clamped = jnp.clip(coords, 0, cpd_xyz - 1)
@@ -578,30 +590,72 @@ def grid_coulomb_energy_forces(grid: AtomGrid, charges, cutoff, alpha=0.0,
     return energies, forces
 
 
+def choose_grid_origin(positions, cell, pbc, dims):
+    """Pick the bin-partition origin (xyz, bin units) minimizing occupancy.
+
+    Tries the zero origin and the half-bin shift per axis (4 combinations
+    over distinct axes): for near-crystalline systems, lattice planes that
+    sit exactly on bin boundaries split their atoms across two bins under
+    jitter, inflating the max occupancy that sizes every pair block.  Each
+    candidate costs one cheap histogram (no grid build).  Returns
+    ``(origin [3] np.ndarray, max_occupancy int)``.
+    """
+    dtype = positions.dtype
+    cell_j = jnp.asarray(cell, dtype=dtype).reshape(3, 3)
+    cz, cy, cx = dims
+    cpd_xyz = jnp.asarray([cx, cy, cz], INDEX_DTYPE)
+
+    @jax.jit
+    def max_occ(origin):
+        frac = positions @ jnp.linalg.inv(cell_j)
+        bp = frac * cpd_xyz.astype(dtype) - origin.reshape(1, 3)
+        coords = jnp.floor(bp).astype(INDEX_DTYPE)
+        wrapped = coords - jnp.floor_divide(coords, cpd_xyz) * cpd_xyz
+        lin = wrapped[:, 0] + cx * (wrapped[:, 1] + cy * wrapped[:, 2])
+        counts = jnp.zeros((cx * cy * cz,), INDEX_DTYPE).at[lin].add(1)
+        return jnp.max(counts)
+
+    best = None
+    for o in ([0.0, 0.0, 0.0], [0.5, 0.5, 0.5], [0.5, 0.0, 0.0],
+              [0.0, 0.5, 0.5]):
+        occ = int(jax.device_get(max_occ(jnp.asarray(o, dtype))))
+        if best is None or occ < best[1]:
+            best = (np.asarray(o), occ)
+        if occ == best[1] and best[1] * len(positions) == 0:
+            break
+    return best
+
+
 def build_atom_grid_auto(positions, cell, pbc, cutoff: float,
                          target_occupancy: float = 0.66,
-                         bins_per_cutoff: int = 1):
-    """Estimate geometry, build, and retry once if the capacity overflowed.
+                         bins_per_cutoff: int = 1,
+                         optimize_origin: bool = True):
+    """Estimate geometry, pick an origin, build with a tight capacity.
 
-    One host sync (reading ``counts_max``) — same estimate-then-check split
-    the reference uses for its cell-list sizes (cell_list.py:639-724).
+    Host syncs (reading occupancy histograms) — same estimate-then-check
+    split the reference uses for its cell-list sizes (cell_list.py:639-724).
+    Sweep cost scales ~cap^2, so the observed-occupancy capacity (and the
+    origin search that lowers it for crystals) matters more than the extra
+    build.
     """
     n = positions.shape[0]
     dims, radius, cap = estimate_grid_geometry(
         cell, pbc, cutoff, n, target_occupancy=target_occupancy,
         bins_per_cutoff=bins_per_cutoff,
     )
-    g = build_atom_grid(positions, cell, pbc, dims, radius, cap)
-    observed = int(jax.device_get(g.counts_max))
-    # refine cap to the *observed* max occupancy (grow on overflow, shrink
-    # when the Poisson-safe estimate was pessimistic — e.g. near-crystalline
-    # systems): sweep cost scales ~cap^2, so a tight cap matters more than
-    # the extra build.  Keep a one-slot-then-round-to-8 headroom.
-    tight = int(np.ceil((observed + 1) / 8)) * 8
-    if observed > cap or tight < cap:
-        cap = max(tight, int(np.ceil(observed * 1.02 / 8)) * 8)
+    origin = None
+    if optimize_origin:
+        origin_np, observed = choose_grid_origin(positions, cell, pbc, dims)
+        if np.any(origin_np != 0.0):
+            origin = jnp.asarray(origin_np, positions.dtype)
+    else:
         g = build_atom_grid(positions, cell, pbc, dims, radius, cap)
-    return g
+        observed = int(jax.device_get(g.counts_max))
+    # cap = observed max occupancy with one-slot-then-round-to-8 headroom
+    cap = max(int(np.ceil((observed + 1) / 8)) * 8,
+              int(np.ceil(observed * 1.02 / 8)) * 8)
+    return build_atom_grid(positions, cell, pbc, dims, radius, cap,
+                           origin=origin)
 
 
 # ---------------------------------------------------------------------------

@@ -48,7 +48,7 @@ from nvalchemiops_tpu.grid import (
     scatter_to_grid,
 )
 
-__all__ = ["element_cn_ref", "element_c6_mask", "grid_dftd3"]
+__all__ = ["element_cn_ref", "element_c6_mask", "grid_dftd3", "grid_dftd3_coulomb"]
 
 
 def element_cn_ref(cn_ref, atol=0.0):
@@ -573,6 +573,7 @@ def _grid_d3_pallas_impl(
     static_argnames=(
         "dims", "radius", "cap", "mesh", "zmax1",
         "cutoff", "a1", "a2", "s6", "s8", "k1", "k3", "interpret",
+        "with_coulomb", "calpha", "ccutoff", "block_G",
     ),
 )
 def _grid_d3_block_impl(
@@ -584,6 +585,9 @@ def _grid_d3_block_impl(
     cutoff: float, a1: float, a2: float, s6: float, s8: float,
     k1: float, k3: float,
     dims, radius, cap, mesh: int, zmax1: int, interpret: bool,
+    q_plane=None, q_ext=None, with_coulomb: bool = False,
+    calpha: float = 0.0, ccutoff: float = 0.0,
+    block_G: int | None = None,
 ):
     """D3 on the super-chunk Pallas engine (pallas/block_sweep.py).
 
@@ -591,6 +595,11 @@ def _grid_d3_block_impl(
     the MXU inside the fused kernel, so the [.., cap, W] interpolation pair
     blocks never reach HBM.  D3 parameters are static (one recompile per
     parameter set).
+
+    With ``with_coulomb`` the (erfc-damped) real-space Coulomb pair pass
+    rides pass 2's geometry (one fused sweep instead of two — the MLIP
+    real-space workload in a single pass); extra returns
+    ``(e_c, fcx, fcy, fcz)`` planes.
     """
     from nvalchemiops_tpu.grid import _interior, fold_halo
     from nvalchemiops_tpu.pallas.block_sweep import (
@@ -620,13 +629,11 @@ def _grid_d3_block_impl(
         dy = crow["py"] - s[:, 1:2]
         dz = crow["pz"] - s[:, 2:3]
         d2 = dx * dx + dy * dy + dz * dz
-        ok = (
-            pair_ok & (s[:, 3:4] > 0) & (crow["vm"] > 0)
-            & (d2 < cutoff_sq) & (d2 > 1e-20)
-        )
+        base = pair_ok & (s[:, 3:4] > 0) & (crow["vm"] > 0) & (d2 > 1e-20)
+        ok = base & (d2 < cutoff_sq)
         r2m = jnp.where(ok, d2, 1.0)
         inv_r = jax.lax.rsqrt(r2m)
-        return ok, inv_r, r2m, dx, dy, dz
+        return ok, inv_r, r2m, dx, dy, dz, base, d2
 
     geom_own = (
         _interior(grid, grid.ext_px), _interior(grid, grid.ext_py),
@@ -636,7 +643,7 @@ def _grid_d3_block_impl(
     # ---- pass 1: coordination numbers ------------------------------------
     def cn_body(own, crow, ccol, pair_ok):
         s = own["s"]
-        ok, inv_r, *_ = geom(s, crow, pair_ok)
+        ok, inv_r, *_rest = geom(s, crow, pair_ok)
         rc = s[:, 4:5] + crow["rcov"]
         f = jnp.where(ok, 1.0 / (1.0 + jnp.exp(-k1 * (rc * inv_r - 1.0))), 0.0)
         return (f,), (f,)
@@ -645,7 +652,7 @@ def _grid_d3_block_impl(
     crow1 = dict(geom_rows, rcov=rows(rcov_ext))
     (cn_own,), (cn_ext_acc,) = block_sweep(
         dims, radius, cap, own1, crow1, {}, cn_body, 1, 1,
-        G=choose_super_chunk(cx, cap, rx, live_blocks=6),
+        G=block_G or choose_super_chunk(cx, cap, rx, live_blocks=6),
         dtype=dtype, interpret=interpret,
     )
     cn_plane = cn_own + fold_halo(grid, cn_ext_acc)
@@ -694,7 +701,7 @@ def _grid_d3_block_impl(
     # ---- pass 2: energy, direct forces, dE/dCN ---------------------------
     def direct_body(own, crow, ccol, pair_ok):
         s = own["s"]
-        ok, inv_r, r2_, dx, dy, dz = geom(s, crow, pair_ok)
+        ok, inv_r, r2_, dx, dy, dz, base, d2 = geom(s, crow, pair_ok)
         lf = own["lf"]
         dn = (((1,), (1,)), ((), ()))
         # Default (single-bf16-pass) dots: measured on chip, HIGHEST costs
@@ -741,35 +748,74 @@ def _grid_d3_block_impl(
         cfz = coef * dz
         dei = jnp.where(pair_good, -damp_sum * dc6_dcni, 0.0)
         dej = jnp.where(pair_good, -damp_sum * dc6_dcnj, 0.0)
-        return (e_ij, cfx, cfy, cfz, dei), (-cfx, -cfy, -cfz, dej)
+        own_blocks = (e_ij, cfx, cfy, cfz, dei)
+        j_blocks = (-cfx, -cfy, -cfz, dej)
+        if with_coulomb:
+            from nvalchemiops_tpu.mathops.math import erfc_approx
+            ok_c = base & (d2 < ccutoff * ccutoff)
+            inv_rc = jax.lax.rsqrt(jnp.where(ok_c, d2, 1.0))
+            qq = s[:, 7:8] * crow["q"]
+            if calpha > 0:
+                rc_ = jnp.where(ok_c, d2, 1.0) * inv_rc
+                ar = calpha * rc_
+                erfc_ar = erfc_approx(ar)
+                phi = erfc_ar * inv_rc
+                mag = (erfc_ar * inv_rc
+                       + 1.1283791670955126 * calpha * jnp.exp(-ar * ar)
+                       ) * inv_rc * inv_rc
+            else:
+                phi = inv_rc
+                mag = inv_rc * inv_rc * inv_rc
+            e_c = jnp.where(ok_c, 0.5 * qq * phi, 0.0)
+            coef_c = jnp.where(ok_c, qq * mag, 0.0)
+            gx = coef_c * dx
+            gy = coef_c * dy
+            gz = coef_c * dz
+            own_blocks = own_blocks + (e_c, -gx, -gy, -gz)
+            j_blocks = j_blocks + (e_c, gx, gy, gz)
+        return own_blocks, j_blocks
 
+    own2_cols = list(geom_own) + [r4r2_plane, w_plane, wd_plane]
+    if with_coulomb:
+        own2_cols.append(q_plane)
     own2 = {
-        "s": pack_columns(*geom_own, r4r2_plane, w_plane, wd_plane),
+        "s": pack_columns(*own2_cols),
         "lf": lf_cols,
     }
     crow2 = dict(
         geom_rows,
         r4r2=rows(r4r2_ext), w=rows(w_ext), wd=rows(wd_ext),
     )
+    if with_coulomb:
+        crow2["q"] = rows(q_ext)
     ccol2 = {
         "rf": rf_ext5.reshape(ez, ey, lext, zm),
         "rfd": rfd_ext5.reshape(ez, ey, lext, zm),
     }
-    (e_pl, fx_pl, fy_pl, fz_pl, decn_pl), j2 = block_sweep(
-        dims, radius, cap, own2, crow2, ccol2, direct_body, 5, 4,
-        G=choose_super_chunk(cx, cap, rx, vmem_budget_bytes=10 << 20,
-                             live_blocks=12),
+    n_own2 = 9 if with_coulomb else 5
+    n_j2 = 8 if with_coulomb else 4
+    acc2, j2 = block_sweep(
+        dims, radius, cap, own2, crow2, ccol2, direct_body, n_own2, n_j2,
+        G=block_G or choose_super_chunk(cx, cap, rx,
+                                        vmem_budget_bytes=10 << 20,
+                                        live_blocks=16 if with_coulomb else 12),
         dtype=dtype, interpret=interpret,
     )
+    e_pl, fx_pl, fy_pl, fz_pl, decn_pl = acc2[:5]
     fx_pl = fx_pl + fold_halo(grid, j2[0])
     fy_pl = fy_pl + fold_halo(grid, j2[1])
     fz_pl = fz_pl + fold_halo(grid, j2[2])
     decn_pl = decn_pl + fold_halo(grid, j2[3])
+    if with_coulomb:
+        ec_pl = acc2[5] + fold_halo(grid, j2[4])
+        fcx_pl = acc2[6] + fold_halo(grid, j2[5])
+        fcy_pl = acc2[7] + fold_halo(grid, j2[6])
+        fcz_pl = acc2[8] + fold_halo(grid, j2[7])
 
     # ---- pass 3: CN chain-rule forces ------------------------------------
     def chain_body(own, crow, ccol, pair_ok):
         s = own["s"]
-        ok, inv_r, _r2, dx, dy, dz = geom(s, crow, pair_ok)
+        ok, inv_r, _r2, dx, dy, dz, *_rest = geom(s, crow, pair_ok)
         rc = s[:, 4:5] + crow["rcov"]
         rrq = rc * inv_r
         f_cn = 1.0 / (1.0 + jnp.exp(-k1 * (rrq - 1.0)))
@@ -786,12 +832,15 @@ def _grid_d3_block_impl(
                  decn=rows(_extend_like(grid, decn_pl, 0.0)))
     (fx3, fy3, fz3), j3 = block_sweep(
         dims, radius, cap, own3, crow3, {}, chain_body, 3, 3,
-        G=choose_super_chunk(cx, cap, rx, live_blocks=8),
+        G=block_G or choose_super_chunk(cx, cap, rx, live_blocks=8),
         dtype=dtype, interpret=interpret,
     )
     fx_t = fx_pl + fx3 + fold_halo(grid, j3[0])
     fy_t = fy_pl + fy3 + fold_halo(grid, j3[1])
     fz_t = fz_pl + fz3 + fold_halo(grid, j3[2])
+    if with_coulomb:
+        return (e_pl, fx_t, fy_t, fz_t, cn_plane,
+                ec_pl, fcx_pl, fcy_pl, fcz_pl)
     return e_pl, fx_t, fy_t, fz_t, cn_plane
 
 
@@ -807,6 +856,7 @@ def grid_dftd3(
     s6=1.0, k1=16.0, k3=-4.0,
     precision=None,
     engine: str | None = None,
+    block_G: int | None = None,
 ):
     """DFT-D3(BJ) energies/forces/CNs on the atom grid.
 
@@ -867,6 +917,11 @@ def grid_dftd3(
         # ~8% faster than the jnp sweep on TPU; interpret mode makes it
         # far slower elsewhere
         engine = "block" if jax.default_backend() == "tpu" else "xla"
+    if block_G is not None:
+        # snap the hint to a divisor of the grid's x extent
+        cx = grid.dims[2]
+        block_G = min((g for g in range(1, cx + 1) if cx % g == 0),
+                      key=lambda g: abs(g - block_G))
     if engine == "block":
         e_pl, fx_pl, fy_pl, fz_pl, cn_pl = _grid_d3_block_impl(
             grid,
@@ -878,6 +933,7 @@ def grid_dftd3(
             float(k1), float(k3),
             grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
             jax.default_backend() != "tpu",
+            block_G=block_G,
         )
     elif engine == "pallas":
         e_pl, fx_pl, fy_pl, fz_pl, cn_pl = _grid_d3_pallas_impl(
@@ -912,3 +968,85 @@ def grid_dftd3(
     )
     coord_num = gather_from_grid(grid, cn_pl)
     return energy, forces, coord_num
+
+
+def grid_dftd3_coulomb(
+    grid: AtomGrid,
+    numbers,
+    charges,
+    rcov,
+    r4r2,
+    c6ab,
+    cn_ref_elem,
+    cutoff: float,
+    a1, a2, s8,
+    coulomb_cutoff: float | None = None,
+    alpha: float = 0.0,
+    s6=1.0, k1=16.0, k3=-4.0,
+):
+    """Fused DFT-D3(BJ) + real-space (erfc-damped) Coulomb on one sweep.
+
+    The MLIP real-space workload in a single pass: the Coulomb pair terms
+    ride the D3 direct pass's geometry inside the super-chunk Mosaic
+    kernel, saving a full second sweep over all candidate pairs (the
+    separate-call path costs one extra grid traversal).  Both cutoffs must
+    be <= the cutoff the grid was built for.
+
+    Returns ``(e_d3_total, f_d3 [N,3], coord_num [N],
+    e_coulomb [N], f_coulomb [N,3])``.  Energy/force channels are kept
+    separate so callers can scale them independently.
+    """
+    dtype = grid.ext_px.dtype
+    numbers = jnp.asarray(numbers, INDEX_DTYPE)
+    zmax1 = rcov.shape[0]
+    mesh = cn_ref_elem.shape[1]
+    mask_elem = element_c6_mask(c6ab)
+    if coulomb_cutoff is None:
+        coulomb_cutoff = cutoff
+
+    rcov_a = rcov.astype(dtype)[numbers]
+    r4r2_a = r4r2.astype(dtype)[numbers]
+    cna_a = cn_ref_elem.astype(dtype)[numbers]
+    mask_a = mask_elem.astype(dtype)[numbers]
+    c6p = jnp.transpose(c6ab.astype(dtype), (0, 2, 1, 3)).reshape(
+        zmax1, mesh, zmax1 * mesh
+    )
+    c6p_a = c6p[numbers]
+
+    z_plane = scatter_to_grid(grid, numbers, fill=0)
+    rcov_plane = scatter_to_grid(grid, rcov_a)
+    r4r2_plane = scatter_to_grid(grid, r4r2_a)
+    q_plane = scatter_to_grid(grid, jnp.asarray(charges, dtype))
+    z_ext = _extend_like(grid, z_plane, 0)
+    rcov_ext = _extend_like(grid, rcov_plane, 0.0)
+    r4r2_ext = _extend_like(grid, r4r2_plane, 0.0)
+    q_ext = _extend_like(grid, q_plane, 0.0)
+
+    (e_pl, fx_pl, fy_pl, fz_pl, cn_pl,
+     ec_pl, fcx_pl, fcy_pl, fcz_pl) = _grid_d3_block_impl(
+        grid,
+        z_plane, z_ext,
+        rcov_plane, rcov_ext,
+        r4r2_plane, r4r2_ext,
+        cna_a, mask_a, c6p_a,
+        float(cutoff), float(a1), float(a2), float(s6), float(s8),
+        float(k1), float(k3),
+        grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
+        jax.default_backend() != "tpu",
+        q_plane=q_plane, q_ext=q_ext, with_coulomb=True,
+        calpha=float(alpha), ccutoff=float(coulomb_cutoff),
+    )
+    energy = jnp.sum(e_pl)
+    forces = jnp.stack(
+        [gather_from_grid(grid, fx_pl), gather_from_grid(grid, fy_pl),
+         gather_from_grid(grid, fz_pl)],
+        axis=-1,
+    )
+    coord_num = gather_from_grid(grid, cn_pl)
+    e_c = gather_from_grid(grid, ec_pl)
+    f_c = jnp.stack(
+        [gather_from_grid(grid, fcx_pl), gather_from_grid(grid, fcy_pl),
+         gather_from_grid(grid, fcz_pl)],
+        axis=-1,
+    )
+    return energy, forces, coord_num, e_c, f_c

@@ -62,10 +62,14 @@ def _halfspace_zy(rz, ry):
 
 def choose_super_chunk(cx: int, cap: int, rx: int, vmem_budget_bytes: int = 6 << 20,
                        live_blocks: int = 8) -> int:
-    """Largest divisor G of cx whose [G*cap, (G+2rx)*cap] f32 blocks fit VMEM.
+    """Divisor G of cx whose [G*cap, (G+2rx)*cap] f32 blocks fit VMEM.
 
-    Prefers G with G*cap a multiple of 128 (aligned chunk starts), then the
-    largest M = G*cap <= 512.
+    Prefers G with G*cap a multiple of 128 (aligned chunk starts), then
+    M = G*cap closest to 128: M=128 fills the MXU's systolic dimension
+    while keeping the candidate window W (the per-row work, which the
+    super-chunk only widens) minimal.  Measured at 110k atoms / cap 32:
+    G=4 (M=128) 33.4 ms vs G=16 (M=512) 37.5 ms vs G=1 (M=32) 60 ms for
+    the D3 sweep.
     """
     divisors = [g for g in range(1, cx + 1) if cx % g == 0]
     best = None
@@ -76,7 +80,7 @@ def choose_super_chunk(cx: int, cap: int, rx: int, vmem_budget_bytes: int = 6 <<
         if m > 512 or m * w_pad * 4 * live_blocks > vmem_budget_bytes:
             continue
         aligned = m % 128 == 0
-        key = (aligned, m)
+        key = (aligned, -abs(m - 128), m)
         if best is None or key > best[0]:
             best = (key, g)
     return best[1] if best else 1

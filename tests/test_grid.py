@@ -200,6 +200,77 @@ def test_grid_dftd3_mosaic_engines_match_xla(engine):
     np.testing.assert_allclose(np.asarray(cn_p), np.asarray(cn_x), atol=1e-5)
 
 
+def test_grid_origin_shift_preserves_results():
+    """Any bin-partition origin is a valid partition: same counts, same physics."""
+    from nvalchemiops_tpu.grid import choose_grid_origin
+
+    rng = np.random.default_rng(8)
+    cell = np.eye(3) * 12.0
+    # near-crystalline: lattice planes on bin boundaries (worst case origin=0)
+    base = np.stack(np.meshgrid(*[np.arange(6) * 2.0] * 3, indexing="ij"), -1)
+    pos = base.reshape(-1, 3) + rng.normal(scale=0.05, size=(216, 3))
+    q = rng.normal(size=216).astype(np.float32)
+    pbc = np.array([True] * 3)
+    cutoff = 3.5
+    n = 216
+    dims, radius, cap = estimate_grid_geometry(cell, pbc, cutoff, n,
+                                               target_occupancy=0.4)
+    origin_np, occ = choose_grid_origin(jnp.asarray(pos), cell, pbc, dims)
+    g0 = build_atom_grid(jnp.asarray(pos), jnp.asarray(cell), pbc, dims, radius, cap)
+    g1 = build_atom_grid(jnp.asarray(pos), jnp.asarray(cell), pbc, dims, radius, cap,
+                         origin=jnp.asarray(origin_np, jnp.float32))
+    assert occ <= int(g0.counts_max)
+    assert int(g1.counts_max) == occ
+    c0 = np.asarray(grid_neighbor_count(g0, cutoff, n))
+    c1 = np.asarray(grid_neighbor_count(g1, cutoff, n))
+    assert np.array_equal(c0, c1)
+    e0, f0 = grid_coulomb_energy_forces(g0, jnp.asarray(q), cutoff, 0.3)
+    e1, f1 = grid_coulomb_energy_forces(g1, jnp.asarray(q), cutoff, 0.3)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=1e-5)
+
+
+def test_grid_dftd3_coulomb_fused_matches_separate():
+    """The fused D3+Coulomb sweep must equal the two separate calls."""
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
+        grid_dftd3, grid_dftd3_coulomb,
+    )
+
+    rng = np.random.default_rng(9)
+    zmax = 4
+    rcov = np.concatenate([[0.0], rng.uniform(0.6, 1.4, zmax)])
+    r4r2 = np.concatenate([[0.0], rng.uniform(2.0, 6.0, zmax)])
+    cna = np.concatenate([np.zeros((1, 5)), np.cumsum(rng.uniform(0.3, 1.0, (zmax, 5)), 1)])
+    c6 = rng.uniform(5.0, 40.0, (zmax + 1, zmax + 1, 5, 5))
+    c6[0] = 0.0
+    c6[:, 0] = 0.0
+    c6 = 0.5 * (c6 + np.swapaxes(np.swapaxes(c6, 0, 1), 2, 3))
+
+    cell = np.eye(3) * 10.0
+    pos = rng.uniform(0, 10.0, (120, 3))
+    numbers = rng.integers(1, zmax + 1, 120).astype(np.int32)
+    q = rng.normal(size=120).astype(np.float32)
+    pbc = np.array([True] * 3)
+    cutoff = 3.2
+    g = make_grid(pos, cell, pbc, cutoff, 120)
+    tables = (jnp.asarray(numbers), jnp.asarray(rcov, jnp.float32),
+              jnp.asarray(r4r2, jnp.float32), jnp.asarray(c6, jnp.float32),
+              jnp.asarray(cna, jnp.float32))
+    for alpha, ccut in ((0.0, cutoff), (0.35, 2.8)):
+        e_d, f_d, cn_d, e_c, f_c = grid_dftd3_coulomb(
+            g, tables[0], jnp.asarray(q), *tables[1:], cutoff, 0.42, 4.1, 1.7,
+            coulomb_cutoff=ccut, alpha=alpha,
+        )
+        e_ref, f_ref, cn_ref = grid_dftd3(g, *tables, cutoff, 0.42, 4.1, 1.7,
+                                          engine="block")
+        ec_ref, fc_ref = grid_coulomb_energy_forces(g, jnp.asarray(q), ccut, alpha)
+        np.testing.assert_allclose(float(e_d), float(e_ref), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(f_d), np.asarray(f_ref), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cn_d), np.asarray(cn_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(e_c), np.asarray(ec_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(f_c), np.asarray(fc_ref), atol=1e-5)
+
+
 def test_grid_coulomb_block_engine_matches_xla():
     """The super-chunk Mosaic Coulomb engine must reproduce the jnp sweep."""
     from nvalchemiops_tpu.grid import grid_coulomb_energy_forces
