@@ -41,6 +41,14 @@ import jax.numpy as jnp
 from nvalchemiops_tpu.types import INDEX_DTYPE
 from nvalchemiops_tpu.neighborlist.neighbor_utils import bucket_ranks, pack_shifts
 
+# Parking coordinates for displacement-based validity (see build_atom_grid):
+# empty slots sit at x = DISPLACE + slot * DISPLACE_SPACING.  SPACING far
+# exceeds any wrapped coordinate + image shift so distinct parked slots can
+# never come within a cutoff of each other or of a real atom; squares stay
+# comfortably inside f32 range for grids up to ~1e7 slots.
+DISPLACE = 3.0e7
+DISPLACE_SPACING = 1.0e5
+
 __all__ = [
     "AtomGrid",
     "estimate_grid_geometry",
@@ -184,6 +192,16 @@ def build_atom_grid(positions, cell, pbc, dims, radius, cap,
     g_valid = scat(jnp.ones((n,), dtype=bool), fill=False)
     g_aid = scat(jnp.arange(n, dtype=INDEX_DTYPE), fill=n)
 
+    # Displacement-based validity: park every empty slot at a unique far-away
+    # x so the d2 < cutoff^2 test alone excludes it from every pair sweep —
+    # no per-pair validity compares needed (each saved [M, W] op costs
+    # ~0.5 ms at 110k atoms).  Unique per-slot offsets (spacing >> box size)
+    # keep parked slots out of range of each other; exact coincidences
+    # (same-cell empties, self-images) fall to the d2 > eps guard.
+    slot_iota = jnp.arange(ncells * cap, dtype=dtype).reshape(cz, cy, cx, cap)
+    park = jnp.where(g_valid, 0.0, DISPLACE + slot_iota * DISPLACE_SPACING)
+    g_px = g_px + park
+
     # halo extension
     def extend(plane, periodic_fill):
         mode = []
@@ -199,7 +217,7 @@ def build_atom_grid(positions, cell, pbc, dims, radius, cap,
             out = jnp.where(is_pbc, wrapped_p, const_p)
         return out
 
-    ext_px = extend(g_px, 0.0)
+    ext_px = extend(g_px, DISPLACE)
     ext_py = extend(g_py, 0.0)
     ext_pz = extend(g_pz, 0.0)
     ext_valid = extend(g_valid, False)
@@ -334,12 +352,9 @@ def _neighbor_count_impl(grid: AtomGrid, cutoff, dims, radius, cap):
         dy = cand["py"][..., None, :] - own["py"][..., :, None]
         dz = cand["pz"][..., None, :] - own["pz"][..., :, None]
         d2 = dx * dx + dy * dy + dz * dz
-        pair_ok = (
-            own["valid"][..., :, None]
-            & cand["valid"][..., None, :]
-            & (d2 < cutoff_sq)
-            & (d2 > 1e-24)
-        )
+        # parked empty slots (build_atom_grid) fail the distance test on
+        # their own — no validity compares needed
+        pair_ok = (d2 < cutoff_sq) & (d2 > 1e-24)
         # exclude identical atom (same aid, zero shift handled by d2 > 0)
         self_pair = own["aid"][..., :, None] == cand["aid"][..., None, :]
         zero_code = cand["code"][..., None] == pack_shifts(
@@ -372,15 +387,10 @@ def _cn_impl(grid: AtomGrid, rcov_plane, cutoff, k1, dims, radius, cap,
         dy = cand["py"][..., None, :] - own["py"][..., :, None]
         dz = cand["pz"][..., None, :] - own["pz"][..., :, None]
         d2 = dx * dx + dy * dy + dz * dz
-        ok = (
-            own["valid"][..., :, None]
-            & cand["valid"][..., None, :]
-            & (d2 < cutoff_sq)
-            & (d2 > 1e-24)
-        )
-        r = jnp.sqrt(jnp.where(ok, d2, 1.0))
+        ok = (d2 < cutoff_sq) & (d2 > 1e-24)
+        inv_r = jax.lax.rsqrt(jnp.where(ok, d2, 1.0))
         rc = own["rcov"][..., :, None] + cand["rcov"][..., None, :]
-        f = 1.0 / (1.0 + jnp.exp(-k1 * (rc / r - 1.0)))
+        f = 1.0 / (1.0 + jnp.exp(-k1 * (rc * inv_r - 1.0)))
         return cn + jnp.sum(jnp.where(ok, f, 0.0), axis=-1)
 
     cz, cy, cx = dims
@@ -421,12 +431,18 @@ def _extend_like(grid: AtomGrid, plane, fill):
     return jnp.where(valid, out, fill)
 
 
-@partial(jax.jit, static_argnames=("dims", "radius", "cap"))
+@partial(jax.jit, static_argnames=("cutoff", "alpha", "dims", "radius", "cap"))
 def _coulomb_impl(grid: AtomGrid, q_plane, q_ext, cutoff, alpha, dims, radius, cap):
-    """Symmetric half-space sweep: each pair computed once, j-side folded."""
+    """Symmetric half-space sweep: each pair computed once, j-side folded.
+
+    ``cutoff``/``alpha`` are static so the undamped path never evaluates
+    the erfc branch (the traced-``where`` version paid both branches on
+    every pair slot); validity compares are gone entirely — parked empty
+    slots (build_atom_grid) fail the distance test on their own.
+    """
     dtype = grid.ext_px.dtype
-    cutoff_t = jnp.asarray(cutoff, dtype=dtype)
-    alpha_t = jnp.asarray(alpha, dtype=dtype)
+    cutoff_sq = float(cutoff) ** 2
+    alpha_t = float(alpha)
     from nvalchemiops_tpu.mathops.math import erfc_approx
 
     two_over_sqrt_pi = 1.1283791670955126
@@ -439,36 +455,31 @@ def _coulomb_impl(grid: AtomGrid, q_plane, q_ext, cutoff, alpha, dims, radius, c
         dy = cand["py"][..., None, :] - own["py"][..., :, None]
         dz = cand["pz"][..., None, :] - own["pz"][..., :, None]
         d2 = dx * dx + dy * dy + dz * dz
-        ok = (
-            own["valid"][..., :, None]
-            & cand["valid"][..., None, :]
-            & (d2 < cutoff_t * cutoff_t)
-            & (d2 > 1e-20)
-        )
+        ok = (d2 < cutoff_sq) & (d2 > 1e-20)
         if home:
             ok &= upper
         inv_r = jax.lax.rsqrt(jnp.where(ok, d2, 1.0))
-        r = jnp.where(ok, d2, 1.0) * inv_r
         qq = own["q"][..., :, None] * cand["q"][..., None, :]
-        ar = alpha_t * r
-        erfc_ar = erfc_approx(ar)
-        damped = alpha_t > 0
-        phi = jnp.where(damped, erfc_ar * inv_r, inv_r)
-        mag = jnp.where(
-            damped,
-            (erfc_ar * inv_r + two_over_sqrt_pi * alpha_t * jnp.exp(-ar * ar))
-            * inv_r * inv_r,
-            inv_r * inv_r * inv_r,
-        )
+        if alpha_t > 0:
+            r = jnp.where(ok, d2, 1.0) * inv_r
+            ar = alpha_t * r
+            erfc_ar = erfc_approx(ar)
+            phi = erfc_ar * inv_r
+            mag = (
+                erfc_ar * inv_r + two_over_sqrt_pi * alpha_t * jnp.exp(-ar * ar)
+            ) * inv_r * inv_r
+        else:
+            phi = inv_r
+            mag = inv_r * inv_r * inv_r
         e_pair = jnp.where(ok, 0.5 * qq * phi, 0.0)
         coef = jnp.where(ok, qq * mag, 0.0)
         cfx = coef * dx
         cfy = coef * dy
         cfz = coef * dz
         e = e + jnp.sum(e_pair, axis=-1)
-        fx = fx + jnp.sum(-cfx, axis=-1)
-        fy = fy + jnp.sum(-cfy, axis=-1)
-        fz = fz + jnp.sum(-cfz, axis=-1)
+        fx = fx - jnp.sum(cfx, axis=-1)
+        fy = fy - jnp.sum(cfy, axis=-1)
+        fz = fz - jnp.sum(cfz, axis=-1)
         # j-side: same pair energy, opposite force
         deltas = (
             jnp.sum(e_pair, axis=-2),
@@ -504,12 +515,10 @@ def _coulomb_block_impl(grid: AtomGrid, q_plane, q_ext, cutoff: float,
     alpha_t = float(alpha)
     two_over_sqrt_pi = 1.1283791670955126
     cz, cy, cx = dims
-    vm_ext = grid.ext_valid.astype(dtype)
     own_cols = {
         "s": pack_columns(
             _interior(grid, grid.ext_px), _interior(grid, grid.ext_py),
             _interior(grid, grid.ext_pz), q_plane,
-            _interior(grid, vm_ext),
         )
     }
     ez, ey, ex = cz + 2 * radius[0], cy + 2 * radius[1], cx + 2 * radius[2]
@@ -518,7 +527,6 @@ def _coulomb_block_impl(grid: AtomGrid, q_plane, q_ext, cutoff: float,
         "py": grid.ext_py.reshape(ez, ey, ex * cap),
         "pz": grid.ext_pz.reshape(ez, ey, ex * cap),
         "q": q_ext.reshape(ez, ey, ex * cap),
-        "vm": vm_ext.reshape(ez, ey, ex * cap),
     }
 
     def body(own, crow, ccol, pair_ok):
@@ -527,15 +535,12 @@ def _coulomb_block_impl(grid: AtomGrid, q_plane, q_ext, cutoff: float,
         dy = crow["py"] - s[:, 1:2]
         dz = crow["pz"] - s[:, 2:3]
         d2 = dx * dx + dy * dy + dz * dz
-        ok = (
-            pair_ok
-            & (s[:, 4:5] > 0) & (crow["vm"] > 0)
-            & (d2 < cutoff_t * cutoff_t) & (d2 > 1e-20)
-        )
+        # parked empty slots fail the distance test (build_atom_grid)
+        ok = pair_ok & (d2 < cutoff_t * cutoff_t) & (d2 > 1e-20)
         inv_r = jax.lax.rsqrt(jnp.where(ok, d2, 1.0))
-        r = jnp.where(ok, d2, 1.0) * inv_r
         qq = s[:, 3:4] * crow["q"]
         if alpha_t > 0:
+            r = jnp.where(ok, d2, 1.0) * inv_r
             ar = alpha_t * r
             erfc_ar = erfc_approx(ar)
             phi = erfc_ar * inv_r
@@ -546,11 +551,11 @@ def _coulomb_block_impl(grid: AtomGrid, q_plane, q_ext, cutoff: float,
             phi = inv_r
             mag = inv_r * inv_r * inv_r
         e_pair = jnp.where(ok, 0.5 * qq * phi, 0.0)
-        coef = jnp.where(ok, qq * mag, 0.0)
-        cfx = coef * dx
-        cfy = coef * dy
-        cfz = coef * dz
-        return (e_pair, -cfx, -cfy, -cfz), (e_pair, cfx, cfy, cfz)
+        ncoef = jnp.where(ok, -(qq * mag), 0.0)
+        mfx = ncoef * dx     # own-side force contribution (already negated)
+        mfy = ncoef * dy
+        mfz = ncoef * dz
+        return (e_pair, mfx, mfy, mfz), (e_pair, ("neg", mfx), ("neg", mfy), ("neg", mfz))
 
     (e, fx, fy, fz), (e2, fx2, fy2, fz2) = block_sweep(
         dims, radius, cap, own_cols, cand_rows, {}, body, 4, 4,
@@ -579,7 +584,8 @@ def grid_coulomb_energy_forces(grid: AtomGrid, charges, cutoff, alpha=0.0,
         )
     else:
         e, fx, fy, fz = _coulomb_impl(
-            grid, q_plane, q_ext, cutoff, alpha, grid.dims, grid.radius, grid.cap
+            grid, q_plane, q_ext, float(cutoff), float(alpha),
+            grid.dims, grid.radius, grid.cap
         )
     energies = gather_from_grid(grid, e)
     forces = jnp.stack(

@@ -114,27 +114,33 @@ def _grid_d3_impl(
 ):
     dtype = grid.ext_px.dtype
     cz, cy, cx = dims
+    rz_, ry_, rx_ = radius
     cutoff_sq = jnp.asarray(cutoff, dtype=dtype) ** 2
+
+    # Padding atoms (numbers == 0) get parked like the build's empty slots
+    # (displacement-based validity): the shadowed "px" planes below replace
+    # the grid's own in the sweep and every validity compare disappears
+    # from the pair bodies.
+    from nvalchemiops_tpu.grid import DISPLACE, DISPLACE_SPACING, _interior
+    ez_, ey_, ex_ = cz + 2 * rz_, cy + 2 * ry_, cx + 2 * rx_
+    ext_iota = jnp.arange(ez_ * ey_ * ex_ * cap, dtype=dtype).reshape(
+        ez_, ey_, ex_, cap)
+    ext_px_d = grid.ext_px + jnp.where(
+        z_ext == 0, DISPLACE + ext_iota * DISPLACE_SPACING, 0.0)
 
     def geom(own, cand):
         """Returns (ok, inv_r, dx, dy, dz); r = d2 * inv_r.
 
         One rsqrt instead of sqrt + later divisions — every downstream
         1/r^k is assembled from inv_r products (divisions are the most
-        expensive VPU ops in these bodies).
+        expensive VPU ops in these bodies).  Validity falls out of the
+        distance test alone (parked invalid slots).
         """
         dx = cand["px"][..., None, :] - own["px"][..., :, None]
         dy = cand["py"][..., None, :] - own["py"][..., :, None]
         dz = cand["pz"][..., None, :] - own["pz"][..., :, None]
         d2 = dx * dx + dy * dy + dz * dz
-        ok = (
-            own["valid"][..., :, None]
-            & cand["valid"][..., None, :]
-            & (d2 < cutoff_sq)
-            & (d2 > 1e-20)
-            & (own["z"][..., :, None] != 0)
-            & (cand["z"][..., None, :] != 0)
-        )
+        ok = (d2 < cutoff_sq) & (d2 > 1e-20)
         r2m = jnp.where(ok, d2, 1.0)
         inv_r = jax.lax.rsqrt(r2m)
         return ok, inv_r, r2m, dx, dy, dz
@@ -150,8 +156,8 @@ def _grid_d3_impl(
         f = jnp.where(ok, 1.0 / (1.0 + jnp.exp(-k1 * (rc * inv_r - 1.0))), 0.0)
         return cn + jnp.sum(f, axis=-1), (jnp.sum(f, axis=-2),)
 
-    extra_ext = (("z", z_ext), ("rcov", rcov_ext))
-    extra_own = (("z", z_plane), ("rcov", rcov_plane))
+    extra_ext = (("px", ext_px_d), ("rcov", rcov_ext))
+    extra_own = (("px", _interior(grid, ext_px_d)), ("rcov", rcov_plane))
     cn_plane, (cn_fold,) = grid_row_reduce_sym(
         grid, cn_kern, jnp.zeros((cz, cy, cx, cap), dtype), 1,
         extra_ext_planes=extra_ext, extra_own_planes=extra_own,
@@ -238,21 +244,24 @@ def _grid_d3_impl(
         good = w > 1e-12
         w_inv = 1.0 / jnp.where(good, w, 1.0)
         c6 = jnp.where(good, zacc * w_inv, 0.0)
-        two_k3_winv = jnp.where(good, (2.0 * k3) * w_inv, 0.0)
-        dc6_dcni = two_k3_winv * (z_di - c6 * w_di)
-        dc6_dcnj = two_k3_winv * (z_dj - c6 * w_dj)
 
         pair_ok = ok & (c6 >= 1e-12)
-        rr = 3.0 * own["r4r2"][..., :, None] * cand["r4r2"][..., None, :]
-        r0 = a1 * jnp.sqrt(rr) + a2
+        # si = sqrt(sqrt(3) r4r2) per atom: rr = (si_i si_j)^2, r0 needs no
+        # per-slot sqrt
+        t = own["si"][..., :, None] * cand["si"][..., None, :]
+        rr = t * t
+        r0 = a1 * t + a2
         r4 = r2_ * r2_
         r6 = r4 * r2_
         r8 = r4 * r4
         r0_2 = r0 * r0
         r0_6 = r0_2 * r0_2 * r0_2
-        r0_8 = r0_2 * r0_2 * r0_2 * r0_2
-        den6_inv = 1.0 / (r6 + r0_6)
-        den8_inv = 1.0 / (r8 + r0_8)
+        r0_8 = r0_6 * r0_2
+        den6 = r6 + r0_6
+        den8 = r8 + r0_8
+        rec = 1.0 / (den6 * den8)          # one divide for both dampings
+        den6_inv = rec * den8
+        den8_inv = rec * den6
         damp_sum = s6 * den6_inv + s8 * rr * den8_inv
 
         e_ij = -c6 * damp_sum
@@ -264,26 +273,30 @@ def _grid_d3_impl(
         cfx = coef * dx
         cfy = coef * dy
         cfz = coef * dz
+        # dei/dej = -damp (2 k3 / w)(z_d - c6 w_d): shared prefactor
+        m = jnp.where(pair_ok, (-2.0 * k3) * damp_sum * w_inv, 0.0)
         e = e + jnp.sum(jnp.where(pair_ok, e_ij, 0.0), axis=-1)
         fx_a = fx_a + jnp.sum(cfx, axis=-1)
         fy_a = fy_a + jnp.sum(cfy, axis=-1)
         fz_a = fz_a + jnp.sum(cfz, axis=-1)
-        decn = decn + jnp.sum(jnp.where(pair_ok, -damp_sum * dc6_dcni, 0.0), axis=-1)
+        decn = decn + jnp.sum(m * (z_di - c6 * w_di), axis=-1)
         deltas = (
-            jnp.sum(-cfx, axis=-2),
-            jnp.sum(-cfy, axis=-2),
-            jnp.sum(-cfz, axis=-2),
-            jnp.sum(jnp.where(pair_ok, -damp_sum * dc6_dcnj, 0.0), axis=-2),
+            -jnp.sum(cfx, axis=-2),
+            -jnp.sum(cfy, axis=-2),
+            -jnp.sum(cfz, axis=-2),
+            jnp.sum(m * (z_dj - c6 * w_dj), axis=-2),
         )
         return (e, fx_a, fy_a, fz_a, decn), deltas
 
     zeros = jnp.zeros((cz, cy, cx, cap), dtype)
+    si_plane = jnp.sqrt(r4r2_plane * 1.7320508075688772)
+    si_ext = jnp.sqrt(r4r2_ext * 1.7320508075688772)
     extra_ext2 = extra_ext + (
-        ("r4r2", r4r2_ext), ("rf", rf_ext), ("rfd", rfd_ext),
+        ("si", si_ext), ("rf", rf_ext), ("rfd", rfd_ext),
         ("w", w_ext), ("wd", wd_ext),
     )
     extra_own2 = extra_own + (
-        ("r4r2", r4r2_plane), ("lf", lf_plane),
+        ("si", si_plane), ("lf", lf_plane),
         ("w", w_plane), ("wd", wd_plane),
     )
     (e_pl, fx_pl, fy_pl, fz_pl, decn_pl), (dfx, dfy, dfz, ddecn) = grid_row_reduce_sym(
@@ -316,9 +329,9 @@ def _grid_d3_impl(
         fy_a = fy_a + jnp.sum(cfy, axis=-1)
         fz_a = fz_a + jnp.sum(cfz, axis=-1)
         deltas = (
-            jnp.sum(-cfx, axis=-2),
-            jnp.sum(-cfy, axis=-2),
-            jnp.sum(-cfz, axis=-2),
+            -jnp.sum(cfx, axis=-2),
+            -jnp.sum(cfy, axis=-2),
+            -jnp.sum(cfz, axis=-2),
         )
         return (fx_a, fy_a, fz_a), deltas
 
@@ -614,14 +627,22 @@ def _grid_d3_block_impl(
     cutoff_sq = cutoff * cutoff
     zm = zmax1 * mesh
 
-    vm_ext = (grid.ext_valid & (z_ext != 0)).astype(dtype)
+    # Displacement-based validity: empty slots are parked far away by the
+    # grid build; padding atoms (numbers == 0) get an extra unique parking
+    # displacement here, so the pair bodies need no validity compares at
+    # all (each saved [M, W] op costs ~0.5 ms at 110k atoms).
+    from nvalchemiops_tpu.grid import DISPLACE, DISPLACE_SPACING
+    ext_iota = jnp.arange(ez * ey * lext, dtype=dtype).reshape(
+        ez, ey, ex, cap)
+    ext_px_d = grid.ext_px + jnp.where(
+        z_ext == 0, DISPLACE + ext_iota * DISPLACE_SPACING, 0.0)
 
     def rows(p):
         return p.reshape(ez, ey, lext)
 
     geom_rows = {
-        "px": rows(grid.ext_px), "py": rows(grid.ext_py),
-        "pz": rows(grid.ext_pz), "vm": rows(vm_ext),
+        "px": rows(ext_px_d), "py": rows(grid.ext_py),
+        "pz": rows(grid.ext_pz),
     }
 
     def geom(s, crow, pair_ok):
@@ -629,22 +650,22 @@ def _grid_d3_block_impl(
         dy = crow["py"] - s[:, 1:2]
         dz = crow["pz"] - s[:, 2:3]
         d2 = dx * dx + dy * dy + dz * dz
-        base = pair_ok & (s[:, 3:4] > 0) & (crow["vm"] > 0) & (d2 > 1e-20)
+        base = pair_ok & (d2 > 1e-20)
         ok = base & (d2 < cutoff_sq)
         r2m = jnp.where(ok, d2, 1.0)
         inv_r = jax.lax.rsqrt(r2m)
         return ok, inv_r, r2m, dx, dy, dz, base, d2
 
     geom_own = (
-        _interior(grid, grid.ext_px), _interior(grid, grid.ext_py),
-        _interior(grid, grid.ext_pz), _interior(grid, vm_ext),
+        _interior(grid, ext_px_d), _interior(grid, grid.ext_py),
+        _interior(grid, grid.ext_pz),
     )
 
     # ---- pass 1: coordination numbers ------------------------------------
     def cn_body(own, crow, ccol, pair_ok):
         s = own["s"]
         ok, inv_r, *_rest = geom(s, crow, pair_ok)
-        rc = s[:, 4:5] + crow["rcov"]
+        rc = s[:, 3:4] + crow["rcov"]
         f = jnp.where(ok, 1.0 / (1.0 + jnp.exp(-k1 * (rc * inv_r - 1.0))), 0.0)
         return (f,), (f,)
 
@@ -715,28 +736,31 @@ def _grid_d3_block_impl(
                                    preferred_element_type=dtype)
         z_dj = jax.lax.dot_general(lf[:, :zm], ccol["rfd"], dn,
                                    preferred_element_type=dtype)
-        w = s[:, 5:6] * crow["w"]
-        w_di = s[:, 6:7] * crow["w"]
-        w_dj = s[:, 5:6] * crow["wd"]
+        w = s[:, 4:5] * crow["w"]
+        w_di = s[:, 5:6] * crow["w"]
+        w_dj = s[:, 4:5] * crow["wd"]
 
         good = w > 1e-12
         w_inv = 1.0 / jnp.where(good, w, 1.0)
         c6 = jnp.where(good, zacc * w_inv, 0.0)
-        two_k3_winv = jnp.where(good, (2.0 * k3) * w_inv, 0.0)
-        dc6_dcni = two_k3_winv * (z_di - c6 * w_di)
-        dc6_dcnj = two_k3_winv * (z_dj - c6 * w_dj)
 
         pair_good = ok & (c6 >= 1e-12)
-        rr = 3.0 * s[:, 4:5] * crow["r4r2"]
-        r0 = a1 * jnp.sqrt(rr) + a2
+        # si = (3 r4r2)^(1/2)-style per-atom factor: rr = 3 r4r2_i r4r2_j
+        # and r0 = a1 sqrt(rr) + a2 with no per-slot sqrt
+        t = s[:, 3:4] * crow["si"]
+        rr = t * t
+        r0 = a1 * t + a2
         r4 = r2_ * r2_
         r6 = r4 * r2_
         r8 = r4 * r4
         r0_2 = r0 * r0
         r0_6 = r0_2 * r0_2 * r0_2
-        r0_8 = r0_2 * r0_2 * r0_2 * r0_2
-        den6_inv = 1.0 / (r6 + r0_6)
-        den8_inv = 1.0 / (r8 + r0_8)
+        r0_8 = r0_6 * r0_2
+        den6 = r6 + r0_6
+        den8 = r8 + r0_8
+        rec = 1.0 / (den6 * den8)          # one divide for both dampings
+        den6_inv = rec * den8
+        den8_inv = rec * den6
         damp_sum = s6 * den6_inv + s8 * rr * den8_inv
 
         e_ij = jnp.where(pair_good, -c6 * damp_sum, 0.0)
@@ -746,15 +770,17 @@ def _grid_d3_block_impl(
         cfx = coef * dx
         cfy = coef * dy
         cfz = coef * dz
-        dei = jnp.where(pair_good, -damp_sum * dc6_dcni, 0.0)
-        dej = jnp.where(pair_good, -damp_sum * dc6_dcnj, 0.0)
+        # dei/dej = -damp * (2 k3 / w) * (z_d - c6 w_d): share the prefactor
+        m = jnp.where(pair_good, (-2.0 * k3) * damp_sum * w_inv, 0.0)
+        dei = m * (z_di - c6 * w_di)
+        dej = m * (z_dj - c6 * w_dj)
         own_blocks = (e_ij, cfx, cfy, cfz, dei)
-        j_blocks = (-cfx, -cfy, -cfz, dej)
+        j_blocks = (("neg", cfx), ("neg", cfy), ("neg", cfz), dej)
         if with_coulomb:
             from nvalchemiops_tpu.mathops.math import erfc_approx
             ok_c = base & (d2 < ccutoff * ccutoff)
             inv_rc = jax.lax.rsqrt(jnp.where(ok_c, d2, 1.0))
-            qq = s[:, 7:8] * crow["q"]
+            qq = s[:, 6:7] * crow["q"]
             if calpha > 0:
                 rc_ = jnp.where(ok_c, d2, 1.0) * inv_rc
                 ar = calpha * rc_
@@ -767,15 +793,20 @@ def _grid_d3_block_impl(
                 phi = inv_rc
                 mag = inv_rc * inv_rc * inv_rc
             e_c = jnp.where(ok_c, 0.5 * qq * phi, 0.0)
-            coef_c = jnp.where(ok_c, qq * mag, 0.0)
-            gx = coef_c * dx
-            gy = coef_c * dy
-            gz = coef_c * dz
-            own_blocks = own_blocks + (e_c, -gx, -gy, -gz)
-            j_blocks = j_blocks + (e_c, gx, gy, gz)
+            ncoef_c = jnp.where(ok_c, -(qq * mag), 0.0)
+            mgx = ncoef_c * dx   # own-side force contribution (negated)
+            mgy = ncoef_c * dy
+            mgz = ncoef_c * dz
+            own_blocks = own_blocks + (e_c, mgx, mgy, mgz)
+            j_blocks = j_blocks + (e_c, ("neg", mgx), ("neg", mgy),
+                                   ("neg", mgz))
         return own_blocks, j_blocks
 
-    own2_cols = list(geom_own) + [r4r2_plane, w_plane, wd_plane]
+    # si = sqrt(sqrt(3) * r4r2): si_i * si_j squares to rr = 3 r4r2_i r4r2_j,
+    # removing the per-slot sqrt from the BJ radius
+    si_plane = jnp.sqrt(r4r2_plane * 1.7320508075688772)
+    si_ext = jnp.sqrt(r4r2_ext * 1.7320508075688772)
+    own2_cols = list(geom_own) + [si_plane, w_plane, wd_plane]
     if with_coulomb:
         own2_cols.append(q_plane)
     own2 = {
@@ -784,7 +815,7 @@ def _grid_d3_block_impl(
     }
     crow2 = dict(
         geom_rows,
-        r4r2=rows(r4r2_ext), w=rows(w_ext), wd=rows(wd_ext),
+        si=rows(si_ext), w=rows(w_ext), wd=rows(wd_ext),
     )
     if with_coulomb:
         crow2["q"] = rows(q_ext)
@@ -816,16 +847,16 @@ def _grid_d3_block_impl(
     def chain_body(own, crow, ccol, pair_ok):
         s = own["s"]
         ok, inv_r, _r2, dx, dy, dz, *_rest = geom(s, crow, pair_ok)
-        rc = s[:, 4:5] + crow["rcov"]
+        rc = s[:, 3:4] + crow["rcov"]
         rrq = rc * inv_r
         f_cn = 1.0 / (1.0 + jnp.exp(-k1 * (rrq - 1.0)))
         dcn_dr_r = -f_cn * (1.0 - f_cn) * k1 * rrq * inv_r * inv_r
-        de_chain = (s[:, 5:6] + crow["decn"]) * dcn_dr_r
+        de_chain = (s[:, 4:5] + crow["decn"]) * dcn_dr_r
         coef = jnp.where(ok, de_chain, 0.0)
         cfx = coef * dx
         cfy = coef * dy
         cfz = coef * dz
-        return (cfx, cfy, cfz), (-cfx, -cfy, -cfz)
+        return (cfx, cfy, cfz), (("neg", cfx), ("neg", cfy), ("neg", cfz))
 
     own3 = {"s": pack_columns(*geom_own, rcov_plane, decn_pl)}
     crow3 = dict(geom_rows, rcov=rows(rcov_ext),

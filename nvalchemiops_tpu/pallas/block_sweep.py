@@ -127,6 +127,10 @@ def block_sweep(
         masked/invalid slots; the harness reduces them with exact
         ones-contractions.  ``own_blocks`` row-sums become per-own-atom
         deltas, ``j_blocks`` column-sums become candidate-side deltas.
+        A ``j_blocks`` entry may be ``("neg", blk)``: the harness negates
+        *after* the column reduce ([1, W] instead of [M, W] — measured
+        ~0.5 ms per saved [M, W] op at 110k atoms), so symmetric force
+        blocks never materialize their negation.
 
     Returns ``(own_accs, ext_accs)``: tuples of [cz, cy, cx, cap] interior
     planes and [ez, ey, ex, cap] extended accumulators (fold with
@@ -202,8 +206,12 @@ def block_sweep(
             for a, blk in zip(scratch, own_blocks):
                 a[s_own:s_own + m, 0:1] += jnp.sum(blk, axis=1, keepdims=True)
             for r, blk in zip(j_out, j_blocks):
-                r[0, 0, 0, 0:1, s_cand:s_cand + w] += jnp.sum(
-                    blk, axis=0, keepdims=True)
+                if isinstance(blk, tuple) and blk[0] == "neg":
+                    r[0, 0, 0, 0:1, s_cand:s_cand + w] += -jnp.sum(
+                        blk[1], axis=0, keepdims=True)
+                else:
+                    r[0, 0, 0, 0:1, s_cand:s_cand + w] += jnp.sum(
+                        blk, axis=0, keepdims=True)
 
         # last offset: one tiny exact transpose dot per accumulator
         # ([8, 8] identity contracted at HIGHEST — K=8, cost negligible)

@@ -25,12 +25,20 @@ from nvalchemiops_tpu.parallel.mlip import (  # noqa: F401
     sharded_train_step,
     train_step,
 )
+from nvalchemiops_tpu.parallel.domain import (  # noqa: F401
+    domain_coulomb_energy_forces,
+    domain_dftd3_cn,
+    make_z_mesh,
+)
 
 __all__ = [
     "MLIPParams",
     "batched_energy_forces",
+    "domain_coulomb_energy_forces",
+    "domain_dftd3_cn",
     "init_mlip_params",
     "make_mesh",
+    "make_z_mesh",
     "mlip_energy",
     "shard_batch",
     "sharded_train_step",

@@ -1,0 +1,90 @@
+"""Domain-decomposition (z-slab shard_map) sweeps vs the single-device grid."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nvalchemiops_tpu.grid import (
+    build_atom_grid,
+    estimate_grid_geometry,
+    grid_coulomb_energy_forces,
+    grid_coordination_numbers,
+)
+from nvalchemiops_tpu.parallel.domain import (
+    make_z_mesh,
+    domain_coulomb_energy_forces,
+    domain_dftd3_cn,
+)
+
+
+def _system(n=800, box=32.0, seed=3):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(0, box, (n, 3))
+    q = rng.normal(size=n).astype(np.float32)
+    cell = np.eye(3) * box
+    return pos, q, cell
+
+
+def _grid(pos, cell, pbc, cutoff, n):
+    # 32 A box with 4 A bins -> 8 cells per dim, radius 1: one-cell-thick
+    # slabs across the 8-device mesh
+    dims, radius, cap = estimate_grid_geometry(
+        cell, pbc, cutoff, n, target_occupancy=0.4
+    )
+    g = build_atom_grid(jnp.asarray(pos, jnp.float32),
+                        jnp.asarray(cell, jnp.float32), pbc, dims, radius, cap)
+    assert int(g.counts_max) <= cap
+    return g
+
+
+@pytest.fixture(scope="module")
+def zmesh():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    return make_z_mesh()
+
+
+@pytest.mark.parametrize("alpha", [0.0, 0.35])
+def test_domain_coulomb_matches_single_device(zmesh, alpha):
+    pos, q, cell = _system()
+    pbc = np.array([True] * 3)
+    cutoff = 4.0
+    g = _grid(pos, cell, pbc, cutoff, len(pos))
+    assert g.dims[0] % zmesh.devices.size == 0
+    e_ref, f_ref = grid_coulomb_energy_forces(g, jnp.asarray(q), cutoff, alpha)
+    e, f = domain_coulomb_energy_forces(zmesh, g, jnp.asarray(q),
+                                        jnp.asarray(cell, jnp.float32),
+                                        cutoff, alpha)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), atol=2e-5)
+
+
+def test_domain_cn_matches_single_device(zmesh):
+    pos, q, cell = _system(seed=5)
+    pbc = np.array([True] * 3)
+    cutoff = 4.0
+    n = len(pos)
+    g = _grid(pos, cell, pbc, cutoff, n)
+    rng = np.random.default_rng(0)
+    rcov = jnp.asarray(rng.uniform(0.6, 1.4, n), jnp.float32)
+    cn_ref = grid_coordination_numbers(g, rcov, cutoff)
+    cn = domain_dftd3_cn(zmesh, g, rcov, jnp.asarray(cell, jnp.float32),
+                         cutoff)
+    np.testing.assert_allclose(np.asarray(cn), np.asarray(cn_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_domain_rejects_bad_slabs(zmesh):
+    pos, q, cell = _system(n=100, box=9.0)
+    pbc = np.array([True] * 3)
+    dims, radius, cap = estimate_grid_geometry(cell, pbc, 3.0, 100,
+                                               target_occupancy=0.4)
+    g = build_atom_grid(jnp.asarray(pos, jnp.float32),
+                        jnp.asarray(cell, jnp.float32), pbc, dims, radius, cap)
+    if g.dims[0] % zmesh.devices.size == 0 and \
+            g.dims[0] // zmesh.devices.size >= g.radius[0]:
+        pytest.skip("grid happens to divide evenly")
+    with pytest.raises(ValueError):
+        domain_coulomb_energy_forces(zmesh, g, jnp.asarray(q),
+                                     jnp.asarray(cell, jnp.float32), 3.0)
