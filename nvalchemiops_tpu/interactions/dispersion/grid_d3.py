@@ -724,17 +724,19 @@ def _grid_d3_block_impl(
         s = own["s"]
         ok, inv_r, r2_, dx, dy, dz, base, d2 = geom(s, crow, pair_ok)
         lf = own["lf"]
-        dn = (((1,), (1,)), ((), ()))
-        # Default (single-bf16-pass) dots: measured on chip, HIGHEST costs
-        # +5 ms and does NOT improve end accuracy — the dc6/dCN chain is a
-        # near-cancellation that amplifies CN input rounding (~1e-6) to
-        # ~1e-4 absolute force noise on weak-force atoms regardless of dot
-        # precision (the XLA engine shows the same internal spread).
-        zacc = jax.lax.dot_general(lf[:, :zm], ccol["rf"], dn,
+        # [M, K] x [K, W] against the pre-transposed candidate features —
+        # no per-block rhs transpose in Mosaic.  Default (single-bf16-pass)
+        # dots: measured on chip, HIGHEST costs +5 ms and does NOT improve
+        # end accuracy — the dc6/dCN chain is a near-cancellation that
+        # amplifies CN input rounding (~1e-6) to ~1e-4 absolute force
+        # noise on weak-force atoms regardless of dot precision (the XLA
+        # engine shows the same internal spread).
+        dn = (((1,), (0,)), ((), ()))
+        zacc = jax.lax.dot_general(lf[:, :zm], ccol["rfT"], dn,
                                    preferred_element_type=dtype)
-        z_di = jax.lax.dot_general(lf[:, zm:], ccol["rf"], dn,
+        z_di = jax.lax.dot_general(lf[:, zm:], ccol["rfT"], dn,
                                    preferred_element_type=dtype)
-        z_dj = jax.lax.dot_general(lf[:, :zm], ccol["rfd"], dn,
+        z_dj = jax.lax.dot_general(lf[:, :zm], ccol["rfdT"], dn,
                                    preferred_element_type=dtype)
         w = s[:, 4:5] * crow["w"]
         w_di = s[:, 5:6] * crow["w"]
@@ -819,18 +821,18 @@ def _grid_d3_block_impl(
     )
     if with_coulomb:
         crow2["q"] = rows(q_ext)
-    ccol2 = {
-        "rf": rf_ext5.reshape(ez, ey, lext, zm),
-        "rfd": rfd_ext5.reshape(ez, ey, lext, zm),
+    ccolt2 = {
+        "rfT": jnp.swapaxes(rf_ext5.reshape(ez, ey, lext, zm), 2, 3),
+        "rfdT": jnp.swapaxes(rfd_ext5.reshape(ez, ey, lext, zm), 2, 3),
     }
     n_own2 = 9 if with_coulomb else 5
     n_j2 = 8 if with_coulomb else 4
     acc2, j2 = block_sweep(
-        dims, radius, cap, own2, crow2, ccol2, direct_body, n_own2, n_j2,
+        dims, radius, cap, own2, crow2, {}, direct_body, n_own2, n_j2,
         G=block_G or choose_super_chunk(cx, cap, rx,
                                         vmem_budget_bytes=10 << 20,
                                         live_blocks=16 if with_coulomb else 12),
-        dtype=dtype, interpret=interpret,
+        dtype=dtype, interpret=interpret, cand_colsT=ccolt2,
     )
     e_pl, fx_pl, fy_pl, fz_pl, decn_pl = acc2[:5]
     fx_pl = fx_pl + fold_halo(grid, j2[0])

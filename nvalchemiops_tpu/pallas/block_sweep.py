@@ -110,6 +110,7 @@ def block_sweep(
     G: int | None = None,
     dtype=jnp.float32,
     interpret: bool = False,
+    cand_colsT: dict | None = None,
 ):
     """Run ``body`` over all symmetric super-chunk pair blocks.
 
@@ -119,7 +120,13 @@ def block_sweep(
         sublanes).  Scalar per-atom data is a column plane with F == 1
         (pack several scalars with :func:`pack_columns`).
     cand_rows : dict name -> [ez, ey, ex*cap] row planes (values on lanes).
-    cand_cols : dict name -> [ez, ey, ex*cap, F] column planes (MXU rhs).
+    cand_cols : dict name -> [ez, ey, ex*cap, F] column planes (MXU rhs;
+        the body sees [W, F] slices and must contract lanes-vs-lanes,
+        which Mosaic realizes with an in-kernel rhs transpose).
+    cand_colsT : dict name -> [ez, ey, F, ex*cap] *pre-transposed* column
+        planes: the body sees [F, W] slices, so ``lf [M, F] @ slice`` is a
+        direct [M, K] x [K, W] matmul with no per-block transpose.  Merged
+        into the body's ``cand_col`` dict (keys must not collide).
     body(own, cand_row, cand_col, pair_ok) -> (own_blocks, j_blocks):
         own[k] = [M, F_k]; cand_row[k] = [1, W]; cand_col[k] = [W, F_k];
         ``pair_ok`` [M, W] bool (False where the pair must not contribute:
@@ -154,14 +161,17 @@ def block_sweep(
     dz_arr = jnp.asarray([o[0] + rz for o in offs], INDEX_DTYPE)
     dy_arr = jnp.asarray([o[1] + ry for o in offs], INDEX_DTYPE)
 
+    cand_colsT = cand_colsT or {}
     own_names = sorted(own_cols)
     crow_names = sorted(cand_rows)
     ccol_names = sorted(cand_cols)
+    ccolt_names = sorted(cand_colsT)
 
     hi_prec = jax.lax.Precision.HIGHEST
 
     def kernel(dzr, dyr, *refs):
-        n_in = len(own_names) + len(crow_names) + len(ccol_names)
+        n_in = (len(own_names) + len(crow_names) + len(ccol_names)
+                + len(ccolt_names))
         in_refs = refs[:n_in]
         out_refs = refs[n_in:n_in + num_own_out + num_j_out]
         scratch = refs[n_in + num_own_out + num_j_out:]
@@ -169,6 +179,7 @@ def block_sweep(
         own_refs = {k: next(it) for k in own_names}
         crow_refs = {k: next(it) for k in crow_names}
         ccol_refs = {k: next(it) for k in ccol_names}
+        ccolt_refs = {k: next(it) for k in ccolt_names}
         own_out = out_refs[:num_own_out]
         j_out = out_refs[num_own_out:]
 
@@ -200,6 +211,8 @@ def block_sweep(
             cand_col = {
                 k: r[0, 0, s_cand:s_cand + w, :] for k, r in ccol_refs.items()
             }
+            for k, r in ccolt_refs.items():
+                cand_col[k] = r[0, 0, :, s_cand:s_cand + w]
             own_blocks, j_blocks = body(own, cand_row, cand_col, pair_ok)
             # exact VPU reductions: lane-reduce for the own side into a
             # [lrow, 8] scratch column, sublane-reduce for the j side
@@ -254,6 +267,13 @@ def block_sweep(
             lambda z, y, o, dzr, dyr: (z + dzr[o], y + dyr[o], 0, 0),
             memory_space=pltpu.VMEM))
         inputs.append(cand_cols[k])
+    for k in ccolt_names:
+        f = cand_colsT[k].shape[2]
+        in_specs.append(pl.BlockSpec(
+            (1, 1, f, lext),
+            lambda z, y, o, dzr, dyr: (z + dzr[o], y + dyr[o], 0, 0),
+            memory_space=pltpu.VMEM))
+        inputs.append(cand_colsT[k])
 
     own_out_specs = [
         pl.BlockSpec((1, 1, 8, lrow),
