@@ -97,6 +97,199 @@ def element_c6_mask(c6ab):
     return jnp.asarray(m.astype(c6.dtype))
 
 
+def make_d3_row_kernels(cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper,
+                        precision=None):
+    """The three D3 pass bodies for [.., cap, W] row-window pair blocks.
+
+    ``kern(carry, own, cand, home) -> (carry, j_deltas)`` matching the
+    :func:`nvalchemiops_tpu.grid.grid_row_reduce_sym` contract; shared by
+    the single-device XLA engine and the z-slab domain decomposition
+    (parallel/domain.py), so the two stay numerically identical by
+    construction.  Validity compares are absent — parked invalid slots
+    (displacement validity) fail the distance test on their own.
+    """
+
+    def geom(own, cand):
+        # One rsqrt instead of sqrt + later divisions — every downstream
+        # 1/r^k is assembled from inv_r products.
+        dx = cand["px"][..., None, :] - own["px"][..., :, None]
+        dy = cand["py"][..., None, :] - own["py"][..., :, None]
+        dz = cand["pz"][..., None, :] - own["pz"][..., :, None]
+        d2 = dx * dx + dy * dy + dz * dz
+        ok = (d2 < cutoff_sq) & (d2 > 1e-20)
+        r2m = jnp.where(ok, d2, 1.0)
+        inv_r = jax.lax.rsqrt(r2m)
+        return ok, inv_r, r2m, dx, dy, dz
+
+    def cn_kern(cn, own, cand, home):
+        ok, inv_r, _r2, *_ = geom(own, cand)
+        if home:
+            ok &= upper
+        rc = own["rcov"][..., :, None] + cand["rcov"][..., None, :]
+        f = jnp.where(ok, 1.0 / (1.0 + jnp.exp(-k1 * (rc * inv_r - 1.0))), 0.0)
+        return cn + jnp.sum(f, axis=-1), (jnp.sum(f, axis=-2),)
+
+    def direct_kern(carry, own, cand, home):
+        e, fx_a, fy_a, fz_a, decn = carry
+        ok, inv_r, r2_, dx, dy, dz = geom(own, cand)
+        if home:
+            ok &= upper
+
+        lf = own["lf"]
+        l0 = lf[..., :zm]
+        l1 = lf[..., zm:]
+        zacc = jnp.einsum("...if,...jf->...ij", l0, cand["rf"],
+                          precision=precision)
+        z_di = jnp.einsum("...if,...jf->...ij", l1, cand["rf"],
+                          precision=precision)
+        z_dj = jnp.einsum("...if,...jf->...ij", l0, cand["rfd"],
+                          precision=precision)
+        w = own["w"][..., :, None] * cand["w"][..., None, :]
+        w_di = own["wd"][..., :, None] * cand["w"][..., None, :]
+        w_dj = own["w"][..., :, None] * cand["wd"][..., None, :]
+
+        good = w > 1e-12
+        w_inv = 1.0 / jnp.where(good, w, 1.0)
+        c6 = jnp.where(good, zacc * w_inv, 0.0)
+
+        pair_ok = ok & (c6 >= 1e-12)
+        # si = sqrt(sqrt(3) r4r2) per atom: rr = (si_i si_j)^2, r0 needs no
+        # per-slot sqrt
+        t = own["si"][..., :, None] * cand["si"][..., None, :]
+        rr = t * t
+        r0 = a1 * t + a2
+        r4 = r2_ * r2_
+        r6 = r4 * r2_
+        r8 = r4 * r4
+        r0_2 = r0 * r0
+        r0_6 = r0_2 * r0_2 * r0_2
+        r0_8 = r0_6 * r0_2
+        den6 = r6 + r0_6
+        den8 = r8 + r0_8
+        rec = 1.0 / (den6 * den8)          # one divide for both dampings
+        den6_inv = rec * den8
+        den8_inv = rec * den6
+        damp_sum = s6 * den6_inv + s8 * rr * den8_inv
+
+        e_ij = -c6 * damp_sum
+        # (dE/dr)/r directly: dd6/r = -6 s6 r^4 den6^2, dd8/r = -8 s8 rr r^6 den8^2
+        dd6 = -6.0 * s6 * r4 * den6_inv * den6_inv
+        dd8 = -8.0 * s8 * rr * r6 * den8_inv * den8_inv
+
+        coef = jnp.where(pair_ok, -c6 * (dd6 + dd8), 0.0)
+        cfx = coef * dx
+        cfy = coef * dy
+        cfz = coef * dz
+        # dei/dej = -damp (2 k3 / w)(z_d - c6 w_d): shared prefactor
+        m = jnp.where(pair_ok, (-2.0 * k3) * damp_sum * w_inv, 0.0)
+        e = e + jnp.sum(jnp.where(pair_ok, e_ij, 0.0), axis=-1)
+        fx_a = fx_a + jnp.sum(cfx, axis=-1)
+        fy_a = fy_a + jnp.sum(cfy, axis=-1)
+        fz_a = fz_a + jnp.sum(cfz, axis=-1)
+        decn = decn + jnp.sum(m * (z_di - c6 * w_di), axis=-1)
+        deltas = (
+            -jnp.sum(cfx, axis=-2),
+            -jnp.sum(cfy, axis=-2),
+            -jnp.sum(cfz, axis=-2),
+            jnp.sum(m * (z_dj - c6 * w_dj), axis=-2),
+        )
+        return (e, fx_a, fy_a, fz_a, decn), deltas
+
+    def chain_kern(carry, own, cand, home):
+        fx_a, fy_a, fz_a = carry
+        ok, inv_r, _r2, dx, dy, dz = geom(own, cand)
+        if home:
+            ok &= upper
+        rc = own["rcov"][..., :, None] + cand["rcov"][..., None, :]
+        rrq = rc * inv_r
+        f_cn = 1.0 / (1.0 + jnp.exp(-k1 * (rrq - 1.0)))
+        # (dCN/dr)/r = -f(1-f) k1 rc / r^3
+        dcn_dr_r = -f_cn * (1.0 - f_cn) * k1 * rrq * inv_r * inv_r
+        de_chain = (own["decn"][..., :, None]
+                    + cand["decn"][..., None, :]) * dcn_dr_r
+        coef = jnp.where(ok, de_chain, 0.0)
+        cfx = coef * dx
+        cfy = coef * dy
+        cfz = coef * dz
+        fx_a = fx_a + jnp.sum(cfx, axis=-1)
+        fy_a = fy_a + jnp.sum(cfy, axis=-1)
+        fz_a = fz_a + jnp.sum(cfz, axis=-1)
+        deltas = (
+            -jnp.sum(cfx, axis=-2),
+            -jnp.sum(cfy, axis=-2),
+            -jnp.sum(cfz, axis=-2),
+        )
+        return (fx_a, fy_a, fz_a), deltas
+
+    return cn_kern, direct_kern, chain_kern
+
+
+def _d3_feature_planes(grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
+                       dims, cap, precision=None):
+    """Per-atom C6-interpolation features scattered into grid planes.
+
+    Returns ``(lf_plane [.., cap, 2 zm], rf_plane [.., cap, zm],
+    rfd_plane, w_a [N], wd_a [N])``:
+
+    - ``e_i[p] = m_i[p] exp(k3 (CN_i - cnA_i[p])^2 - masked_max)``: exact
+      LSE scaling over *available* reference points; zeroed where
+      unavailable so garbage cn_ref entries at nonexistent references
+      cannot leak into any accumulator.
+    - left features l0/l1 contract the own atom's C6 rows in advance;
+      right features R[(z, q)] = [z == z_j] e_j[q] are built flat with
+      constant one-hot expanders (never materializing a [.., Z, mesh]
+      trailing pair).
+    """
+    cz, cy, cx = dims
+    mesh = cna_a.shape[-1]
+    zm = c6p_a.shape[-1]
+    zmax1 = zm // mesh
+
+    d_vec = cn_a[..., None] - cna_a                       # [N, mesh]
+    arg = k3 * d_vec * d_vec
+    arg_m = jnp.where(mask_a > 0, arg, -jnp.inf)
+    arg_max = jnp.maximum(jnp.max(arg_m, axis=-1, keepdims=True), -1e30)
+    e_a = jnp.where(mask_a > 0, jnp.exp(arg - arg_max), 0.0)   # [N, mesh]
+    ed_a = e_a * d_vec
+
+    # scalar normalization features (rank-1 w): w_pair = wA_i * wA_j
+    w_a = jnp.sum(e_a, axis=-1)                           # [N]
+    wd_a = jnp.sum(ed_a, axis=-1)                         # [N]
+
+    # left features: l0[(z,q)] = sum_p c6[p, (z,q)] e[p]; l1 with (e d).
+    # c6p_a is p-major [N, mesh, zm] so each p-slice is contiguous.
+    l0_a = jnp.einsum("npf,np->nf", c6p_a, e_a, precision=precision)  # [N, zm]
+    l1_a = jnp.einsum("npf,np->nf", c6p_a, ed_a, precision=precision)
+
+    # layout (z, q): column m = z*mesh + q
+    rz_map = np.zeros((zmax1, zm), np.float32)
+    rq_map = np.zeros((mesh, zm), np.float32)
+    for z in range(zmax1):
+        rz_map[z, z * mesh:(z + 1) * mesh] = 1.0
+    for q in range(mesh):
+        rq_map[q, q::mesh] = 1.0
+    rz_c = jnp.asarray(rz_map, dtype)
+    rq_c = jnp.asarray(rq_map, dtype)
+
+    numbers_a = gather_from_grid(grid, z_plane)
+    ziota = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, zmax1), 1)
+    ohz = (numbers_a[:, None] == ziota).astype(dtype)     # [N, Z+1]
+    rf_a = (ohz @ rz_c) * (e_a @ rq_c)                    # [N, zm]
+    rfd_a = (ohz @ rz_c) * (ed_a @ rq_c)
+
+    def feat_plane(vals):
+        nslots = cz * cy * cx * cap
+        buf = jnp.zeros((nslots + 1, vals.shape[-1]), dtype)
+        return buf.at[grid.flat_slot].set(vals)[:-1].reshape(
+            cz, cy, cx, cap, vals.shape[-1]
+        )
+
+    lf_plane = feat_plane(jnp.concatenate([l0_a, l1_a], axis=-1))
+    rf_plane = feat_plane(rf_a)
+    rfd_plane = feat_plane(rfd_a)
+    return lf_plane, rf_plane, rfd_plane, w_a, wd_a
+
+
 @partial(
     jax.jit,
     static_argnames=("dims", "radius", "cap", "mesh", "zmax1", "precision"),
@@ -128,33 +321,11 @@ def _grid_d3_impl(
     ext_px_d = grid.ext_px + jnp.where(
         z_ext == 0, DISPLACE + ext_iota * DISPLACE_SPACING, 0.0)
 
-    def geom(own, cand):
-        """Returns (ok, inv_r, dx, dy, dz); r = d2 * inv_r.
-
-        One rsqrt instead of sqrt + later divisions — every downstream
-        1/r^k is assembled from inv_r products (divisions are the most
-        expensive VPU ops in these bodies).  Validity falls out of the
-        distance test alone (parked invalid slots).
-        """
-        dx = cand["px"][..., None, :] - own["px"][..., :, None]
-        dy = cand["py"][..., None, :] - own["py"][..., :, None]
-        dz = cand["pz"][..., None, :] - own["pz"][..., :, None]
-        d2 = dx * dx + dy * dy + dz * dz
-        ok = (d2 < cutoff_sq) & (d2 > 1e-20)
-        r2m = jnp.where(ok, d2, 1.0)
-        inv_r = jax.lax.rsqrt(r2m)
-        return ok, inv_r, r2m, dx, dy, dz
-
     # ---- pass 1: coordination numbers (symmetric row sweep) --------------
     upper = row_home_mask(cap, radius[2])
-
-    def cn_kern(cn, own, cand, home):
-        ok, inv_r, _r2, *_ = geom(own, cand)
-        if home:
-            ok &= upper
-        rc = own["rcov"][..., :, None] + cand["rcov"][..., None, :]
-        f = jnp.where(ok, 1.0 / (1.0 + jnp.exp(-k1 * (rc * inv_r - 1.0))), 0.0)
-        return cn + jnp.sum(f, axis=-1), (jnp.sum(f, axis=-2),)
+    zm = zmax1 * mesh
+    cn_kern, direct_kern, chain_kern = make_d3_row_kernels(
+        cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper, precision)
 
     extra_ext = (("px", ext_px_d), ("rcov", rcov_ext))
     extra_own = (("px", _interior(grid, ext_px_d)), ("rcov", rcov_plane))
@@ -171,51 +342,10 @@ def _grid_d3_impl(
     # scaling over *available* reference points; zeroed where unavailable so
     # garbage cn_ref entries at nonexistent references cannot overflow or
     # leak into any accumulator (c6 rows are 0 there; w excludes them).
-    zm = zmax1 * mesh
-    d_vec = cn_a[..., None] - cna_a                       # [N, mesh]
-    arg = k3 * d_vec * d_vec
-    arg_m = jnp.where(mask_a > 0, arg, -jnp.inf)
-    arg_max = jnp.maximum(jnp.max(arg_m, axis=-1, keepdims=True), -1e30)
-    e_a = jnp.where(mask_a > 0, jnp.exp(arg - arg_max), 0.0)   # [N, mesh]
-    ed_a = e_a * d_vec
-
-    # scalar normalization features (rank-1 w): w_pair = wA_i * wA_j
-    w_a = jnp.sum(e_a, axis=-1)                           # [N]
-    wd_a = jnp.sum(ed_a, axis=-1)                         # [N]
-
-    # left features: l0[(z,q)] = sum_p c6[p, (z,q)] e[p]; l1 with (e d).
-    # c6p_a is p-major [N, mesh, zm] so each p-slice is contiguous.
-    l0_a = jnp.einsum("npf,np->nf", c6p_a, e_a, precision=precision)  # [N, zm]
-    l1_a = jnp.einsum("npf,np->nf", c6p_a, ed_a, precision=precision)
-
-    # right features: R[(z,q)] = [z == z_j] e_j[q], built flat with constant
-    # one-hot expanders (never materializing a [.., Z, mesh] trailing pair)
-    # layout (z, q): column m = z*mesh + q
-    rz_map = np.zeros((zmax1, zm), np.float32)
-    rq_map = np.zeros((mesh, zm), np.float32)
-    for z in range(zmax1):
-        rz_map[z, z * mesh:(z + 1) * mesh] = 1.0
-    for q in range(mesh):
-        rq_map[q, q::mesh] = 1.0
-    rz_c = jnp.asarray(rz_map, dtype)
-    rq_c = jnp.asarray(rq_map, dtype)
-
-    numbers_a = gather_from_grid(grid, z_plane)
-    ziota = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, zmax1), 1)
-    ohz = (numbers_a[:, None] == ziota).astype(dtype)     # [N, Z+1]
-    rf_a = (ohz @ rz_c) * (e_a @ rq_c)                    # [N, zm]
-    rfd_a = (ohz @ rz_c) * (ed_a @ rq_c)
-
-    def feat_plane(vals):
-        nslots = cz * cy * cx * cap
-        buf = jnp.zeros((nslots + 1, vals.shape[-1]), dtype)
-        return buf.at[grid.flat_slot].set(vals)[:-1].reshape(
-            cz, cy, cx, cap, vals.shape[-1]
-        )
-
-    lf_plane = feat_plane(jnp.concatenate([l0_a, l1_a], axis=-1))
-    rf_plane = feat_plane(rf_a)
-    rfd_plane = feat_plane(rfd_a)
+    (lf_plane, rf_plane, rfd_plane, w_a, wd_a) = _d3_feature_planes(
+        grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
+        dims, cap, precision,
+    )
     rf_ext = _extend_like(grid, rf_plane, 0.0)
     rfd_ext = _extend_like(grid, rfd_plane, 0.0)
     w_plane = scatter_to_grid(grid, w_a)
@@ -225,69 +355,6 @@ def _grid_d3_impl(
     cn_ext = _extend_like(grid, cn_plane, 0.0)
 
     # ---- pass 2: energy, direct forces, dE/dCN ---------------------------
-    def direct_kern(carry, own, cand, home):
-        e, fx_a, fy_a, fz_a, decn = carry
-        ok, inv_r, r2_, dx, dy, dz = geom(own, cand)
-        if home:
-            ok &= upper
-
-        lf = own["lf"]
-        l0 = lf[..., :zm]
-        l1 = lf[..., zm:]
-        zacc = jnp.einsum("...if,...jf->...ij", l0, cand["rf"], precision=precision)
-        z_di = jnp.einsum("...if,...jf->...ij", l1, cand["rf"], precision=precision)
-        z_dj = jnp.einsum("...if,...jf->...ij", l0, cand["rfd"], precision=precision)
-        w = own["w"][..., :, None] * cand["w"][..., None, :]
-        w_di = own["wd"][..., :, None] * cand["w"][..., None, :]
-        w_dj = own["w"][..., :, None] * cand["wd"][..., None, :]
-
-        good = w > 1e-12
-        w_inv = 1.0 / jnp.where(good, w, 1.0)
-        c6 = jnp.where(good, zacc * w_inv, 0.0)
-
-        pair_ok = ok & (c6 >= 1e-12)
-        # si = sqrt(sqrt(3) r4r2) per atom: rr = (si_i si_j)^2, r0 needs no
-        # per-slot sqrt
-        t = own["si"][..., :, None] * cand["si"][..., None, :]
-        rr = t * t
-        r0 = a1 * t + a2
-        r4 = r2_ * r2_
-        r6 = r4 * r2_
-        r8 = r4 * r4
-        r0_2 = r0 * r0
-        r0_6 = r0_2 * r0_2 * r0_2
-        r0_8 = r0_6 * r0_2
-        den6 = r6 + r0_6
-        den8 = r8 + r0_8
-        rec = 1.0 / (den6 * den8)          # one divide for both dampings
-        den6_inv = rec * den8
-        den8_inv = rec * den6
-        damp_sum = s6 * den6_inv + s8 * rr * den8_inv
-
-        e_ij = -c6 * damp_sum
-        # (dE/dr) / r directly: dd6/r = -6 s6 r^4 den6^2, dd8/r = -8 s8 rr r^6 den8^2
-        dd6 = -6.0 * s6 * r4 * den6_inv * den6_inv
-        dd8 = -8.0 * s8 * rr * r6 * den8_inv * den8_inv
-
-        coef = jnp.where(pair_ok, -c6 * (dd6 + dd8), 0.0)
-        cfx = coef * dx
-        cfy = coef * dy
-        cfz = coef * dz
-        # dei/dej = -damp (2 k3 / w)(z_d - c6 w_d): shared prefactor
-        m = jnp.where(pair_ok, (-2.0 * k3) * damp_sum * w_inv, 0.0)
-        e = e + jnp.sum(jnp.where(pair_ok, e_ij, 0.0), axis=-1)
-        fx_a = fx_a + jnp.sum(cfx, axis=-1)
-        fy_a = fy_a + jnp.sum(cfy, axis=-1)
-        fz_a = fz_a + jnp.sum(cfz, axis=-1)
-        decn = decn + jnp.sum(m * (z_di - c6 * w_di), axis=-1)
-        deltas = (
-            -jnp.sum(cfx, axis=-2),
-            -jnp.sum(cfy, axis=-2),
-            -jnp.sum(cfz, axis=-2),
-            jnp.sum(m * (z_dj - c6 * w_dj), axis=-2),
-        )
-        return (e, fx_a, fy_a, fz_a, decn), deltas
-
     zeros = jnp.zeros((cz, cy, cx, cap), dtype)
     si_plane = jnp.sqrt(r4r2_plane * 1.7320508075688772)
     si_ext = jnp.sqrt(r4r2_ext * 1.7320508075688772)
@@ -310,31 +377,6 @@ def _grid_d3_impl(
     decn_ext = _extend_like(grid, decn_pl, 0.0)
 
     # ---- pass 3: CN chain-rule forces (symmetric) --------------------------
-    def chain_kern(carry, own, cand, home):
-        fx_a, fy_a, fz_a = carry
-        ok, inv_r, _r2, dx, dy, dz = geom(own, cand)
-        if home:
-            ok &= upper
-        rc = own["rcov"][..., :, None] + cand["rcov"][..., None, :]
-        rrq = rc * inv_r
-        f_cn = 1.0 / (1.0 + jnp.exp(-k1 * (rrq - 1.0)))
-        # (dCN/dr) / r = -f(1-f) k1 rc / r^3
-        dcn_dr_r = -f_cn * (1.0 - f_cn) * k1 * rrq * inv_r * inv_r
-        de_chain = (own["decn"][..., :, None] + cand["decn"][..., None, :]) * dcn_dr_r
-        coef = jnp.where(ok, de_chain, 0.0)
-        cfx = coef * dx
-        cfy = coef * dy
-        cfz = coef * dz
-        fx_a = fx_a + jnp.sum(cfx, axis=-1)
-        fy_a = fy_a + jnp.sum(cfy, axis=-1)
-        fz_a = fz_a + jnp.sum(cfz, axis=-1)
-        deltas = (
-            -jnp.sum(cfx, axis=-2),
-            -jnp.sum(cfy, axis=-2),
-            -jnp.sum(cfz, axis=-2),
-        )
-        return (fx_a, fy_a, fz_a), deltas
-
     extra_ext3 = extra_ext + (("decn", decn_ext),)
     extra_own3 = extra_own + (("decn", decn_pl),)
     (fx2, fy2, fz2), (dfx3, dfy3, dfz3) = grid_row_reduce_sym(

@@ -51,6 +51,7 @@ __all__ = [
     "make_z_mesh",
     "domain_coulomb_energy_forces",
     "domain_dftd3_cn",
+    "domain_dftd3",
 ]
 
 
@@ -156,6 +157,212 @@ def _fold_z_ring(acc_ext, rz: int, axis: str):
     core = core.at[-rz:].add(from_above)
     core = core.at[:rz].add(from_below)
     return core
+
+
+def _run_domain_sym(mesh: Mesh, kern, planes: dict, init, num_j: int,
+                    cell, dims, radius, cap, pbc_yx):
+    """Run a ``grid_row_reduce_sym``-contract kernel on z-slab shards.
+
+    ``planes``: dict name -> *interior* plane [cz, cy, cx, cap(, F)], must
+    include px/py/pz (position planes get lattice shifts on their wrapped
+    halos).  ``kern(carry, own, cand, home) -> (carry, j_deltas)`` with
+    ``num_j`` window-shaped j-side delta arrays — the same bodies the
+    single-device engine uses (e.g. ``grid_d3.make_d3_row_kernels``).
+    Returns ``(carry, folded_j_tuple)`` as global ``P("z")``-sharded
+    planes; inter-slab traffic is ppermute halo exchange + the j-side
+    ring fold.
+    """
+    cz, cy, cx = dims
+    rz, ry, rx = radius
+    pbc_y, pbc_x = pbc_yx
+    comp_of = {"px": 0, "py": 1, "pz": 2}
+    names = sorted(planes)
+
+    def slab(init_local, *vals):
+        local = dict(zip(names, vals))
+        lz = local["px"].shape[0]
+        ext = {}
+        for name, p in local.items():
+            if name in comp_of:
+                comp = comp_of[name]
+                e = _halo_exchange(p, rz, "z", cell_z_shift=cell[2, comp])
+                ext[name] = _wrap_pad_yx(e, ry, rx, pbc_y, pbc_x, DISPLACE,
+                                         shift_y=cell[1, comp],
+                                         shift_x=cell[0, comp])
+            else:
+                ext[name] = _wrap_pad_yx(_halo_exchange(p, rz, "z"),
+                                         ry, rx, pbc_y, pbc_x, 0.0)
+
+        eacc = [jnp.zeros((lz + 2 * rz, cy + 2 * ry, cx + 2 * rx, cap),
+                          local["px"].dtype) for _ in range(num_j)]
+
+        def window(plane, z0, y0, chunks):
+            return jnp.concatenate(
+                [plane[z0:z0 + lz, y0:y0 + cy, c:c + cx] for c in chunks],
+                axis=3)
+
+        def run(carry, z0, y0, chunks, home):
+            cand = {k: window(p, z0, y0, chunks) for k, p in ext.items()}
+            carry, deltas = kern(carry, local, cand, home)
+            for k, delta in enumerate(deltas):
+                d = delta.reshape(lz, cy, cx, len(chunks), cap)
+                ea = eacc[k]
+                for ci, c in enumerate(chunks):
+                    ea = ea.at[z0:z0 + lz, y0:y0 + cy, c:c + cx].add(
+                        d[..., ci, :])
+                eacc[k] = ea
+            return carry
+
+        carry = run(init_local, rz, ry, list(range(rx, 2 * rx + 1)), True)
+        full_chunks = list(range(2 * rx + 1))
+        for dz in range(-rz, rz + 1):
+            for dy in range(-ry, ry + 1):
+                if dz > 0 or (dz == 0 and dy > 0):
+                    carry = run(carry, dz + rz, dy + ry, full_chunks, False)
+
+        folded = tuple(
+            _fold_z_ring(_fold_yx(ea, ry, rx, cy, cx), rz, "z")
+            for ea in eacc)
+        return carry, folded
+
+    zspec = jax.tree.map(lambda _: P("z"), planes)
+    init_spec = jax.tree.map(lambda _: P("z"), init)
+    carry, folded = shard_map(
+        slab, mesh=mesh,
+        in_specs=(init_spec,) + tuple(P("z") for _ in names),
+        out_specs=(init_spec, tuple(P("z") for _ in range(num_j))),
+    )(init, *[planes[n] for n in names])
+    return carry, folded
+
+
+@partial(jax.jit, static_argnames=("mesh", "dims", "radius", "cap", "cutoff",
+                                   "a1", "a2", "s6", "s8", "k1", "k3",
+                                   "mesh_pts", "zmax1", "pbc_yx"))
+def _domain_d3_impl(mesh: Mesh, grid: AtomGrid, z_plane, rcov_plane,
+                    r4r2_plane, cna_a, mask_a, c6p_a, cell,
+                    cutoff: float, a1: float, a2: float, s6: float,
+                    s8: float, k1: float, k3: float,
+                    dims, radius, cap, mesh_pts: int, zmax1: int, pbc_yx):
+    """Full 3-pass DFT-D3 with the grid's z axis sharded over the mesh.
+
+    Reuses the *exact* single-device pass bodies
+    (grid_d3.make_d3_row_kernels), so the domain decomposition is
+    numerically the single-device XLA engine modulo reduction order; the
+    per-atom feature build between passes runs replicated (O(N), cheap
+    next to the sweeps).
+    """
+    from nvalchemiops_tpu.grid import DISPLACE as _DISP
+    from nvalchemiops_tpu.grid import DISPLACE_SPACING as _SPACING
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
+        make_d3_row_kernels, _d3_feature_planes,
+    )
+
+    dtype = grid.ext_px.dtype
+    cz, cy, cx = dims
+    rz, ry, rx = radius
+    cutoff_sq = jnp.asarray(cutoff, dtype) ** 2
+    upper = row_home_mask(cap, rx)
+    zm = zmax1 * mesh_pts
+    cn_kern, direct_kern, chain_kern = make_d3_row_kernels(
+        cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper)
+
+    # padding atoms (numbers == 0) parked like the build's empty slots
+    iota = jnp.arange(cz * cy * cx * cap, dtype=dtype).reshape(
+        cz, cy, cx, cap)
+    px_i = _interior(grid, grid.ext_px) + jnp.where(
+        z_plane == 0, _DISP + iota * _SPACING, 0.0)
+    pos = dict(px=px_i, py=_interior(grid, grid.ext_py),
+               pz=_interior(grid, grid.ext_pz))
+
+    zeros = jnp.zeros((cz, cy, cx, cap), dtype)
+
+    # pass 1: coordination numbers
+    cn_carry, (cn_fold,) = _run_domain_sym(
+        mesh, cn_kern, dict(pos, rcov=rcov_plane), zeros, 1,
+        cell, dims, radius, cap, pbc_yx)
+    cn_plane = cn_carry + cn_fold
+
+    # per-atom features (replicated)
+    cn_a = gather_from_grid(grid, cn_plane)
+    lf_plane, rf_plane, rfd_plane, w_a, wd_a = _d3_feature_planes(
+        grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype, dims, cap)
+    w_plane = scatter_to_grid(grid, w_a)
+    wd_plane = scatter_to_grid(grid, wd_a)
+    si_plane = jnp.sqrt(r4r2_plane * 1.7320508075688772)
+
+    # pass 2: energy + direct forces + dE/dCN
+    carry, (dfx, dfy, dfz, ddecn) = _run_domain_sym(
+        mesh, direct_kern,
+        dict(pos, si=si_plane, w=w_plane, wd=wd_plane, lf=lf_plane,
+             rf=rf_plane, rfd=rfd_plane),
+        (zeros, zeros, zeros, zeros, zeros), 4,
+        cell, dims, radius, cap, pbc_yx)
+    e_pl, fx_pl, fy_pl, fz_pl, decn_pl = carry
+    fx_pl = fx_pl + dfx
+    fy_pl = fy_pl + dfy
+    fz_pl = fz_pl + dfz
+    decn_pl = decn_pl + ddecn
+
+    # pass 3: CN chain-rule forces
+    (fx2, fy2, fz2), (dfx3, dfy3, dfz3) = _run_domain_sym(
+        mesh, chain_kern, dict(pos, rcov=rcov_plane, decn=decn_pl),
+        (fx_pl, fy_pl, fz_pl), 3,
+        cell, dims, radius, cap, pbc_yx)
+    return e_pl, fx2 + dfx3, fy2 + dfy3, fz2 + dfz3, cn_plane
+
+
+def domain_dftd3(mesh: Mesh, grid: AtomGrid, numbers, rcov, r4r2, c6ab,
+                 cn_ref_elem, cutoff, a1, a2, s8, cell,
+                 s6=1.0, k1=16.0, k3=-4.0, pbc=(True, True, True)):
+    """DFT-D3(BJ) energies/forces/CNs with the z axis sharded over a mesh.
+
+    Same contract as :func:`...grid_d3.grid_dftd3` on one device (plus the
+    explicit ``cell`` for halo image shifts); see
+    :func:`domain_coulomb_energy_forces` for the slab constraints.
+    """
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
+        element_c6_mask,
+    )
+    from nvalchemiops_tpu.types import INDEX_DTYPE
+
+    cz = grid.dims[0]
+    ndev = mesh.devices.size
+    if cz % ndev or cz // ndev < grid.radius[0]:
+        raise ValueError(
+            f"cz={cz} must split into >={grid.radius[0]}-thick slabs "
+            f"across {ndev} devices")
+    if not pbc[0]:
+        raise NotImplementedError("non-periodic z not yet wired")
+
+    dtype = grid.ext_px.dtype
+    numbers = jnp.asarray(numbers, INDEX_DTYPE)
+    zmax1 = rcov.shape[0]
+    mesh_pts = cn_ref_elem.shape[1]
+    mask_elem = element_c6_mask(c6ab)
+    rcov_a = rcov.astype(dtype)[numbers]
+    r4r2_a = r4r2.astype(dtype)[numbers]
+    cna_a = cn_ref_elem.astype(dtype)[numbers]
+    mask_a = mask_elem.astype(dtype)[numbers]
+    c6p = jnp.transpose(c6ab.astype(dtype), (0, 2, 1, 3)).reshape(
+        zmax1, mesh_pts, zmax1 * mesh_pts)
+    c6p_a = c6p[numbers]
+
+    z_plane = scatter_to_grid(grid, numbers, fill=0)
+    rcov_plane = scatter_to_grid(grid, rcov_a)
+    r4r2_plane = scatter_to_grid(grid, r4r2_a)
+    cellj = jnp.asarray(cell, dtype).reshape(3, 3)
+
+    e_pl, fx, fy, fz, cn_pl = _domain_d3_impl(
+        mesh, grid, z_plane, rcov_plane, r4r2_plane, cna_a, mask_a, c6p_a,
+        cellj, float(cutoff), float(a1), float(a2), float(s6), float(s8),
+        float(k1), float(k3), grid.dims, grid.radius, grid.cap,
+        int(mesh_pts), int(zmax1), (bool(pbc[1]), bool(pbc[2])))
+    energy = jnp.sum(e_pl)
+    forces = jnp.stack(
+        [gather_from_grid(grid, fx), gather_from_grid(grid, fy),
+         gather_from_grid(grid, fz)], axis=-1)
+    coord_num = gather_from_grid(grid, cn_pl)
+    return energy, forces, coord_num
 
 
 @partial(jax.jit, static_argnames=("mesh", "dims", "radius", "cap", "cutoff",
