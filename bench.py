@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Headline benchmark: NL + DFT-D3 + PME at ~100k atoms on one TPU chip.
 
 Prints ONE JSON line:
@@ -115,10 +116,14 @@ def main():
     t_coul = max(t_coul_total - t_nl, 0.0)
 
     # --- stage 4: PME reciprocal (energies + forces) ------------------------
+    from nvalchemiops_tpu.spline_windowed import observed_tile_capacity
+
+    tile_cap = observed_tile_capacity(pos, cell, mesh)
+
     def pme_step(p):
         _, forces, _ = _pme_reciprocal_impl(
             p, charges, cell.reshape(1, 3, 3), jnp.asarray([alpha], dtype),
-            mesh, 4, None, True, False, None, None,
+            mesh, 4, None, True, False, None, None, tile_capacity=tile_cap,
         )
         return forces
 

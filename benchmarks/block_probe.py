@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Probe: fused super-chunk Pallas block engine vs XLA row sweep (Coulomb)."""
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

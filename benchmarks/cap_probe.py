@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Probe: D3 + Coulomb grid-sweep time vs grid capacity at bench scale.
 
 The geometry estimator sizes cap for Poisson-random gases (mean + 5 sigma);

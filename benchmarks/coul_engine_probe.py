@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Probe: Coulomb engines + fused D3+Coulomb at the new G policy (M~128).
 
 The earlier measurement (G=16 policy) had block slower than the jnp sweep

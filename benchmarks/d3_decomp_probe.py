@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Decompose grid-D3 cost: CN pass vs feature build vs direct pass vs chain pass,
 and within the direct pass: geometry+mask only, +einsums, +damping math.
 """

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Probe: variants of the pass-2 bilinear einsums inside the row sweep.
 
 Hypothesis: the per-offset cost is dominated by materializing the windowed

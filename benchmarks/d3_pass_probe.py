@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Decompose tuned grid-D3 (block engine, origin shift, M~128) by pass.
 
 Times successively larger prefixes of the pipeline by calling the internal

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Batched Ewald reciprocal space vs the reference's headline config.
 
 Reference (H100, BASELINE.md): 64 x 2000 = 128,000 atoms, energies only:

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Sweep the super-chunk size G for the D3 block engine at the bench shape.
 
 Per-own-row candidate work is the full window W = (G+2Rx)*cap lanes, so a

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Probe: PME windowed-gather force-path cost decomposition at bench scale.
 
 Suspects for the 4.3 ms E->E+F delta: (a) four per-atom slot gathers,

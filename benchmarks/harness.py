@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Device-time benchmark harness.
 
 Counterpart of the reference's CUDA-event Timer (benchmarks/utils.py:76-270)

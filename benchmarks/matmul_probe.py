@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Standalone batched-matmul shapes probe: is the pass-2 einsum latency-bound
 on batch count?  Measures [B, M, K] x [B, W, K] -> [B, M, W] for the current
 per-cell blocking vs x-merged blockings (fewer, bigger batches).

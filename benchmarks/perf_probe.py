@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """On-device timing probe for the hot paths (run on the TPU chip)."""
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Probe: PME reciprocal stage breakdown at bench scale (110k atoms, 128^3)."""
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -51,5 +52,27 @@ def fft_pair(p):
 for name, fn, it in [("tiles(bin)", tiles_only, 6), ("spread", spread_only, 6),
                      ("spread+fft+ifft", fft_pair, 6),
                      ("energy only", energy_only, 4), ("full E+F", full, 4)]:
+    t = measure(fn, dep, (pos,), iters=it)
+    print(f"{name:16s}: {t*1e3:7.2f} ms", flush=True)
+
+# --- observed-capacity variants -----------------------------------------
+CAP_OBS = sw.observed_tile_capacity(pos, cell, mesh_dims)
+print(f"cap: safe={CAP} observed={CAP_OBS}", flush=True)
+
+
+def full_obs(p):
+    e, f, cg = _pme_reciprocal_impl(
+        p, q, cell.reshape(1, 3, 3), alpha, mesh_dims, 4, None, True, False,
+        None, None, tile_capacity=CAP_OBS)
+    return f
+
+
+def spread_obs(p):
+    t = sw.build_mesh_tiles(p, cell, mesh_dims, 4, CAP_OBS)
+    return sw.windowed_spread(t, q)
+
+
+for name, fn, it in [("spread obs-cap", spread_obs, 6),
+                     ("full E+F obs-cap", full_obs, 4)]:
     t = measure(fn, dep, (pos,), iters=it)
     print(f"{name:16s}: {t*1e3:7.2f} ms", flush=True)

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Benchmark suite driver: YAML config -> CSV results.
 
 Counterpart of the reference's per-domain benchmark runners

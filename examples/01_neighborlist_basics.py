@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Neighbor lists: matrix and COO formats, PBC, dual cutoffs.
 
 (counterpart of the reference's examples/neighborlist gallery)

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """MD-loop cached cell list with rebuild detection.
 
 (counterpart of reference examples/neighborlist/03_rebuild_neighborlist_detection.py)

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """DFT-D3(BJ) dispersion + full electrostatics on a small crystal."""
 
 import numpy as np

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Train the built-in MLIP with data+atom sharding over all local devices."""
 
 import numpy as np

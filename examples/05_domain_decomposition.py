@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Spatial domain decomposition: the grid sweep sharded over a device mesh.
 
 The cell grid's z axis is split into slabs, one per device; inter-slab

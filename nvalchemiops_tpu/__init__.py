@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """nvalchemiops_tpu — TPU-native JAX/Pallas kernel library for atomistic simulation.
 
 A from-scratch rebuild of the capabilities of NVIDIA's ``nvalchemi-toolkit-ops``
@@ -24,12 +25,23 @@ idioms that run at speed-of-light on TPU vector/matrix units.
 
 __version__ = "0.2.0"
 
-from nvalchemiops_tpu import interactions, mathops, neighborlist, spline  # noqa: F401,E402
+from nvalchemiops_tpu import (  # noqa: F401,E402
+    grid,
+    interactions,
+    mathops,
+    neighborlist,
+    parallel,
+    spline,
+    spline_windowed,
+)
 
 __all__ = [
     "__version__",
+    "grid",
     "interactions",
     "mathops",
     "neighborlist",
+    "parallel",
     "spline",
+    "spline_windowed",
 ]

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Halo-padded atom grid: the TPU-native neighbor engine.
 
 The reference's cell list is CSR bins + per-thread sweeps with atomic

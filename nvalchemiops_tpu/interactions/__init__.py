@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Interaction modules: dispersion (DFT-D3) and electrostatics.
 
 (reference: nvalchemiops/interactions/__init__.py)

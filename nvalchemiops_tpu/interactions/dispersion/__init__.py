@@ -1,8 +1,22 @@
+# SPDX-License-Identifier: Apache-2.0
 """DFT-D3(BJ) dispersion (reference: nvalchemiops/interactions/dispersion)."""
 
 from nvalchemiops_tpu.interactions.dispersion.dftd3 import (  # noqa: F401
     D3Parameters,
     dftd3,
 )
+from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (  # noqa: F401
+    element_c6_mask,
+    element_cn_ref,
+    grid_dftd3,
+    grid_dftd3_coulomb,
+)
 
-__all__ = ["D3Parameters", "dftd3"]
+__all__ = [
+    "D3Parameters",
+    "dftd3",
+    "element_c6_mask",
+    "element_cn_ref",
+    "grid_dftd3",
+    "grid_dftd3_coulomb",
+]

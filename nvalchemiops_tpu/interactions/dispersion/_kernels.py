@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """DFT-D3(BJ) compute core — TPU-layout (SoA / packed-shift) formulation.
 
 Same physics as dftd3.py's public module docstring; this file holds the

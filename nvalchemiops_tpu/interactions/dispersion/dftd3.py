@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """DFT-D3(BJ) dispersion: energies, analytical forces, virials, CNs.
 
 TPU-native counterpart of

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """DFT-D3(BJ) on the halo atom grid — the at-scale TPU path.
 
 Same physics as ``dftd3.py`` (see its docstring for formulas and reference

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Electrostatics: Coulomb, Ewald, PME.
 
 (reference: nvalchemiops/interactions/electrostatics/__init__.py:33-80)

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Vectorized pairwise (damped-)Coulomb core shared by coulomb.py and ewald.py.
 
 TPU-native counterpart of the 20 Warp real-space kernels in

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Direct and erfc-damped Coulomb interactions.
 
 TPU-native counterpart of

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Classical Ewald summation.
 
 TPU-native counterpart of

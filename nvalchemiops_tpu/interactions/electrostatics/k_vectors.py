@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Reciprocal-space k-vector generation.
 
 TPU-native counterpart of

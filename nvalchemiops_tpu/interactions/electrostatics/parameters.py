@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Ewald / PME parameter estimation.
 
 TPU-native counterpart of

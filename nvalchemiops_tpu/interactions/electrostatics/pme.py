@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Particle Mesh Ewald (PME) reciprocal-space electrostatics.
 
 TPU-native counterpart of
@@ -115,6 +116,7 @@ def pme_green_structure_factor(k_squared, mesh_dimensions, alpha, cell, spline_o
         "spline_order",
         "compute_forces",
         "compute_charge_gradients",
+        "tile_capacity",
     ),
 )
 def _pme_reciprocal_impl(
@@ -129,6 +131,7 @@ def _pme_reciprocal_impl(
     compute_charge_gradients,
     k_vectors,
     k_squared,
+    tile_capacity=None,
 ):
     """Core pipeline (reference: pme.py:1338-1479), compiled as one program."""
     dtype = positions.dtype
@@ -151,7 +154,10 @@ def _pme_reciprocal_impl(
     use_win = (not is_batch) and sw.windowed_applicable(mesh_dimensions, spline_order)
     tiles = None
     if use_win:
-        cap = sw.mesh_tile_capacity(n, mesh_dimensions)
+        # tile_capacity: observed-occupancy override
+        # (sw.observed_tile_capacity) — the dense lax.cond fallback below
+        # still guards overflow if atoms moved since it was measured
+        cap = tile_capacity or sw.mesh_tile_capacity(n, mesh_dimensions)
         tiles = sw.build_mesh_tiles(
             positions, cell_b[0], mesh_dimensions, spline_order, cap,
             need_grad=compute_forces,
@@ -298,11 +304,17 @@ def pme_reciprocal_space(
     compute_forces: bool = False,
     compute_charge_gradients: bool = False,
     accuracy: float = 1e-6,
+    tile_capacity: int | None = None,
 ):
     """FFT-based reciprocal-space PME (reference: pme.py:1482-1665).
 
     Return patterns: ``energies``, ``(energies, forces)``,
     ``(energies, charge_grads)``, ``(energies, forces, charge_grads)``.
+
+    ``tile_capacity`` overrides the Poisson-safe windowed-spread tile
+    capacity with an observed one
+    (:func:`spline_windowed.observed_tile_capacity`) — per-tile work
+    scales ~capacity, and crystals sit far below the safe bound.
     """
     dtype = positions.dtype
     cell_b = jnp.asarray(cell, dtype=dtype).reshape(-1, 3, 3)
@@ -316,6 +328,7 @@ def pme_reciprocal_space(
     energies, forces, cg = _pme_reciprocal_impl(
         positions, charges, cell_b, alpha_arr, tuple(mesh_dimensions), spline_order,
         batch_idx, compute_forces, compute_charge_gradients, k_vectors, k_squared,
+        tile_capacity=tile_capacity,
     )
     if forces is not None and cg is not None:
         return energies, forces, cg

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Math building blocks shared by the kernel modules.
 
 TPU-native counterpart of ``nvalchemiops/math`` (reference: math/math.py,

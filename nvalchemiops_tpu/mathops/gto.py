@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Gaussian-type-orbital densities and analytic Fourier transforms (L <= 2).
 
 TPU-native counterpart of ``nvalchemiops/math/gto.py`` (reference:

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Scalar math helpers (reference: nvalchemiops/math/math.py).
 
 All functions are elementwise jnp expressions: they work on traced arrays,

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Neighbor-list subsystem (reference: nvalchemiops/neighborlist/__init__.py:16-74)."""
 
 from nvalchemiops_tpu.neighborlist.neighborlist import neighbor_list  # noqa: F401

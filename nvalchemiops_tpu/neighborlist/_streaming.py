@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Streaming O(N^2) pair-search core shared by all naive neighbor-list variants.
 
 Replaces the reference's atomic-insert Warp kernels (naive.py:36-182,

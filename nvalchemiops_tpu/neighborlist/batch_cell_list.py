@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Batched O(N) cell-list neighbor construction.
 
 TPU-native counterpart of ``nvalchemiops/neighborlist/batch_cell_list.py``

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Brute-force O(N^2) neighbor list for batched (concatenated) systems.
 
 TPU-native counterpart of ``nvalchemiops/neighborlist/batch_naive.py``

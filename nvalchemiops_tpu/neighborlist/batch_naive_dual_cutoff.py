@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Dual-cutoff brute-force neighbor lists for batched systems.
 
 TPU-native counterpart of ``nvalchemiops/neighborlist/batch_naive_dual_cutoff.py``

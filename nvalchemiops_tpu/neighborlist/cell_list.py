@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """O(N) cell-list neighbor construction, single system.
 
 TPU-native counterpart of ``nvalchemiops/neighborlist/cell_list.py``.  The

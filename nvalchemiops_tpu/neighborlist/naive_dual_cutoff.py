@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Dual-cutoff brute-force neighbor lists (single system).
 
 TPU-native counterpart of ``nvalchemiops/neighborlist/naive_dual_cutoff.py``

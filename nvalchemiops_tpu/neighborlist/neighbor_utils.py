@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Shared neighbor-list utilities and the TPU packing primitive.
 
 TPU-native counterpart of ``nvalchemiops/neighborlist/neighbor_utils.py``.

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Unified neighbor-list dispatcher.
 
 TPU-native counterpart of ``nvalchemiops/neighborlist/neighborlist.py:41-310``:

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """MD-loop rebuild-skip logic for cached neighbor structures.
 
 TPU-native counterpart of ``nvalchemiops/neighborlist/rebuild_detection.py``

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Pallas TPU kernels — the hand-scheduled native layer.
 
 Counterpart of the reference's Warp kernel layer (SURVEY.md §1 L3): where

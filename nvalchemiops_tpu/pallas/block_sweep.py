@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Super-chunked Pallas block sweep: lane-aligned fused pair interactions.
 
 Evolution of ``row_sweep`` driven by on-chip measurements: the per-cell

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Fused Pallas row-sweep: pair interactions with zero HBM intermediates.
 
 The jnp row sweep (grid.grid_row_reduce_sym) materializes every pair-block

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Pallas TPU kernels for the separable PME spread/gather contractions.
 
 The jnp formulation (spline.py:_separable_spread) materializes the

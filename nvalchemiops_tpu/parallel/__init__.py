@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Multi-chip scaling layer (TPU extension beyond the single-GPU reference).
 
 The reference library is single-process / single-GPU (SURVEY.md §2.8: no

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Spatial domain decomposition of the halo-grid sweep over a device mesh.
 
 At-scale TPU-native scaling for the real-space pipeline: the cell grid's z

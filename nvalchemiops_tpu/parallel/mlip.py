@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """A differentiable MLIP built from the library's interaction terms.
 
 This is the flagship end-to-end workload (SURVEY.md §7, phase 9 — the

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """B-spline mesh interpolation (spread / gather / gradients / deconvolution).
 
 TPU-native counterpart of ``nvalchemiops/spline.py`` (basis functions at

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Spatially-windowed B-spline spread/gather: the at-scale TPU fast path.
 
 The dense separable formulation (spline.py:_separable_spread, reference
@@ -49,6 +50,7 @@ from nvalchemiops_tpu.neighborlist.neighbor_utils import bucket_ranks
 __all__ = [
     "windowed_applicable",
     "mesh_tile_capacity",
+    "observed_tile_capacity",
     "build_mesh_tiles",
     "windowed_spread",
     "windowed_gather",
@@ -74,6 +76,46 @@ def mesh_tile_capacity(num_atoms: int, mesh_dims, tile: int = 8) -> int:
     occ = num_atoms / max(ntiles, 1)
     cap = occ + 6.0 * np.sqrt(occ + 4.0)
     return max(int(np.ceil(cap / 8.0)) * 8, 16)
+
+
+def observed_tile_capacity(positions, cell, mesh_dims, tile: int = 8,
+                           spline_order: int = 4) -> int:
+    """Tile capacity from the *observed* max occupancy (one host sync).
+
+    Every per-tile contraction scales ~cap, and near-crystalline systems
+    sit far below the Poisson-safe bound (bench crystal: 32 observed vs
+    64 estimated, halving the windowed spread/gather cost).  One-slot
+    headroom rounded to a multiple of 8; the windowed path's dense
+    fallback still guards overflow if atoms move.
+    """
+    dtype = positions.dtype
+    nx, ny, nz = (int(d) for d in mesh_dims)
+    dims_f = jnp.asarray([nx, ny, nz], dtype)
+    inv = jnp.linalg.inv(jnp.asarray(cell, dtype=dtype).reshape(3, 3))
+
+    @jax.jit
+    def occ():
+        mc = (positions @ inv) * dims_f
+        mc = mc - jnp.floor(mc / dims_f) * dims_f
+        mc = jnp.where(mc >= dims_f, 0.0, mc)
+        theta = mc - jnp.floor(mc)
+        base = jnp.floor(mc).astype(INDEX_DTYPE)
+        offset_start = jnp.floor(
+            theta - (spline_order - 2) * 0.5).astype(INDEX_DTYPE)
+        del offset_start  # base tile is independent of the stencil start
+        t = base // tile
+        ntx, nty, ntz = nx // tile, ny // tile, nz // tile
+        lin = (t[:, 0] * nty + t[:, 1]) * ntz + t[:, 2]
+        counts = jnp.zeros((ntx * nty * ntz,), INDEX_DTYPE).at[lin].add(1)
+        return jnp.max(counts)
+
+    observed = int(jax.device_get(occ()))
+    # headroom matters: a razor-thin cap (observed+1) lets small position
+    # perturbations overflow one tile and trip the expensive dense
+    # fallback (measured 18.7 ms vs 11.9 at cap=observed+1 on the bench
+    # crystal); +2 slots then round to 8, at least +5%
+    return max(int(np.ceil((observed + 2) / 8)) * 8,
+               int(np.ceil(observed * 1.05 / 8)) * 8, 8)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -157,21 +199,46 @@ def build_mesh_tiles(positions, cell, mesh_dims, order: int, cap: int,
     rank, counts_max = bucket_ranks(lin, ntiles)
     flat_slot = jnp.where(rank >= cap, ntiles * cap, lin * cap + rank)
 
-    # one-hot local axis matrices packed to [N, k*W] in a single fused pass
-    # (never materializing a thin [N, 3, order, W] intermediate, which the
-    # (8,128) tiling would pad 10x)
+    # one-hot local axis matrices packed to [N, k*W]: per axis, the
+    # (weights x window-start) outer product is built with constant
+    # one-hot expanders (rule 6) and routed to its banded columns by one
+    # constant [A*S, kw] matmul — 3 x ~6 output-sized passes instead of
+    # the 24-iteration compare-select loop (~96 passes).  HIGHEST keeps
+    # the 0/1 selections exact in f32.
     k_blocks = 6 if need_grad else 3
     kw = k_blocks * w_win
-    jiota = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, kw), 1)
+    n_start = w_win - order + 1          # window-local stencil starts
+    n_vals = 2 * order if need_grad else order
     if need_grad:
         dw = bspline_derivative(u, order) * dims_f[None, :, None]
-    rows = jnp.zeros((n, kw), dtype)
-    for b in range(k_blocks):
-        d = b % 3
-        vals = w if b < 3 else dw
-        target = b * w_win + local0[:, d, None]
+
+    r_vals = np.zeros((n_vals, n_vals * n_start), np.float32)
+    r_start = np.zeros((n_start, n_vals * n_start), np.float32)
+    route = np.zeros((3, n_vals * n_start, kw), np.float32)
+    for a in range(n_vals):
+        for s in range(n_start):
+            r_vals[a, a * n_start + s] = 1.0
+            r_start[s, a * n_start + s] = 1.0
+    for d in range(3):
         for ii in range(order):
-            rows = rows + vals[:, d, ii, None] * (jiota == target + ii).astype(dtype)
+            for s in range(n_start):
+                route[d, ii * n_start + s, d * w_win + s + ii] = 1.0
+                if need_grad:
+                    route[d, (order + ii) * n_start + s,
+                          (3 + d) * w_win + s + ii] = 1.0
+    r_vals_c = jnp.asarray(r_vals, dtype)
+    r_start_c = jnp.asarray(r_start, dtype)
+    hi = jax.lax.Precision.HIGHEST
+    siota = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, n_start), 1)
+    rows = jnp.zeros((n, kw), dtype)
+    for d in range(3):
+        vals = (jnp.concatenate([w[:, d, :], dw[:, d, :]], axis=-1)
+                if need_grad else w[:, d, :])            # [N, n_vals]
+        oh_s = (siota == local0[:, d, None]).astype(dtype)   # [N, n_start]
+        outer = (jnp.matmul(vals, r_vals_c, precision=hi)
+                 * jnp.matmul(oh_s, r_start_c, precision=hi))
+        rows = rows + jnp.matmul(outer, jnp.asarray(route[d], dtype),
+                                 precision=hi)
 
     buf = jnp.zeros((ntiles * cap + 1, rows.shape[1]), dtype=dtype)
     smat = buf.at[flat_slot].set(rows)[:-1].reshape(ntiles, cap, rows.shape[1])

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Dtype policy helpers.
 
 The reference maps torch dtypes onto Warp scalar/vector/matrix types

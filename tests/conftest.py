@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Test harness configuration.
 
 Correctness tests run on the CPU backend with a virtual 8-device mesh and

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """DFT-D3(BJ) tests: numpy oracle, finite differences, formats, batching."""
 
 import numpy as np

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Coulomb tests: numpy oracle, autodiff/analytic force agreement, formats."""
 
 import numpy as np

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Ewald summation tests: Madelung constants, alpha invariance, gradients."""
 
 import numpy as np

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """PME tests: Ewald agreement, Madelung, mesh convergence, gradients, batch."""
 
 import numpy as np

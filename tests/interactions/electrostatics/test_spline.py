@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """B-spline mesh tests: partition of unity, adjointness, gradients, channels."""
 
 import numpy as np

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Self-contained numpy brute-force neighbor oracle.
 
 Plays the role vesin plays in the reference test-suite

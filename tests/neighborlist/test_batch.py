@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Batched neighbor lists must reproduce per-system results."""
 
 import numpy as np

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Cell-list tests: oracle agreement, build/query split, rebuild detection."""
 
 import numpy as np

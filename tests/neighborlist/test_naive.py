@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Naive neighbor-list tests against the numpy brute-force oracle."""
 
 import numpy as np

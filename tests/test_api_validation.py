@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """API contract / failure-state tests (reference pattern: pytest.raises
 coverage of format exclusivity, shape validation, and error states —
 test_dftd3.py:631-767, D3Parameters validation :242-416, test_types.py).

@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Domain-decomposition (z-slab shard_map) sweeps vs the single-device grid."""
 
 import numpy as np

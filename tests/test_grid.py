@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Halo-grid engine tests against the oracle and the matrix-path kernels."""
 
 import numpy as np

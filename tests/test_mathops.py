@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Math building-block tests: erfc, divmod, sinc, spherical harmonics, GTO."""
 
 import numpy as np

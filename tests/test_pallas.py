@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Pallas kernel correctness in interpreter mode (CPU backend)."""
 
 import numpy as np

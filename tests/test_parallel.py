@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Multi-device sharding tests on the virtual 8-device CPU mesh."""
 
 import numpy as np

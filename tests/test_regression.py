@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Frozen-regression tests (reference pattern: the reference hard-codes
 pipeline outputs into TestRegression via generate_reference_outputs.py,
 test/interactions/dispersion/test_dftd3.py:418-451).

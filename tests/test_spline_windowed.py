@@ -1,3 +1,4 @@
+# SPDX-License-Identifier: Apache-2.0
 """Windowed spread/gather vs the dense separable reference path.
 
 The tile-windowed formulation (spline_windowed.py) must agree with the
