@@ -43,8 +43,21 @@ def write_csv(path, rows, header):
     print(f"wrote {path}")
 
 
+def tuned_grid(pos, cell, pbc, cutoff, n):
+    """The production build recipe: origin search + observed-occupancy cap."""
+    from nvalchemiops_tpu.grid import choose_grid_origin, estimate_grid_geometry
+
+    dims, radius, cap = estimate_grid_geometry(cell, pbc, cutoff, n,
+                                               target_occupancy=0.75)
+    origin_np, observed = choose_grid_origin(pos, cell, pbc, dims)
+    origin = jnp.asarray(origin_np, pos.dtype) if origin_np.any() else None
+    cap = max(int(np.ceil((observed + 1) / 8)) * 8,
+              int(np.ceil(observed * 1.02 / 8)) * 8)
+    return dims, radius, cap, origin
+
+
 def bench_neighborlist(cfg, label, outdir, iters):
-    from nvalchemiops_tpu.grid import build_atom_grid, estimate_grid_geometry
+    from nvalchemiops_tpu.grid import build_atom_grid
 
     dep = perturb_positions()
     rows = []
@@ -54,12 +67,10 @@ def bench_neighborlist(cfg, label, outdir, iters):
         pos = jnp.asarray(pos_np, jnp.float32)
         cell = jnp.asarray(cell_np, jnp.float32)
         pbc = np.array([True] * 3)
-        dims, radius, cap = estimate_grid_geometry(cell, pbc, cfg["cutoff"], n)
-        g = build_atom_grid(pos, cell, pbc, dims, radius, cap)
-        if int(jax.device_get(g.counts_max)) > cap:
-            cap = int(np.ceil(int(jax.device_get(g.counts_max)) * 1.05 / 4)) * 4
+        dims, radius, cap, origin = tuned_grid(pos, cell, pbc, cfg["cutoff"], n)
         t = measure(
-            lambda p: build_atom_grid(p, cell, pbc, dims, radius, cap).ext_px,
+            lambda p: build_atom_grid(p, cell, pbc, dims, radius, cap,
+                                      origin=origin).ext_px,
             dep, (pos,), iters=iters,
         )
         rows.append(["grid-build", n, round(t * 1e3, 4), round(t * 1e6 / n, 4)])
@@ -71,7 +82,7 @@ def bench_neighborlist(cfg, label, outdir, iters):
 
 
 def bench_dftd3(cfg, label, outdir, iters):
-    from nvalchemiops_tpu.grid import build_atom_grid, estimate_grid_geometry
+    from nvalchemiops_tpu.grid import build_atom_grid
     from nvalchemiops_tpu.interactions.dispersion.grid_d3 import grid_dftd3
 
     dep = perturb_positions()
@@ -97,13 +108,11 @@ def bench_dftd3(cfg, label, outdir, iters):
         cell = jnp.asarray(cell_np, jnp.float32)
         pbc = np.array([True] * 3)
         numbers = jnp.asarray(rng.integers(1, zmax + 1, n), jnp.int32)
-        dims, radius, cap = estimate_grid_geometry(cell, pbc, cfg["cutoff"], n)
-        g = build_atom_grid(pos, cell, pbc, dims, radius, cap)
-        if int(jax.device_get(g.counts_max)) > cap:
-            cap = int(np.ceil(int(jax.device_get(g.counts_max)) * 1.05 / 4)) * 4
+        dims, radius, cap, origin = tuned_grid(pos, cell, pbc, cfg["cutoff"], n)
 
         def step(p):
-            gg = build_atom_grid(p, cell, pbc, dims, radius, cap)
+            gg = build_atom_grid(p, cell, pbc, dims, radius, cap,
+                                 origin=origin)
             _, f, _ = grid_dftd3(gg, numbers, rcov, r4r2, c6, cna,
                                  cfg["cutoff"], 0.4, 4.2, 1.8)
             return f
@@ -130,11 +139,14 @@ def bench_pme(cfg, label, outdir, iters):
         cell = jnp.asarray(cell_np, jnp.float32).reshape(1, 3, 3)
         q = jnp.asarray(rng.normal(size=n), jnp.float32)
         m = (case["mesh"],) * 3
+        from nvalchemiops_tpu.spline_windowed import observed_tile_capacity
+        tile_cap = observed_tile_capacity(pos, cell[0], m)
 
         def step(p):
             return _pme_reciprocal_impl(
                 p, q, cell, jnp.asarray([cfg["alpha"]], jnp.float32), m,
                 cfg["spline_order"], None, False, False, None, None,
+                tile_capacity=tile_cap,
             )[0]
 
         t = measure(step, dep, (pos,), iters=max(iters // 2, 2))

@@ -99,7 +99,7 @@ def element_c6_mask(c6ab):
 
 
 def make_d3_row_kernels(cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper,
-                        precision=None):
+                        precision=None, compute_virial=False):
     """The three D3 pass bodies for [.., cap, W] row-window pair blocks.
 
     ``kern(carry, own, cand, home) -> (carry, j_deltas)`` matching the
@@ -108,7 +108,16 @@ def make_d3_row_kernels(cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper,
     (parallel/domain.py), so the two stay numerically identical by
     construction.  Validity compares are absent — parked invalid slots
     (displacement validity) fail the distance test on their own.
+
+    With ``compute_virial`` the direct/chain carries gain a trailing
+    ``[3, 3]`` virial accumulator: ``-sum_pairs F_pair (x) d`` (the
+    matrix path's ``-1/2 sum`` over both directions equals one full sum
+    over the pair-once enumeration).
     """
+
+    def _virial_acc(vir, blocks, ds):
+        comps = [jnp.sum(fa * db) for fa in blocks for db in ds]
+        return vir - jnp.stack(comps).reshape(3, 3)
 
     def geom(own, cand):
         # One rsqrt instead of sqrt + later divisions — every downstream
@@ -131,7 +140,10 @@ def make_d3_row_kernels(cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper,
         return cn + jnp.sum(f, axis=-1), (jnp.sum(f, axis=-2),)
 
     def direct_kern(carry, own, cand, home):
-        e, fx_a, fy_a, fz_a, decn = carry
+        if compute_virial:
+            e, fx_a, fy_a, fz_a, decn, vir = carry
+        else:
+            e, fx_a, fy_a, fz_a, decn = carry
         ok, inv_r, r2_, dx, dy, dz = geom(own, cand)
         if home:
             ok &= upper
@@ -194,10 +206,16 @@ def make_d3_row_kernels(cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper,
             -jnp.sum(cfz, axis=-2),
             jnp.sum(m * (z_dj - c6 * w_dj), axis=-2),
         )
+        if compute_virial:
+            vir = _virial_acc(vir, (cfx, cfy, cfz), (dx, dy, dz))
+            return (e, fx_a, fy_a, fz_a, decn, vir), deltas
         return (e, fx_a, fy_a, fz_a, decn), deltas
 
     def chain_kern(carry, own, cand, home):
-        fx_a, fy_a, fz_a = carry
+        if compute_virial:
+            fx_a, fy_a, fz_a, vir = carry
+        else:
+            fx_a, fy_a, fz_a = carry
         ok, inv_r, _r2, dx, dy, dz = geom(own, cand)
         if home:
             ok &= upper
@@ -220,6 +238,9 @@ def make_d3_row_kernels(cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper,
             -jnp.sum(cfy, axis=-2),
             -jnp.sum(cfz, axis=-2),
         )
+        if compute_virial:
+            vir = _virial_acc(vir, (cfx, cfy, cfz), (dx, dy, dz))
+            return (fx_a, fy_a, fz_a, vir), deltas
         return (fx_a, fy_a, fz_a), deltas
 
     return cn_kern, direct_kern, chain_kern
@@ -293,7 +314,8 @@ def _d3_feature_planes(grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
 
 @partial(
     jax.jit,
-    static_argnames=("dims", "radius", "cap", "mesh", "zmax1", "precision"),
+    static_argnames=("dims", "radius", "cap", "mesh", "zmax1", "precision",
+                     "compute_virial"),
 )
 def _grid_d3_impl(
     grid: AtomGrid,
@@ -305,6 +327,7 @@ def _grid_d3_impl(
     c6p_a,                        # [N, mesh, zmax1*mesh] per-atom C6, p-major
     cutoff, a1, a2, s6, s8, k1, k3,
     dims, radius, cap, mesh: int, zmax1: int, precision=None,
+    compute_virial: bool = False,
 ):
     dtype = grid.ext_px.dtype
     cz, cy, cx = dims
@@ -326,7 +349,8 @@ def _grid_d3_impl(
     upper = row_home_mask(cap, radius[2])
     zm = zmax1 * mesh
     cn_kern, direct_kern, chain_kern = make_d3_row_kernels(
-        cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper, precision)
+        cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper, precision,
+        compute_virial=compute_virial)
 
     extra_ext = (("px", ext_px_d), ("rcov", rcov_ext))
     extra_own = (("px", _interior(grid, ext_px_d)), ("rcov", rcov_plane))
@@ -357,6 +381,7 @@ def _grid_d3_impl(
 
     # ---- pass 2: energy, direct forces, dE/dCN ---------------------------
     zeros = jnp.zeros((cz, cy, cx, cap), dtype)
+    vir0 = jnp.zeros((3, 3), dtype)
     si_plane = jnp.sqrt(r4r2_plane * 1.7320508075688772)
     si_ext = jnp.sqrt(r4r2_ext * 1.7320508075688772)
     extra_ext2 = extra_ext + (
@@ -367,10 +392,15 @@ def _grid_d3_impl(
         ("si", si_plane), ("lf", lf_plane),
         ("w", w_plane), ("wd", wd_plane),
     )
-    (e_pl, fx_pl, fy_pl, fz_pl, decn_pl), (dfx, dfy, dfz, ddecn) = grid_row_reduce_sym(
-        grid, direct_kern, (zeros, zeros, zeros, zeros, zeros), 4,
+    init2 = (zeros, zeros, zeros, zeros, zeros)
+    if compute_virial:
+        init2 = init2 + (vir0,)
+    carry2, (dfx, dfy, dfz, ddecn) = grid_row_reduce_sym(
+        grid, direct_kern, init2, 4,
         extra_ext_planes=extra_ext2, extra_own_planes=extra_own2,
     )
+    e_pl, fx_pl, fy_pl, fz_pl, decn_pl = carry2[:5]
+    vir = carry2[5] if compute_virial else None
     fx_pl = fx_pl + dfx
     fy_pl = fy_pl + dfy
     fz_pl = fz_pl + dfz
@@ -380,13 +410,18 @@ def _grid_d3_impl(
     # ---- pass 3: CN chain-rule forces (symmetric) --------------------------
     extra_ext3 = extra_ext + (("decn", decn_ext),)
     extra_own3 = extra_own + (("decn", decn_pl),)
-    (fx2, fy2, fz2), (dfx3, dfy3, dfz3) = grid_row_reduce_sym(
-        grid, chain_kern, (fx_pl, fy_pl, fz_pl), 3,
+    init3 = (fx_pl, fy_pl, fz_pl)
+    if compute_virial:
+        init3 = init3 + (vir,)
+    carry3, (dfx3, dfy3, dfz3) = grid_row_reduce_sym(
+        grid, chain_kern, init3, 3,
         extra_ext_planes=extra_ext3, extra_own_planes=extra_own3,
     )
-    fx2 = fx2 + dfx3
-    fy2 = fy2 + dfy3
-    fz2 = fz2 + dfz3
+    fx2 = carry3[0] + dfx3
+    fy2 = carry3[1] + dfy3
+    fz2 = carry3[2] + dfz3
+    if compute_virial:
+        return e_pl, fx2, fy2, fz2, cn_plane, carry3[3]
     return e_pl, fx2, fy2, fz2, cn_plane
 
 
@@ -933,6 +968,7 @@ def grid_dftd3(
     precision=None,
     engine: str | None = None,
     block_G: int | None = None,
+    compute_virial: bool = False,
 ):
     """DFT-D3(BJ) energies/forces/CNs on the atom grid.
 
@@ -962,6 +998,10 @@ def grid_dftd3(
     is a near-cancellation: ~1e-6 CN rounding differences amplify to
     ~1e-4 *absolute* force noise on weak-force atoms in every engine and
     precision mode (measured identically for xla-default vs xla-HIGHEST).
+
+    ``compute_virial`` appends a ``[3, 3]`` virial (same contract as the
+    matrix path's per-system virial, single system) and forces the XLA
+    engine.
     """
     dtype = grid.ext_px.dtype
     numbers = jnp.asarray(numbers, INDEX_DTYPE)
@@ -988,6 +1028,10 @@ def grid_dftd3(
     rcov_ext = _extend_like(grid, rcov_plane, 0.0)
     r4r2_ext = _extend_like(grid, r4r2_plane, 0.0)
 
+    if compute_virial:
+        # the virial accumulators ride the XLA engine's scan carries; the
+        # Mosaic engines do not carry scalars across blocks
+        engine = "xla"
     if engine is None:
         # measured on chip at 110k atoms: the fused super-chunk engine is
         # ~8% faster than the jnp sweep on TPU; interpret mode makes it
@@ -1024,7 +1068,7 @@ def grid_dftd3(
             jax.default_backend() != "tpu",
         )
     else:
-        e_pl, fx_pl, fy_pl, fz_pl, cn_pl = _grid_d3_impl(
+        out = _grid_d3_impl(
             grid,
             z_plane, z_ext,
             rcov_plane, rcov_ext,
@@ -1034,8 +1078,11 @@ def grid_dftd3(
             jnp.asarray(s6, dtype), jnp.asarray(s8, dtype), jnp.asarray(k1, dtype),
             jnp.asarray(k3, dtype),
             grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
-            precision,
+            precision, compute_virial=compute_virial,
         )
+        e_pl, fx_pl, fy_pl, fz_pl, cn_pl = out[:5]
+        if compute_virial:
+            virial = out[5]
     energy = jnp.sum(e_pl)  # pairs counted once in the symmetric sweep
     forces = jnp.stack(
         [gather_from_grid(grid, fx_pl), gather_from_grid(grid, fy_pl),
@@ -1043,6 +1090,8 @@ def grid_dftd3(
         axis=-1,
     )
     coord_num = gather_from_grid(grid, cn_pl)
+    if compute_virial:
+        return energy, forces, coord_num, virial
     return energy, forces, coord_num
 
 

@@ -156,6 +156,54 @@ def test_grid_dftd3_matches_matrix_path():
     np.testing.assert_allclose(np.asarray(f_g), np.asarray(f_ref), rtol=1e-8, atol=1e-12)
 
 
+def test_grid_dftd3_virial_matches_matrix_path():
+    from nvalchemiops_tpu.interactions.dispersion import dftd3, D3Parameters
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
+        element_cn_ref, grid_dftd3,
+    )
+
+    rng = np.random.default_rng(13)
+    zmax = 4
+    rcov = np.concatenate([[0.0], rng.uniform(0.6, 1.4, zmax)])
+    r4r2 = np.concatenate([[0.0], rng.uniform(2.0, 6.0, zmax)])
+    cna = np.concatenate([np.zeros((1, 5)),
+                          np.cumsum(rng.uniform(0.3, 1.0, (zmax, 5)), 1)])
+    cn_ref = np.broadcast_to(cna[:, None, :, None],
+                             (zmax + 1,) * 2 + (5, 5)).copy()
+    c6 = rng.uniform(5.0, 40.0, (zmax + 1, zmax + 1, 5, 5))
+    c6[0] = 0.0
+    c6[:, 0] = 0.0
+    c6 = 0.5 * (c6 + np.swapaxes(np.swapaxes(c6, 0, 1), 2, 3))
+    params = D3Parameters(rcov=rcov, r4r2=r4r2, c6ab=c6, cn_ref=cn_ref)
+
+    cell = np.eye(3) * 11.0
+    pos = rng.uniform(0, 11.0, (150, 3))
+    numbers = rng.integers(1, zmax + 1, 150).astype(np.int32)
+    cutoff = 3.4
+    pbc = np.array([True] * 3)
+    a1, a2, s8 = 0.42, 4.1, 1.7
+
+    nm, num, sh = naive_neighbor_list(
+        jnp.asarray(pos), cutoff, pbc=pbc, cell=jnp.asarray(cell))
+    e_ref, f_ref, cn_r, vir_ref = dftd3(
+        jnp.asarray(pos), jnp.asarray(numbers), a1, a2, s8,
+        d3_params=params, cell=jnp.asarray(cell),
+        neighbor_matrix=nm, neighbor_matrix_shifts=sh, output_dtype=None,
+        compute_virial=True,
+    )
+
+    g = make_grid(pos, cell, pbc, cutoff, 150)
+    cna_j = element_cn_ref(jnp.asarray(cn_ref))
+    e_g, f_g, cn_g, vir_g = grid_dftd3(
+        g, jnp.asarray(numbers), jnp.asarray(rcov), jnp.asarray(r4r2),
+        jnp.asarray(c6), cna_j, cutoff, a1, a2, s8, compute_virial=True,
+    )
+    np.testing.assert_allclose(float(e_g), float(e_ref.sum()), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(vir_g),
+                               np.asarray(vir_ref).reshape(3, 3),
+                               rtol=1e-6, atol=1e-8)
+
+
 def test_element_cn_ref_rejects_general_tables():
     rng = np.random.default_rng(7)
     from nvalchemiops_tpu.interactions.dispersion.grid_d3 import element_cn_ref
