@@ -129,6 +129,21 @@ def main():
 
     t_pme = measure(pme_step, dep, (pos,), iters=3)
 
+    # --- fused MD step: one jitted program, one grid build ------------------
+    def md_step(p):
+        gg = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
+        _, f_d3, _ = grid_dftd3(
+            gg, numbers, rcov, r4r2, c6, cna, cutoff, 0.4, 4.2, 1.8
+        )
+        _, f_c = grid_coulomb_energy_forces(gg, charges, cutoff, alpha)
+        _, f_p, _ = _pme_reciprocal_impl(
+            p, charges, cell.reshape(1, 3, 3), jnp.asarray([alpha], dtype),
+            mesh, 4, None, True, False, None, None, tile_capacity=tile_cap,
+        )
+        return f_d3 + f_c + f_p
+
+    t_fused = measure(md_step, dep, (pos,), iters=3)
+
     total = t_nl + t_d3 + t_coul + t_pme
     us_per_atom = total * 1e6 / n
     result = {
@@ -142,6 +157,7 @@ def main():
             "dftd3_ms": round(t_d3 * 1e3, 3),
             "coulomb_real_ms": round(t_coul * 1e3, 3),
             "pme_recip_forces_ms_128^3": round(t_pme * 1e3, 3),
+            "fused_md_step_ms": round(t_fused * 1e3, 3),
             "baseline_us_per_atom_h100": BASELINE_US_PER_ATOM,
         },
     }

@@ -197,22 +197,65 @@ def bench_ewald_batch(cfg, label, outdir, iters):
     )
 
 
+def bench_dftd3_batch(cfg, label, outdir, iters):
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
+        batch_grid_dftd3,
+    )
+
+    dep = perturb_positions()
+    rng = np.random.default_rng(4)
+    zmax = cfg["zmax"]
+    B, npa, box = cfg["num_systems"], cfg["atoms_per_system"], cfg["box"]
+    rcov = jnp.asarray(np.r_[0, rng.uniform(0.6, 1.2, zmax)], jnp.float32)
+    r4r2 = jnp.asarray(np.r_[0, rng.uniform(2, 5, zmax)], jnp.float32)
+    cna = jnp.asarray(
+        np.vstack([np.zeros(5), np.cumsum(rng.uniform(0.3, 1, (zmax, 5)), 1)]),
+        jnp.float32,
+    )
+    c6_np = rng.uniform(5, 40, (zmax + 1, zmax + 1, 5, 5))
+    c6_np[0] = 0
+    c6_np[:, 0] = 0
+    c6_np = 0.5 * (c6_np + np.swapaxes(np.swapaxes(c6_np, 0, 1), 2, 3))
+    c6 = jnp.asarray(c6_np, jnp.float32)
+
+    pos = jnp.asarray(rng.uniform(0, box, (B, npa, 3)), jnp.float32)
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32)
+    pbc = np.array([True] * 3)
+    numbers = jnp.asarray(rng.integers(1, zmax + 1, (B, npa)), jnp.int32)
+
+    def step(p):
+        _, f, _ = batch_grid_dftd3(
+            p, numbers, cell, pbc, cfg["cutoff"], rcov, r4r2, c6, cna,
+            0.4, 4.2, 1.8)
+        return f
+
+    t = measure(step, dep, (pos,), iters=max(iters // 2, 2))
+    print(f"  batched D3 {B}x{npa}: {t*1e3:.3f} ms")
+    write_csv(
+        f"{outdir}/dftd3_batch_benchmark_{label}.csv",
+        [["batch-grid-d3", B * npa, B, round(t * 1e3, 4),
+          round(t * 1e6 / (B * npa), 4)]],
+        ["method", "atoms", "systems", "time_ms", "us_per_atom"],
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "benchmark_config.yaml"))
     ap.add_argument("--domains", nargs="*", default=None,
-                    help="subset of: neighborlist dftd3 pme ewald_batch")
+                    help="subset of: neighborlist dftd3 dftd3_batch pme ewald_batch")
     args = ap.parse_args()
     cfg = yaml.safe_load(open(args.config))
     label = cfg.get("hardware_label", "device")
     outdir = cfg.get("output_dir", "benchmarks/results")
     iters = int(cfg.get("iters", 4))
 
-    domains = args.domains or ["neighborlist", "dftd3", "pme", "ewald_batch"]
+    domains = args.domains or ["neighborlist", "dftd3", "dftd3_batch", "pme", "ewald_batch"]
     runners = {
         "neighborlist": bench_neighborlist,
         "dftd3": bench_dftd3,
+        "dftd3_batch": bench_dftd3_batch,
         "pme": bench_pme,
         "ewald_batch": bench_ewald_batch,
     }
@@ -223,3 +266,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+

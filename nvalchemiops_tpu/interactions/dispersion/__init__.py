@@ -6,6 +6,7 @@ from nvalchemiops_tpu.interactions.dispersion.dftd3 import (  # noqa: F401
     dftd3,
 )
 from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (  # noqa: F401
+    batch_grid_dftd3,
     element_c6_mask,
     element_cn_ref,
     grid_dftd3,
@@ -14,6 +15,7 @@ from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (  # noqa: F401
 
 __all__ = [
     "D3Parameters",
+    "batch_grid_dftd3",
     "dftd3",
     "element_c6_mask",
     "element_cn_ref",

@@ -53,6 +53,7 @@ __all__ = [
     "domain_coulomb_energy_forces",
     "domain_dftd3_cn",
     "domain_dftd3",
+    "domain_pme_reciprocal",
 ]
 
 
@@ -594,3 +595,105 @@ def domain_dftd3_cn(mesh: Mesh, grid: AtomGrid, rcov_per_atom, cell,
                          float(k1), grid.dims, grid.radius, grid.cap,
                          (bool(pbc[1]), bool(pbc[2])))
     return gather_from_grid(grid, cn)
+
+
+# ---------------------------------------------------------------------------
+# Domain-decomposed PME (GSPMD: annotate shardings, XLA inserts collectives)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("mesh", "mesh_dims", "order", "cap",
+                                   "compute_forces"))
+def _domain_pme_impl(mesh: Mesh, positions, charges, cell, alpha,
+                     mesh_dims, order: int, cap: int, compute_forces: bool):
+    """Tile-sharded PME reciprocal space.
+
+    Unlike the hand-rolled slab sweeps above, PME shards best by *pure
+    annotation*: the windowed spread/gather are batched per-tile
+    contractions (embarrassingly parallel over the tile axis), the parity
+    fold is a cheap reduction, and the 3-D FFT of the whole mesh costs
+    ~0.3 ms — so we constrain the tile-batched arrays to ``P("z")`` and
+    let XLA's SPMD partitioner place the all-gathers/reduce-scatters on
+    ICI (the scaling-book recipe: pick a mesh, annotate, let the compiler
+    insert collectives).
+    """
+    from jax.sharding import NamedSharding
+    from nvalchemiops_tpu import spline_windowed as sw
+
+    shard_tiles = NamedSharding(mesh, P("z"))
+
+    tiles = sw.build_mesh_tiles(positions, cell, mesh_dims, order, cap,
+                                need_grad=compute_forces)
+    tiles = jax.tree.map(
+        lambda a: (jax.lax.with_sharding_constraint(a, shard_tiles)
+                   if a.ndim >= 2 else a),
+        tiles,
+    )
+    # reuse the single-device pipeline on the constrained tiles: the
+    # spread/gather einsums batch over the sharded tile axis
+    dtype = positions.dtype
+    q = charges
+    mesh_arr = sw.windowed_spread(tiles, q)
+    mesh_fft = jnp.fft.rfftn(mesh_arr, norm="backward")
+    from nvalchemiops_tpu.interactions.electrostatics.k_vectors import (
+        generate_k_vectors_pme,
+    )
+    from nvalchemiops_tpu.interactions.electrostatics.pme import (
+        pme_green_structure_factor,
+    )
+    _, k_squared = generate_k_vectors_pme(cell, mesh_dims)
+    green, sf_sq = pme_green_structure_factor(
+        k_squared, mesh_dims, alpha, cell, order)
+    potential_mesh = jnp.fft.irfftn(
+        mesh_fft / sf_sq * green, s=mesh_dims, norm="forward").astype(dtype)
+
+    if compute_forces:
+        raw, grad_frac = sw.windowed_gather(tiles, potential_mesh,
+                                            with_gradient=True)
+    else:
+        raw = sw.windowed_gather(tiles, potential_mesh)
+        grad_frac = None
+
+    alpha_t = jnp.asarray(alpha, dtype).reshape(())
+    volume = jnp.abs(jnp.linalg.det(jnp.asarray(cell, dtype).reshape(3, 3)))
+    q_total = jnp.sum(q)
+    energies = (q * raw
+                - (alpha_t / jnp.sqrt(jnp.pi)) * q * q
+                - (jnp.pi / (2.0 * alpha_t * alpha_t * volume)) * q * q_total)
+    if not compute_forces:
+        return energies, None
+    # identical to the single-device windowed path: rotate the fractional
+    # gradient through cell^-T, factor 2 for the spread-side symmetry,
+    # uniform net-force removal (standard SPME)
+    forces = 2.0 * (-q[:, None] * grad_frac) @ tiles.inv.T
+    forces = forces - jnp.mean(forces, axis=0, keepdims=True)
+    return energies, forces
+
+
+def domain_pme_reciprocal(mesh: Mesh, positions, charges, cell, alpha,
+                          mesh_dims, order: int = 4,
+                          tile_capacity: int | None = None,
+                          compute_forces: bool = False):
+    """PME reciprocal space with the mesh-tile axis sharded over devices.
+
+    Same contract as the single-device
+    :func:`...pme.pme_reciprocal_space` windowed path (per-atom energies
+    incl. self/background corrections; optional spline-derivative forces
+    with uniform net-force removal).  The leading tile axis must divide
+    by the device count.
+    """
+    from nvalchemiops_tpu import spline_windowed as sw
+
+    if not sw.windowed_applicable(mesh_dims, order):
+        raise ValueError("domain PME requires the windowed configuration "
+                         f"(mesh dims {mesh_dims} divisible by 8)")
+    n = positions.shape[0]
+    cap = tile_capacity or sw.mesh_tile_capacity(n, mesh_dims)
+    out = _domain_pme_impl(mesh, positions, jnp.asarray(charges),
+                           jnp.asarray(cell, positions.dtype),
+                           float(alpha), tuple(int(d) for d in mesh_dims),
+                           int(order), int(cap), bool(compute_forces))
+    energies, forces = out
+    if compute_forces:
+        return energies, forces
+    return energies

@@ -113,6 +113,31 @@ def test_domain_dftd3_matches_single_device(zmesh):
                                atol=2e-5)
 
 
+def test_domain_pme_matches_single_device(zmesh):
+    from nvalchemiops_tpu.interactions.electrostatics import (
+        pme_reciprocal_space,
+    )
+    from nvalchemiops_tpu.parallel.domain import domain_pme_reciprocal
+
+    rng = np.random.default_rng(11)
+    n, box = 600, 24.0
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32)
+    q = jnp.asarray(rng.normal(size=n), jnp.float32)
+    mesh_dims = (32, 32, 32)
+    alpha = 0.4
+
+    e_ref, f_ref = pme_reciprocal_space(pos, q, cell, alpha,
+                                        mesh_dimensions=mesh_dims,
+                                        compute_forces=True)
+    e, f = domain_pme_reciprocal(zmesh, pos, q, cell, alpha, mesh_dims,
+                                 compute_forces=True)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
+                               atol=2e-5)
+
+
 def test_domain_rejects_bad_slabs(zmesh):
     pos, q, cell = _system(n=100, box=9.0)
     pbc = np.array([True] * 3)

@@ -204,6 +204,47 @@ def test_grid_dftd3_virial_matches_matrix_path():
                                rtol=1e-6, atol=1e-8)
 
 
+def test_batch_grid_dftd3_matches_per_system():
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
+        batch_grid_dftd3, grid_dftd3,
+    )
+    from nvalchemiops_tpu.grid import build_atom_grid, estimate_grid_geometry
+
+    rng = np.random.default_rng(17)
+    B, npa, box, cutoff = 3, 180, 13.0, 4.0
+    pos = jnp.asarray(rng.uniform(0, box, (B, npa, 3)), jnp.float32)
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32)
+    pbc = np.array([True] * 3)
+    zmax = 4
+    numbers = jnp.asarray(rng.integers(1, zmax + 1, (B, npa)), jnp.int32)
+    rcov = jnp.asarray(np.r_[0.0, rng.uniform(0.6, 1.4, zmax)], jnp.float32)
+    r4r2 = jnp.asarray(np.r_[0.0, rng.uniform(2.0, 6.0, zmax)], jnp.float32)
+    cna = jnp.asarray(
+        np.vstack([np.zeros(5),
+                   np.cumsum(rng.uniform(0.3, 1.0, (zmax, 5)), 1)]),
+        jnp.float32)
+    c6 = rng.uniform(5.0, 40.0, (zmax + 1,) * 2 + (5, 5))
+    c6[0] = 0.0
+    c6[:, 0] = 0.0
+    c6 = jnp.asarray(0.5 * (c6 + np.swapaxes(np.swapaxes(c6, 0, 1), 2, 3)),
+                     jnp.float32)
+
+    e_b, f_b, cn_b = batch_grid_dftd3(
+        pos, numbers, cell, pbc, cutoff, rcov, r4r2, c6, cna, 0.42, 4.1, 1.7,
+        target_occupancy=0.4)
+    dims, radius, cap = estimate_grid_geometry(cell, pbc, cutoff, npa,
+                                               target_occupancy=0.4)
+    for b in range(B):
+        g = build_atom_grid(pos[b], cell, pbc, dims, radius, cap)
+        e1, f1, cn1 = grid_dftd3(g, numbers[b], rcov, r4r2, c6, cna,
+                                 cutoff, 0.42, 4.1, 1.7, engine="xla")
+        np.testing.assert_allclose(float(e_b[b]), float(e1), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(f_b[b]), np.asarray(f1),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cn_b[b]), np.asarray(cn1),
+                                   atol=1e-6)
+
+
 def test_element_cn_ref_rejects_general_tables():
     rng = np.random.default_rng(7)
     from nvalchemiops_tpu.interactions.dispersion.grid_d3 import element_cn_ref
