@@ -223,18 +223,31 @@ def bench_dftd3_batch(cfg, label, outdir, iters):
     pbc = np.array([True] * 3)
     numbers = jnp.asarray(rng.integers(1, zmax + 1, (B, npa)), jnp.int32)
 
-    def step(p):
+    from nvalchemiops_tpu.interactions.dispersion.dense_d3 import (
+        batch_dense_dftd3,
+    )
+
+    def step_grid(p):
         _, f, _ = batch_grid_dftd3(
             p, numbers, cell, pbc, cfg["cutoff"], rcov, r4r2, c6, cna,
             0.4, 4.2, 1.8)
         return f
 
-    t = measure(step, dep, (pos,), iters=max(iters // 2, 2))
-    print(f"  batched D3 {B}x{npa}: {t*1e3:.3f} ms")
+    def step_dense(p):
+        _, f, _ = batch_dense_dftd3(
+            p, numbers, cell, cfg["cutoff"], rcov, r4r2, c6, cna,
+            0.4, 4.2, 1.8)
+        return f
+
+    rows = []
+    for name, step in (("batch-dense-d3", step_dense),
+                       ("batch-grid-d3", step_grid)):
+        t = measure(step, dep, (pos,), iters=max(iters // 2, 2))
+        print(f"  batched D3 [{name}] {B}x{npa}: {t*1e3:.3f} ms")
+        rows.append([name, B * npa, B, round(t * 1e3, 4),
+                     round(t * 1e6 / (B * npa), 4)])
     write_csv(
-        f"{outdir}/dftd3_batch_benchmark_{label}.csv",
-        [["batch-grid-d3", B * npa, B, round(t * 1e3, 4),
-          round(t * 1e6 / (B * npa), 4)]],
+        f"{outdir}/dftd3_batch_benchmark_{label}.csv", rows,
         ["method", "atoms", "systems", "time_ms", "us_per_atom"],
     )
 

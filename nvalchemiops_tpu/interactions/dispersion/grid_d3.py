@@ -247,12 +247,11 @@ def make_d3_row_kernels(cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper,
     return cn_kern, direct_kern, chain_kern
 
 
-def _d3_feature_planes(grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
-                       dims, cap, precision=None):
-    """Per-atom C6-interpolation features scattered into grid planes.
+def _d3_atom_features(numbers_a, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
+                      precision=None):
+    """Per-atom C6-interpolation features (flat layouts).
 
-    Returns ``(lf_plane [.., cap, 2 zm], rf_plane [.., cap, zm],
-    rfd_plane, w_a [N], wd_a [N])``:
+    Returns ``(l0 [N, zm], l1, rf [N, zm], rfd, w [N], wd [N])``:
 
     - ``e_i[p] = m_i[p] exp(k3 (CN_i - cnA_i[p])^2 - masked_max)``: exact
       LSE scaling over *available* reference points; zeroed where
@@ -263,7 +262,6 @@ def _d3_feature_planes(grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
       constant one-hot expanders (never materializing a [.., Z, mesh]
       trailing pair).
     """
-    cz, cy, cx = dims
     mesh = cna_a.shape[-1]
     zm = c6p_a.shape[-1]
     zmax1 = zm // mesh
@@ -294,11 +292,24 @@ def _d3_feature_planes(grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
     rz_c = jnp.asarray(rz_map, dtype)
     rq_c = jnp.asarray(rq_map, dtype)
 
-    numbers_a = gather_from_grid(grid, z_plane)
     ziota = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, zmax1), 1)
     ohz = (numbers_a[:, None] == ziota).astype(dtype)     # [N, Z+1]
     rf_a = (ohz @ rz_c) * (e_a @ rq_c)                    # [N, zm]
     rfd_a = (ohz @ rz_c) * (ed_a @ rq_c)
+    return l0_a, l1_a, rf_a, rfd_a, w_a, wd_a
+
+
+def _d3_feature_planes(grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
+                       dims, cap, precision=None):
+    """Per-atom C6-interpolation features scattered into grid planes.
+
+    Returns ``(lf_plane [.., cap, 2 zm], rf_plane [.., cap, zm],
+    rfd_plane, w_a [N], wd_a [N])``; see :func:`_d3_atom_features`.
+    """
+    cz, cy, cx = dims
+    numbers_a = gather_from_grid(grid, z_plane)
+    l0_a, l1_a, rf_a, rfd_a, w_a, wd_a = _d3_atom_features(
+        numbers_a, cn_a, cna_a, mask_a, c6p_a, k3, dtype, precision)
 
     def feat_plane(vals):
         nslots = cz * cy * cx * cap

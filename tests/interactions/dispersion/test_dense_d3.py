@@ -1,0 +1,74 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Dense minimum-image D3 vs the grid engine, incl. batching + padding."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nvalchemiops_tpu.grid import build_atom_grid, estimate_grid_geometry
+from nvalchemiops_tpu.interactions.dispersion.dense_d3 import (
+    batch_dense_dftd3,
+    dense_dftd3,
+)
+from nvalchemiops_tpu.interactions.dispersion.grid_d3 import grid_dftd3
+
+
+def _tables(rng, zmax=4):
+    rcov = jnp.asarray(np.r_[0.0, rng.uniform(0.6, 1.4, zmax)], jnp.float32)
+    r4r2 = jnp.asarray(np.r_[0.0, rng.uniform(2.0, 6.0, zmax)], jnp.float32)
+    cna = jnp.asarray(
+        np.vstack([np.zeros(5),
+                   np.cumsum(rng.uniform(0.3, 1.0, (zmax, 5)), 1)]),
+        jnp.float32)
+    c6 = rng.uniform(5.0, 40.0, (zmax + 1,) * 2 + (5, 5))
+    c6[0] = 0.0
+    c6[:, 0] = 0.0
+    c6 = jnp.asarray(0.5 * (c6 + np.swapaxes(np.swapaxes(c6, 0, 1), 2, 3)),
+                     jnp.float32)
+    return rcov, r4r2, c6, cna
+
+
+def test_dense_matches_grid_with_padding():
+    rng = np.random.default_rng(0)
+    npa, box, cutoff = 260, 14.0, 4.0
+    pos = jnp.asarray(rng.uniform(0, box, (npa, 3)), jnp.float32)
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32)
+    pbc = np.array([True] * 3)
+    zmax = 4
+    numbers = jnp.asarray(
+        np.r_[rng.integers(1, zmax + 1, npa - 12), np.zeros(12)].astype(
+            np.int32))
+    rcov, r4r2, c6, cna = _tables(rng, zmax)
+
+    e_d, f_d, cn_d = dense_dftd3(pos, numbers, cell, cutoff, rcov, r4r2,
+                                 c6, cna, 0.42, 4.1, 1.7)
+    dims, radius, cap = estimate_grid_geometry(cell, pbc, cutoff, npa,
+                                               target_occupancy=0.4)
+    g = build_atom_grid(pos, cell, pbc, dims, radius, cap)
+    e_g, f_g, cn_g = grid_dftd3(g, numbers, rcov, r4r2, c6, cna, cutoff,
+                                0.42, 4.1, 1.7, engine="xla")
+    np.testing.assert_allclose(float(e_d), float(e_g), rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(cn_d), np.asarray(cn_g), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(f_d), np.asarray(f_g), atol=2e-5)
+    # padding atoms carry no force
+    assert np.abs(np.asarray(f_d)[-12:]).max() == 0.0
+
+
+def test_batch_dense_matches_per_system():
+    rng = np.random.default_rng(1)
+    B, npa, box, cutoff = 3, 150, 12.0, 4.0
+    pos = jnp.asarray(rng.uniform(0, box, (B, npa, 3)), jnp.float32)
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32)
+    zmax = 4
+    numbers = jnp.asarray(rng.integers(1, zmax + 1, (B, npa)), jnp.int32)
+    rcov, r4r2, c6, cna = _tables(rng, zmax)
+
+    e_b, f_b, cn_b = batch_dense_dftd3(pos, numbers, cell, cutoff, rcov,
+                                       r4r2, c6, cna, 0.42, 4.1, 1.7)
+    for b in range(B):
+        e1, f1, cn1 = dense_dftd3(pos[b], numbers[b], cell, cutoff, rcov,
+                                  r4r2, c6, cna, 0.42, 4.1, 1.7)
+        np.testing.assert_allclose(float(e_b[b]), float(e1), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(f_b[b]), np.asarray(f1),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cn_b[b]), np.asarray(cn1),
+                                   atol=1e-6)
