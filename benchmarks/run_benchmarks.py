@@ -252,6 +252,62 @@ def bench_dftd3_batch(cfg, label, outdir, iters):
     )
 
 
+def bench_pme_batch(cfg, label, outdir, iters):
+    from nvalchemiops_tpu.interactions.electrostatics.pme import (
+        _pme_reciprocal_impl,
+    )
+
+    dep = perturb_positions()
+    rng = np.random.default_rng(5)
+    B, npa, box = cfg["num_systems"], cfg["atoms_per_system"], cfg["box"]
+    pos = jnp.asarray(rng.uniform(0, box, (B * npa, 3)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=B * npa), jnp.float32)
+    cells = jnp.asarray(np.tile(np.eye(3) * box, (B, 1, 1)), jnp.float32)
+    batch_idx = jnp.asarray(np.repeat(np.arange(B), npa), jnp.int32)
+    m = (cfg["mesh"],) * 3
+    alpha = jnp.full((B,), cfg["alpha"], jnp.float32)
+
+    from nvalchemiops_tpu.interactions.electrostatics.pme import (
+        batch_pme_reciprocal,
+    )
+    pos_b = pos.reshape(B, npa, 3)
+    q_b = q.reshape(B, npa)
+    cell1 = cells[0]
+    from nvalchemiops_tpu.spline_windowed import observed_tile_capacity
+    tile_cap = max(observed_tile_capacity(pos_b[i], cell1, m)
+                   for i in range(B)) + 8
+
+    rows = []
+    for forces in (False, True):
+        def step_win(p):
+            out = batch_pme_reciprocal(p, q_b, cell1, cfg["alpha"], m,
+                                       compute_forces=forces,
+                                       tile_capacity=tile_cap)
+            return out[1] if forces else out
+
+        t = measure(step_win, dep, (pos_b,), iters=max(iters // 2, 2))
+        print(f"  batched PME-windowed {B}x{npa} mesh={cfg['mesh']} "
+              f"forces={forces}: {t*1e3:.3f} ms")
+        rows.append(["pme-batch-windowed" + ("-forces" if forces else ""),
+                     B * npa, B, cfg["mesh"], round(t * 1e3, 4)])
+    for forces in (False,):
+        def step(p):
+            out = _pme_reciprocal_impl(
+                p, q, cells, alpha, m, cfg["spline_order"], batch_idx,
+                forces, False, None, None)
+            return out[1] if forces else out[0]
+
+        t = measure(step, dep, (pos,), iters=max(iters // 2, 2))
+        print(f"  batched PME-scatter {B}x{npa} mesh={cfg['mesh']} "
+              f"forces={forces}: {t*1e3:.3f} ms")
+        rows.append(["pme-batch-scatter", B * npa, B, cfg["mesh"],
+                     round(t * 1e3, 4)])
+    write_csv(
+        f"{outdir}/pme_batch_benchmark_{label}.csv", rows,
+        ["method", "atoms", "systems", "mesh", "time_ms"],
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=os.path.join(
@@ -264,12 +320,13 @@ def main():
     outdir = cfg.get("output_dir", "benchmarks/results")
     iters = int(cfg.get("iters", 4))
 
-    domains = args.domains or ["neighborlist", "dftd3", "dftd3_batch", "pme", "ewald_batch"]
+    domains = args.domains or ["neighborlist", "dftd3", "dftd3_batch", "pme", "pme_batch", "ewald_batch"]
     runners = {
         "neighborlist": bench_neighborlist,
         "dftd3": bench_dftd3,
         "dftd3_batch": bench_dftd3_batch,
         "pme": bench_pme,
+        "pme_batch": bench_pme_batch,
         "ewald_batch": bench_ewald_batch,
     }
     for d in domains:

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from nvalchemiops_tpu.types import INDEX_DTYPE
+from nvalchemiops_tpu.mathops.math import apply_mat3
 from nvalchemiops_tpu.neighborlist.neighbor_utils import bucket_ranks, pack_shifts
 
 # Parking coordinates for displacement-based validity (see build_atom_grid):
@@ -158,7 +159,7 @@ def build_atom_grid(positions, cell, pbc, dims, radius, cap,
     cpd_xyz = jnp.asarray([cx, cy, cz], dtype=INDEX_DTYPE)  # x, y, z order
 
     inv_cell = jnp.linalg.inv(cell)
-    frac = positions @ inv_cell
+    frac = apply_mat3(positions, inv_cell)
     bin_pos = frac * cpd_xyz.astype(dtype)
     if origin is not None:
         bin_pos = bin_pos - jnp.asarray(origin, dtype=dtype).reshape(1, 3)
@@ -170,7 +171,7 @@ def build_atom_grid(positions, cell, pbc, dims, radius, cap,
     aps = jnp.where(pbc_arr[None, :], wrap, 0)
 
     # wrapped positions (images moved into the box) so ghost shifts are exact
-    shift_cart = aps.astype(dtype) @ cell
+    shift_cart = apply_mat3(aps.astype(dtype), cell)
     wpx = positions[:, 0] - shift_cart[:, 0]
     wpy = positions[:, 1] - shift_cart[:, 1]
     wpz = positions[:, 2] - shift_cart[:, 2]
@@ -614,7 +615,7 @@ def choose_grid_origin(positions, cell, pbc, dims):
 
     @jax.jit
     def max_occ(origin):
-        frac = positions @ jnp.linalg.inv(cell_j)
+        frac = apply_mat3(positions, jnp.linalg.inv(cell_j))
         bp = frac * cpd_xyz.astype(dtype) - origin.reshape(1, 3)
         coords = jnp.floor(bp).astype(INDEX_DTYPE)
         wrapped = coords - jnp.floor_divide(coords, cpd_xyz) * cpd_xyz

@@ -10,9 +10,9 @@ with zero padding slack, and the C6 interpolation as two [n, zm] x [zm, n]
 MXU matmuls — perfectly tiled, vmappable over the batch axis, and valid
 whenever cutoff <= box/2 (the minimum-image bound).
 
-Measured on chip: 128 x 2000 atoms, 9 A cutoff — 61 ms dense vs 178 ms on
-per-system grids (and vs the reference's 46 ms on H100 at its heavier
-21.2 A config).
+Measured on chip: 128 x 2000 atoms, 9 A cutoff — 46.9 ms dense vs 178 ms
+on per-system grids (and vs the reference's 46.0 ms on H100 at its
+heavier 21.2 A config).
 
 Same math and factor conventions as the matrix-path kernels
 (_kernels.py): full-space pair enumeration, energy x 1/2, dE/dCN and
@@ -24,6 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from nvalchemiops_tpu.mathops.math import apply_mat3
 from nvalchemiops_tpu.types import INDEX_DTYPE
 from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
     _d3_atom_features,
@@ -43,7 +44,7 @@ def _dense_impl(positions, numbers, cell, cutoff, rcov, r4r2, cna_a, mask_a,
     # kept as separate x/y/z [n, n] planes — a [n, n, 3] array would be
     # tile-padded and blow HBM at batch scale (rule 1)
     inv_cell = jnp.linalg.inv(cell)
-    frac = positions @ inv_cell
+    frac = apply_mat3(positions, inv_cell)  # exact f32 (no bf16 MXU)
     df = []
     for c in range(3):
         fc = frac[:, c]

@@ -31,7 +31,14 @@ from nvalchemiops_tpu.interactions.electrostatics.pme import (  # noqa: F401
     pme_reciprocal_space,
 )
 
+from nvalchemiops_tpu.interactions.electrostatics.dense import (  # noqa: F401
+    batch_dense_coulomb_energy_forces,
+    dense_coulomb_energy_forces,
+)
+
 __all__ = [
+    "batch_dense_coulomb_energy_forces",
+    "dense_coulomb_energy_forces",
     "coulomb_energy",
     "coulomb_forces",
     "coulomb_energy_forces",

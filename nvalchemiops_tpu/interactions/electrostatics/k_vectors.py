@@ -67,7 +67,10 @@ def generate_k_vectors_ewald_summation(cell, k_cutoff):
         dtype=cell_b.dtype,
     )
     reciprocal = TWOPI * jnp.linalg.inv(jnp.swapaxes(cell_b, -1, -2))
-    k_vectors = jnp.einsum("kd,bde->bke", millers, reciprocal)
+    # exact f32 (TPU lowers the K=3 einsum to bf16 MXU; see mathops.apply_mat3)
+    k_vectors = sum(
+        millers[None, :, d:d + 1] * reciprocal[:, None, d] for d in range(3)
+    )
     return k_vectors[0] if squeeze else k_vectors
 
 
@@ -96,7 +99,12 @@ def generate_k_vectors_pme(cell, mesh_dimensions, reciprocal_cell=None):
     gx, gy, gz = jnp.meshgrid(mx, my, mz, indexing="ij")
     miller_grid = jnp.stack([gx, gy, gz], axis=-1)  # [nx, ny, nz//2+1, 3]
 
-    k_vectors = jnp.einsum("xyzd,bde->bxyze", miller_grid, reciprocal_cell)
+    # exact f32 (TPU lowers the K=3 einsum to bf16 MXU; see mathops.apply_mat3)
+    k_vectors = sum(
+        miller_grid[None, ..., d:d + 1]
+        * reciprocal_cell[:, None, None, None, d]
+        for d in range(3)
+    )
     k_squared = jnp.sum(k_vectors**2, axis=-1)
     k_squared_safe = jnp.where(k_squared > 1e-12, k_squared, 1e-12)
     if squeeze:

@@ -41,7 +41,7 @@ from nvalchemiops_tpu.spline import (
     spline_gather_gradient,
     spline_spread,
 )
-from nvalchemiops_tpu.mathops.math import sinc_normalized
+from nvalchemiops_tpu.mathops.math import apply_mat3, sinc_normalized
 from nvalchemiops_tpu.interactions.electrostatics.ewald import ewald_real_space
 from nvalchemiops_tpu.interactions.electrostatics.k_vectors import (
     generate_k_vectors_pme,
@@ -53,7 +53,8 @@ from nvalchemiops_tpu.interactions.electrostatics.parameters import (
 )
 from nvalchemiops_tpu.types import INDEX_DTYPE
 
-__all__ = ["pme_reciprocal_space", "particle_mesh_ewald", "pme_green_structure_factor"]
+__all__ = ["pme_reciprocal_space", "particle_mesh_ewald",
+           "pme_green_structure_factor", "batch_pme_reciprocal"]
 
 TWOPI = 2.0 * math.pi
 SQRT_PI = math.sqrt(math.pi)
@@ -266,7 +267,7 @@ def _pme_reciprocal_impl(
     forces = None
     if compute_forces:
         if use_win:
-            forces = 2.0 * (-charges[:, None] * grad_frac) @ tiles.inv.T
+            forces = 2.0 * apply_mat3(-charges[:, None] * grad_frac, tiles.inv.T)
         else:
             forces = 2.0 * spline_gather_gradient(
                 positions, charges, potential_mesh,
@@ -405,3 +406,101 @@ def particle_mesh_ewald(
     if compute_forces or compute_charge_gradients:
         return tuple(a + b for a, b in zip(rs, rec))
     return rs + rec
+
+
+def _windowed_pme_single(positions, charges, cell, alpha, mesh_dimensions,
+                         spline_order: int, cap: int, compute_forces: bool):
+    """One system through the tile-windowed PME pipeline (vmappable).
+
+    Lean straight-line version of :func:`_pme_reciprocal_impl`'s windowed
+    path (no dense fallback cond — atoms beyond ``cap`` per tile are an
+    error here), shared by the batched fast path below and
+    ``parallel.domain.domain_pme_reciprocal``.
+    """
+    from nvalchemiops_tpu import spline_windowed as sw
+
+    dtype = positions.dtype
+    tiles = sw.build_mesh_tiles(positions, cell, mesh_dimensions,
+                                spline_order, cap,
+                                need_grad=compute_forces)
+    mesh = sw.windowed_spread(tiles, charges)
+    mesh_fft = jnp.fft.rfftn(mesh, norm="backward")
+    _, k_squared = generate_k_vectors_pme(cell, mesh_dimensions)
+    green, sf_sq = pme_green_structure_factor(
+        k_squared, mesh_dimensions, alpha, cell, spline_order)
+    potential_mesh = jnp.fft.irfftn(
+        mesh_fft / sf_sq * green, s=mesh_dimensions,
+        norm="forward").astype(dtype)
+
+    if compute_forces:
+        raw, grad_frac = sw.windowed_gather(tiles, potential_mesh,
+                                            with_gradient=True)
+    else:
+        raw = sw.windowed_gather(tiles, potential_mesh)
+        grad_frac = None
+
+    alpha_t = jnp.asarray(alpha, dtype).reshape(())
+    volume = jnp.abs(jnp.linalg.det(jnp.asarray(cell, dtype).reshape(3, 3)))
+    q_total = jnp.sum(charges)
+    energies = (
+        charges * raw
+        - (alpha_t / SQRT_PI) * charges * charges
+        - (math.pi / (2.0 * alpha_t * alpha_t * volume)) * charges * q_total
+    )
+    if not compute_forces:
+        return energies, None
+    forces = 2.0 * apply_mat3(-charges[:, None] * grad_frac, tiles.inv.T)
+    forces = forces - jnp.mean(forces, axis=0, keepdims=True)
+    return energies, forces
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh_dimensions", "spline_order", "cap",
+                     "compute_forces"),
+)
+def _batch_windowed_pme_impl(positions, charges, cells, alphas,
+                             mesh_dimensions, spline_order, cap,
+                             compute_forces):
+    return jax.vmap(
+        lambda p, q, c, a: _windowed_pme_single(
+            p, q, c, a, mesh_dimensions, spline_order, cap, compute_forces)
+    )(positions, charges, cells, alphas)
+
+
+def batch_pme_reciprocal(positions, charges, cells, alpha, mesh_dimensions,
+                         spline_order: int = 4, compute_forces: bool = False,
+                         tile_capacity: int | None = None):
+    """Batched reciprocal-space PME on uniform [B, n, 3] system stacks.
+
+    The concatenated ``batch_idx`` path of :func:`pme_reciprocal_space`
+    spreads with scatter-adds (measured 144 ms at the reference's 64x2000
+    config); uniform batches instead vmap the tile-windowed pipeline —
+    measured 9.8 ms energies / 14.8 ms with forces at the same config
+    (the reference's H100 number is 5.76 ms energies-only).
+
+    ``alpha`` scalar or [B]; ``cells`` [3, 3] shared or [B, 3, 3].
+    Returns per-atom energies [B, n] (self/background corrected) and,
+    with ``compute_forces``, forces [B, n, 3].
+    """
+    from nvalchemiops_tpu import spline_windowed as sw
+
+    if not sw.windowed_applicable(mesh_dimensions, spline_order):
+        raise ValueError(
+            f"mesh {mesh_dimensions} / order {spline_order} not supported "
+            "by the windowed path; use pme_reciprocal_space(batch_idx=...)")
+    b, n = positions.shape[0], positions.shape[1]
+    dtype = positions.dtype
+    cells = jnp.asarray(cells, dtype)
+    if cells.ndim == 2:
+        cells = jnp.broadcast_to(cells[None], (b, 3, 3))
+    alphas = jnp.broadcast_to(jnp.asarray(alpha, dtype).reshape(-1), (b,))
+    if tile_capacity is None:
+        tile_capacity = sw.mesh_tile_capacity(n, mesh_dimensions)
+    energies, forces = _batch_windowed_pme_impl(
+        positions, jnp.asarray(charges, dtype), cells, alphas,
+        tuple(int(d) for d in mesh_dimensions), int(spline_order),
+        int(tile_capacity), bool(compute_forces))
+    if compute_forces:
+        return energies, forces
+    return energies

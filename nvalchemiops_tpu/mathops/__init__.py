@@ -8,7 +8,9 @@ bodies (which accept jnp expressions directly).
 """
 
 from nvalchemiops_tpu.mathops.math import (  # noqa: F401
+    apply_mat3,
     divmod_floor,
+    dot_phases,
     erfc_approx,
     exp_over_x,
     safe_divide,
@@ -30,7 +32,9 @@ from nvalchemiops_tpu.mathops.gto import (  # noqa: F401
 )
 
 __all__ = [
+    "apply_mat3",
     "divmod_floor",
+    "dot_phases",
     "erfc_approx",
     "exp_over_x",
     "safe_divide",

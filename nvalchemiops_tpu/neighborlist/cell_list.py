@@ -121,7 +121,8 @@ def _estimate_cell_capacity(
 def _bin_atoms(positions, cell, pbc_arr, cpd):
     """Cell coords + periodic shifts for each atom (reference: :166-240)."""
     inv_cell = jnp.linalg.inv(cell)
-    frac = positions @ inv_cell  # row-vector convention: s = r @ cell^-1
+    from nvalchemiops_tpu.mathops.math import apply_mat3
+    frac = apply_mat3(positions, inv_cell)  # s = r @ cell^-1, exact f32
     coords = jnp.floor(frac * cpd.astype(positions.dtype)).astype(INDEX_DTYPE)
     wrap = jnp.floor_divide(coords, cpd)
     wrapped = coords - wrap * cpd

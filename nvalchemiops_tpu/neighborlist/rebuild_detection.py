@@ -45,7 +45,8 @@ def cell_list_needs_rebuild(
     pbc_arr = jnp.asarray(pbc, dtype=bool).reshape(-1)[:3]
     cpd = jnp.asarray(cells_per_dimension, dtype=INDEX_DTYPE).reshape(3)
 
-    frac = current_positions @ jnp.linalg.inv(cell)
+    from nvalchemiops_tpu.mathops.math import apply_mat3
+    frac = apply_mat3(current_positions, jnp.linalg.inv(cell))
     coords = jnp.floor(frac * cpd.astype(dtype)).astype(INDEX_DTYPE)
     wrap = jnp.floor_divide(coords, cpd)
     wrapped = coords - wrap * cpd

@@ -36,7 +36,8 @@ def _spread_kernel(qsx_ref, sy_ref, sz_ref, out_ref):
     nz = sz.shape[1]
     t = (sy[:, :, None] * sz[:, None, :]).reshape(c, ny * nz)
     out_ref[:] += jnp.dot(
-        qsx_ref[:].T, t, preferred_element_type=jnp.float32
+        qsx_ref[:].T, t, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -77,7 +78,8 @@ def _gather_kernel(sx_ref, sy_ref, sz_ref, mesh_ref, out_ref):
     c, ny = sy.shape
     nz = sz.shape[1]
     t = (sy[:, :, None] * sz[:, None, :]).reshape(c, ny * nz)
-    proj = jnp.dot(sx_ref[:], mesh_ref[:], preferred_element_type=jnp.float32)
+    proj = jnp.dot(sx_ref[:], mesh_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     out_ref[:] = jnp.sum(proj * t, axis=1, keepdims=True)
 
 

@@ -46,7 +46,7 @@ from nvalchemiops_tpu.grid import (
     row_home_mask,
     DISPLACE,
 )
-from nvalchemiops_tpu.mathops.math import erfc_approx
+from nvalchemiops_tpu.mathops.math import apply_mat3, erfc_approx
 
 __all__ = [
     "make_z_mesh",
@@ -665,7 +665,7 @@ def _domain_pme_impl(mesh: Mesh, positions, charges, cell, alpha,
     # identical to the single-device windowed path: rotate the fractional
     # gradient through cell^-T, factor 2 for the spread-side symmetry,
     # uniform net-force removal (standard SPME)
-    forces = 2.0 * (-q[:, None] * grad_frac) @ tiles.inv.T
+    forces = 2.0 * apply_mat3(-q[:, None] * grad_frac, tiles.inv.T)
     forces = forces - jnp.mean(forces, axis=0, keepdims=True)
     return energies, forces
 

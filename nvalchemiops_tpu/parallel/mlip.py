@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nvalchemiops_tpu.types import INDEX_DTYPE
-from nvalchemiops_tpu.mathops.math import erfc_approx
+from nvalchemiops_tpu.mathops.math import apply_mat3, erfc_approx
 from nvalchemiops_tpu.interactions.dispersion.dftd3 import _c6_interpolate
 
 __all__ = [
@@ -105,10 +105,10 @@ def _minimum_image_pairs(positions, cell):
     [n, n, 3]; suitable for cutoffs below half the box (the MLIP's
     short-range terms).  Differentiable w.r.t. positions and cell.
     """
-    frac = positions @ jnp.linalg.inv(cell)
+    frac = apply_mat3(positions, jnp.linalg.inv(cell))
     dfrac = frac[None, :, :] - frac[:, None, :]
     dfrac = dfrac - jnp.round(dfrac)
-    return dfrac @ cell
+    return apply_mat3(dfrac, cell)
 
 
 def mlip_energy(params: MLIPParams, tables: D3Tables, positions, numbers, cell,

@@ -31,6 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from nvalchemiops_tpu.mathops.math import apply_mat3
 from nvalchemiops_tpu.types import INDEX_DTYPE
 
 __all__ = [
@@ -134,9 +135,9 @@ def _cell_inverse_per_atom(positions, cell, batch_idx, cell_inv_t=None):
         inv = jnp.linalg.inv(jnp.asarray(cell, dtype=dtype).reshape(-1, 3, 3))
     if batch_idx is not None and inv.shape[0] > 1:
         inv_a = inv[batch_idx.astype(INDEX_DTYPE)]
-        frac = jnp.einsum("nd,nde->ne", positions, inv_a)
+        frac = sum(positions[:, d:d + 1] * inv_a[:, d] for d in range(3))
         return frac, inv
-    return positions @ inv[0], inv
+    return apply_mat3(positions, inv[0]), inv
 
 
 def _stencil(positions, cell, mesh_dims, order: int, batch_idx, cell_inv_t=None):
@@ -201,7 +202,8 @@ def _axis_weight_matrix(gidx_d, w_d, n_mesh: int):
     """Dense per-axis spread matrix [N, n_mesh] from stencil indices/weights."""
     mesh_iota = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, 1, n_mesh), 2)
     onehot = (gidx_d[:, :, None] == mesh_iota).astype(w_d.dtype)
-    return jnp.einsum("nio,ni->no", onehot, w_d)
+    return jnp.einsum("nio,ni->no", onehot, w_d,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _separable_spread(values, sx, sy, sz, chunk: int = 2048):
@@ -220,8 +222,11 @@ def _separable_spread(values, sx, sy, sz, chunk: int = 2048):
         a = jax.lax.dynamic_slice(qx, (c, zero), (chunk, nx))
         b = jax.lax.dynamic_slice(syp, (c, zero), (chunk, ny))
         d = jax.lax.dynamic_slice(szp, (c, zero), (chunk, nz))
-        t = jnp.einsum("ny,nz->nyz", b, d).reshape(chunk, ny * nz)
-        mesh = mesh + jnp.einsum("nx,nm->xm", a, t).reshape(nx, ny, nz)
+        t = jnp.einsum("ny,nz->nyz", b, d,
+                       precision=jax.lax.Precision.HIGHEST).reshape(chunk, ny * nz)
+        mesh = mesh + jnp.einsum("nx,nm->xm", a, t,
+                                 precision=jax.lax.Precision.HIGHEST
+                                 ).reshape(nx, ny, nz)
         return mesh, None
 
     starts = jnp.arange(num_chunks, dtype=INDEX_DTYPE) * chunk
@@ -259,8 +264,10 @@ def _separable_gather(mesh, sx, sy, sz, chunk: int = 2048):
         a = jax.lax.dynamic_slice(sxp, (c, zero), (chunk, nx))
         b = jax.lax.dynamic_slice(syp, (c, zero), (chunk, ny))
         d = jax.lax.dynamic_slice(szp, (c, zero), (chunk, nz))
-        t = jnp.einsum("nx,xm->nm", a, mesh2).reshape(chunk, ny, nz)
-        out = jnp.einsum("nyz,ny,nz->n", t, b, d)
+        t = jnp.einsum("nx,xm->nm", a, mesh2,
+                       precision=jax.lax.Precision.HIGHEST).reshape(chunk, ny, nz)
+        out = jnp.einsum("nyz,ny,nz->n", t, b, d,
+                         precision=jax.lax.Precision.HIGHEST)
         return None, out
 
     starts = jnp.arange(num_chunks, dtype=INDEX_DTYPE) * chunk
@@ -424,7 +431,7 @@ def _gather_impl(positions, mesh, charges, cell, batch_idx, spline_order, num_sy
                 )
                 f_comps.append(-charges * _separable_gather(mesh, sx, sy, sz))
             f_frac = jnp.stack(f_comps, axis=-1)
-            return f_frac @ inv[0].T
+            return apply_mat3(f_frac, inv[0].T)
 
         if sw.windowed_applicable(dims, o):
             cap = sw.mesh_tile_capacity(positions.shape[0], dims)
@@ -448,7 +455,7 @@ def _gather_impl(positions, mesh, charges, cell, batch_idx, spline_order, num_sy
                         axis=-1,
                     )
                 _vals, g = sw.windowed_gather(tiles, mesh, with_gradient=True)
-                return (-charges[:, None] * g) @ tiles.inv.T
+                return apply_mat3(-charges[:, None] * g, tiles.inv.T)
 
             return jax.lax.cond(tiles.counts_max <= cap, fast, dense, None)
         return dense(None)
@@ -497,8 +504,8 @@ def _gather_impl(positions, mesh, charges, cell, batch_idx, spline_order, num_sy
         )  # [N, 3] in fractional axes
         if batch_idx is not None and inv.shape[0] > 1:
             inv_a = inv[batch_idx.astype(INDEX_DTYPE)]
-            return jnp.einsum("nd,ned->ne", f_frac, inv_a)
-        return f_frac @ inv[0].T
+            return sum(f_frac[:, d:d + 1] * inv_a[:, :, d] for d in range(3))
+        return apply_mat3(f_frac, inv[0].T)
     raise ValueError(mode)
 
 

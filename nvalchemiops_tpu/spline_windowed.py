@@ -43,6 +43,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from nvalchemiops_tpu.mathops.math import apply_mat3
 from nvalchemiops_tpu.types import INDEX_DTYPE
 from nvalchemiops_tpu.spline import bspline_weight, bspline_derivative
 from nvalchemiops_tpu.neighborlist.neighbor_utils import bucket_ranks
@@ -95,7 +96,7 @@ def observed_tile_capacity(positions, cell, mesh_dims, tile: int = 8,
 
     @jax.jit
     def occ():
-        mc = (positions @ inv) * dims_f
+        mc = apply_mat3(positions, inv) * dims_f
         mc = mc - jnp.floor(mc / dims_f) * dims_f
         mc = jnp.where(mc >= dims_f, 0.0, mc)
         theta = mc - jnp.floor(mc)
@@ -175,7 +176,7 @@ def build_mesh_tiles(positions, cell, mesh_dims, order: int, cap: int,
     dims_f = jnp.asarray([nx, ny, nz], dtype)
 
     inv = jnp.linalg.inv(jnp.asarray(cell, dtype=dtype).reshape(3, 3))
-    frac = positions @ inv
+    frac = apply_mat3(positions, inv)
     mc = frac * dims_f
     mc = mc - jnp.floor(mc / dims_f) * dims_f  # wrap into [0, dims)
     mc = jnp.where(mc >= dims_f, 0.0, mc)      # float-rounding seam guard
@@ -296,7 +297,9 @@ def _expand_onehots(w_win: int, dtype):
 def _tyx(tiles: MeshTiles, iy: int, ix: int):
     """(S_y (x) S_x) flat [ntiles, cap, W*W] without thin intermediates."""
     ry, rx = _expand_onehots(tiles.w_win, tiles.smat.dtype)
-    return (tiles.axis_mat(iy) @ ry) * (tiles.axis_mat(ix) @ rx)
+    hi = jax.lax.Precision.HIGHEST
+    return (jnp.matmul(tiles.axis_mat(iy), ry, precision=hi)
+            * jnp.matmul(tiles.axis_mat(ix), rx, precision=hi))
 
 
 def windowed_spread(tiles: MeshTiles, values):
@@ -311,7 +314,12 @@ def windowed_spread(tiles: MeshTiles, values):
 
     qsz = q_t[..., None] * tiles.axis_mat(2)
     tyx = _tyx(tiles, 1, 0)
-    windows = jnp.einsum("tcz,tcm->tzm", qsz, tyx)       # [t, W, W*W]
+    # full f32: a bf16-pass contraction of the spline weights costs ~4e-3
+    # relative mesh error (measured 3e-3 end-to-end PME energy error)
+    # HIGHEST: measured only 0.6 ms over HIGH at 128^3/110k for 10x
+    # tighter end accuracy (PME E 4e-6 vs 2e-5 relative)
+    windows = jnp.einsum("tcz,tcm->tzm", qsz, tyx,
+                         precision=jax.lax.Precision.HIGHEST)  # [t, W, W*W]
 
     # fold chain ordered z -> y -> x; every relayout keeps fat trailing dims
     a = windows.reshape(ntx, nty, ntz, w_win, w_win * w_win)
@@ -361,7 +369,8 @@ def windowed_gather(tiles: MeshTiles, mesh, with_gradient: bool = False):
         return plane.reshape(-1)[jnp.minimum(tiles.flat_slot, plane.size - 1)]
 
     def q_of(tyx_variant):
-        return jnp.einsum("tcm,tzm->tcz", tyx_variant, win)
+        return jnp.einsum("tcm,tzm->tcz", tyx_variant, win,
+                          precision=jax.lax.Precision.HIGHEST)
 
     q = q_of(_tyx(tiles, 1, 0))
     values = per_atom(jnp.sum(tiles.axis_mat(2) * q, axis=-1))

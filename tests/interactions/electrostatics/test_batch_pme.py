@@ -1,0 +1,38 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Batched windowed PME vs the single-system path."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nvalchemiops_tpu.interactions.electrostatics.pme import (
+    batch_pme_reciprocal,
+    pme_reciprocal_space,
+)
+
+
+def test_batch_windowed_pme_matches_single():
+    rng = np.random.default_rng(0)
+    B, npa, box = 3, 400, 24.0
+    pos = jnp.asarray(rng.uniform(0, box, (B, npa, 3)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, npa)), jnp.float32)
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32)
+    mesh = (32, 32, 32)
+    e_b, f_b = batch_pme_reciprocal(pos, q, cell, 0.4, mesh,
+                                    compute_forces=True)
+    for b in range(B):
+        e1, f1 = pme_reciprocal_space(pos[b], q[b], cell, 0.4,
+                                      mesh_dimensions=mesh,
+                                      compute_forces=True)
+        np.testing.assert_allclose(np.asarray(e_b[b]), np.asarray(e1),
+                                   atol=3e-5, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(f_b[b]), np.asarray(f1),
+                                   atol=3e-5)
+
+
+def test_batch_windowed_pme_rejects_bad_mesh():
+    pos = jnp.zeros((2, 10, 3), jnp.float32)
+    q = jnp.zeros((2, 10), jnp.float32)
+    cell = jnp.eye(3, dtype=jnp.float32) * 10
+    with pytest.raises(ValueError):
+        batch_pme_reciprocal(pos, q, cell, 0.4, (30, 30, 30))
