@@ -117,6 +117,13 @@ def estimate_grid_geometry(cell, pbc, cutoff: float, total_atoms: int,
     inv_t = np.linalg.inv(cell_np).T
     face = 1.0 / np.linalg.norm(inv_t, axis=1)  # distances between cell faces
     bin_target = cutoff / max(bins_per_cutoff, 1)
+    # NOTE: f64 noise in the cell inverse can truncate an exact multiple
+    # (243/9 -> 26.999... -> 26 bins).  Measured on chip at 531k atoms,
+    # the "fixed" 27-bin geometry is 1.6x SLOWER than 26 bins: cx=27's
+    # divisors force G=3 / M=96 super-chunks (misaligned) while 26 bins
+    # at cap 64 give G=2 / M=128 exactly.  Keep plain truncation — any
+    # bins >= cutoff geometry is valid, and this one measures faster;
+    # a proper geometry search would score dims x origin x alignment.
     cpd = np.maximum((face / bin_target).astype(np.int64), 1)
     radius = np.ceil(cutoff * cpd / face).astype(np.int64)
     pbc_np = np.asarray(jax.device_get(pbc), dtype=bool).reshape(-1)[:3]

@@ -72,9 +72,13 @@ def _dense_impl(positions, numbers, cell, cutoff, rcov, r4r2, cna_a, mask_a,
         numbers, cn, cna_a, mask_a, c6p_a, k3, dtype)
 
     # ---- pass 2: energy, direct forces, dE/dCN ---------------------------
-    zacc = l0 @ rf.T
-    z_di = l1 @ rf.T
-    z_dj = l0 @ rfd.T
+    # HIGHEST is ~free here: the [n, zm] x [zm, n] dots are a rounding
+    # error next to the n^2 elementwise pair math (unlike the grid
+    # engines, where bf16 C6 dots are a measured 5 ms saving)
+    hi = jax.lax.Precision.HIGHEST
+    zacc = jnp.matmul(l0, rf.T, precision=hi)
+    z_di = jnp.matmul(l1, rf.T, precision=hi)
+    z_dj = jnp.matmul(l0, rfd.T, precision=hi)
     w = w_a[:, None] * w_a[None, :]
     w_di = wd_a[:, None] * w_a[None, :]
     w_dj = w_a[:, None] * wd_a[None, :]
