@@ -997,12 +997,13 @@ def grid_dftd3(
 
     ``engine`` selects the sweep implementation:
 
-    - ``"block"`` (TPU default): fused super-chunk Mosaic kernels
+    - ``"xla"`` (default): pure-jnp row sweep — measured 28.4 ms at 110k
+      atoms on chip; traced parameters, precision/virial support.
+    - ``"block"``: fused super-chunk Mosaic kernels
       (pallas/block_sweep.py) — lane-aligned [G*cap, (G+2Rx)*cap] pair
-      blocks VMEM-resident, interpolation contractions on the MXU, ~8%
-      faster than the jnp sweep at 110k atoms.  D3 parameters become
-      static (one recompile per parameter set).
-    - ``"xla"`` (non-TPU default): pure-jnp row sweep.
+      blocks VMEM-resident, interpolation contractions on the MXU
+      (30.4 ms at the same config).  D3 parameters become static (one
+      recompile per parameter set).
     - ``"pallas"``: first-generation per-cell Mosaic row sweep
       (pallas/row_sweep.py), kept as the banded-sweep substrate.
 
@@ -1045,10 +1046,13 @@ def grid_dftd3(
         # Mosaic engines do not carry scalars across blocks
         engine = "xla"
     if engine is None:
-        # measured on chip at 110k atoms: the fused super-chunk engine is
-        # ~8% faster than the jnp sweep on TPU; interpret mode makes it
-        # far slower elsewhere
-        engine = "block" if jax.default_backend() == "tpu" else "xla"
+        # measured on chip at 110k atoms (tuned geometry): xla 28.4 ms vs
+        # block 30.4 ms, within run noise of each other — default to the
+        # jnp sweep everywhere: traced parameters (no recompile per D3
+        # parameter set), precision/virial support, and no Mosaic
+        # alignment sensitivity at awkward grid dims.  The super-chunk
+        # engine stays selectable (engine="block").
+        engine = "xla"
     if block_G is not None:
         # snap the hint to a divisor of the grid's x extent
         cx = grid.dims[2]
