@@ -619,6 +619,11 @@ def choose_grid_origin(positions, cell, pbc, dims):
     cell_j = jnp.asarray(cell, dtype=dtype).reshape(3, 3)
     cz, cy, cx = dims
     cpd_xyz = jnp.asarray([cx, cy, cz], INDEX_DTYPE)
+    # MUST match build_atom_grid's binning rule exactly: wrap on periodic
+    # axes, clamp elsewhere — wrapping a non-periodic axis here undercounts
+    # the edge bins and sizes ``cap`` below the real occupancy (silently
+    # dropped atoms = missing pairs).
+    pbc_j = jnp.asarray(pbc, dtype=bool).reshape(-1)[:3]
 
     @jax.jit
     def max_occ(origin):
@@ -626,7 +631,9 @@ def choose_grid_origin(positions, cell, pbc, dims):
         bp = frac * cpd_xyz.astype(dtype) - origin.reshape(1, 3)
         coords = jnp.floor(bp).astype(INDEX_DTYPE)
         wrapped = coords - jnp.floor_divide(coords, cpd_xyz) * cpd_xyz
-        lin = wrapped[:, 0] + cx * (wrapped[:, 1] + cy * wrapped[:, 2])
+        clamped = jnp.clip(coords, 0, cpd_xyz - 1)
+        ccoords = jnp.where(pbc_j[None, :], wrapped, clamped)
+        lin = ccoords[:, 0] + cx * (ccoords[:, 1] + cy * ccoords[:, 2])
         counts = jnp.zeros((cx * cy * cz,), INDEX_DTYPE).at[lin].add(1)
         return jnp.max(counts)
 
@@ -669,8 +676,18 @@ def build_atom_grid_auto(positions, cell, pbc, cutoff: float,
     # cap = observed max occupancy with one-slot-then-round-to-8 headroom
     cap = max(int(np.ceil((observed + 1) / 8)) * 8,
               int(np.ceil(observed * 1.02 / 8)) * 8)
-    return build_atom_grid(positions, cell, pbc, dims, radius, cap,
-                           origin=origin)
+    g = build_atom_grid(positions, cell, pbc, dims, radius, cap,
+                        origin=origin)
+    # estimate-then-CHECK (reference cell_list.py:639-724 splits the same
+    # way): if the observed occupancy disagreed with the real build (e.g.
+    # positions moved between the histogram and the build), rebuild with
+    # the true capacity rather than silently dropping atoms.
+    true_occ = int(jax.device_get(g.counts_max))
+    if true_occ > cap:
+        cap = int(np.ceil((true_occ + 1) / 8)) * 8
+        g = build_atom_grid(positions, cell, pbc, dims, radius, cap,
+                            origin=origin)
+    return g
 
 
 # ---------------------------------------------------------------------------

@@ -377,3 +377,33 @@ def test_grid_coulomb_block_engine_matches_xla():
                                               engine="block")
         np.testing.assert_allclose(np.asarray(e_b), np.asarray(e_x), atol=1e-5)
         np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_x), atol=1e-5)
+
+
+def test_grid_auto_nonperiodic_lumpy_occupancy():
+    """Regression: choose_grid_origin once measured occupancy with an
+    unconditional periodic wrap while the build clamps on non-PBC axes;
+    the undersized capacity silently dropped atoms (missing pairs)."""
+    from nvalchemiops_tpu.grid import build_atom_grid_auto, grid_coulomb_energy_forces
+
+    rng = np.random.default_rng(7)
+    gpts = np.stack(
+        np.meshgrid(*([np.arange(6)] * 3), indexing="ij"), -1
+    ).reshape(-1, 3) * 3.0 + 1.0
+    pos_np = gpts + rng.uniform(-0.2, 0.2, gpts.shape)
+    pos = jnp.asarray(pos_np, jnp.float64)
+    cell = jnp.asarray(np.eye(3) * 20.0, jnp.float64)
+    pbc = np.array([False] * 3)
+    cutoff = 6.5
+    q_np = rng.normal(size=len(pos_np))
+
+    d = pos_np[None, :, :] - pos_np[:, None, :]
+    r = np.sqrt((d**2).sum(-1))
+    np.fill_diagonal(r, np.inf)
+    mask = r < cutoff
+    e_bf = 0.5 * (q_np[:, None] * q_np[None, :] / r * mask).sum(1)
+
+    g = build_atom_grid_auto(pos, cell, pbc, cutoff)
+    assert int(g.counts_max) <= g.cap
+    e_g, _ = grid_coulomb_energy_forces(g, jnp.asarray(q_np, jnp.float64),
+                                        cutoff, 0.0)
+    np.testing.assert_allclose(np.asarray(e_g), e_bf, rtol=1e-10, atol=1e-12)
