@@ -63,6 +63,71 @@ def eval_gto_density(positions, sigma, l_max: int = 2):
     return prefactor * spherical_harmonics(positions, l_max=l_max)
 
 
+def gto_gaussian_factor(r2, sigma):
+    """Radial factor ``exp(-r^2 / (2 sigma^2))`` (reference: math/gto.py:169-192)."""
+    return jnp.exp(-jnp.asarray(r2) / (2.0 * sigma**2))
+
+
+def gto_integral_l0(sigma):
+    """Integral of the monopole GTO over all space — 1 by construction
+    (reference: math/gto.py:456-478)."""
+    return jnp.ones_like(jnp.asarray(sigma, dtype=jnp.result_type(sigma, 1.0)))
+
+
+def gto_density_l0(positions, sigma):
+    """Monopole density ``phi_00`` at ``positions`` [..., 3] -> [...]
+    (reference: math/gto.py:193-219)."""
+    return eval_gto_density(positions, sigma, l_max=0)[..., 0]
+
+
+def gto_density_l1(positions, sigma):
+    """Dipole densities ``phi_1m`` [..., 3] (m = -1, 0, +1 ordering of
+    :func:`spherical_harmonics`; reference: math/gto.py:220-260)."""
+    return eval_gto_density(positions, sigma, l_max=1)[..., 1:4]
+
+
+def gto_density_l2(positions, sigma):
+    """Quadrupole densities ``phi_2m`` [..., 5]
+    (reference: math/gto.py:261-304)."""
+    return eval_gto_density(positions, sigma, l_max=2)[..., 4:9]
+
+
+def gto_density_all(positions, sigma):
+    """All nine L <= 2 density components [..., 9]
+    (reference: math/gto.py:532-587)."""
+    return eval_gto_density(positions, sigma, l_max=2)
+
+
+def gto_density_l0_gradient(positions, sigma):
+    """``grad phi_00 = -phi_00 r / sigma^2`` [..., 3]
+    (reference: math/gto.py:588-624)."""
+    phi = gto_density_l0(positions, sigma)
+    return (-phi / sigma**2)[..., None] * positions
+
+
+def gto_fourier_l0(k_vectors, sigma):
+    """Real monopole Fourier component [...] (reference: math/gto.py:305-335)."""
+    return eval_gto_fourier(k_vectors, sigma, l_max=0)[0][..., 0]
+
+
+def gto_fourier_l1_real(k_vectors, sigma):
+    """Real part of the dipole Fourier components — identically zero
+    (reference: math/gto.py:336-381)."""
+    return eval_gto_fourier(k_vectors, sigma, l_max=1)[0][..., 1:4]
+
+
+def gto_fourier_l1_imag(k_vectors, sigma):
+    """Imaginary part of the dipole Fourier components [..., 3]
+    (reference: math/gto.py:382-403)."""
+    return eval_gto_fourier(k_vectors, sigma, l_max=1)[1][..., 1:4]
+
+
+def gto_fourier_l2_real(k_vectors, sigma):
+    """Real quadrupole Fourier components [..., 5]
+    (reference: math/gto.py:404-455)."""
+    return eval_gto_fourier(k_vectors, sigma, l_max=2)[0][..., 4:9]
+
+
 def eval_gto_fourier(k_vectors, sigma, l_max: int = 2):
     """Analytic Fourier transform of the GTO basis at ``k_vectors`` [..., 3].
 

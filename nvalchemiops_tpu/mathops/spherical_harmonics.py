@@ -194,3 +194,38 @@ def spherical_harmonics_gradient(positions, l_max: int = 2):
     if l_max > 2:
         raise ValueError(f"l_max must be 0, 1 or 2, got {l_max}")
     return jnp.concatenate(grads, axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Per-component accessors (reference: math/spherical_harmonics.py:136-660
+# exposes one device function per harmonic and per gradient).  Generated
+# thin wrappers over the vectorized evaluators; each takes positions
+# [..., 3] and returns the scalar harmonic [...] (or its gradient [..., 3]).
+# ---------------------------------------------------------------------------
+
+_COMPONENT_NAMES = ("00", "1m1", "10", "1p1", "2m2", "2m1", "20", "2p1", "2p2")
+
+
+def _make_component(idx: int, name: str):
+    def _value(positions):
+        return eval_all_spherical_harmonics(jnp.asarray(positions))[..., idx]
+
+    def _gradient(positions):
+        return spherical_harmonics_gradient(jnp.asarray(positions))[..., idx, :]
+
+    _value.__name__ = f"spherical_harmonic_{name}"
+    _value.__qualname__ = _value.__name__
+    _value.__doc__ = (f"Real harmonic Y_{name} at positions [..., 3] -> [...] "
+                      "(vectorized counterpart of the reference's device fn).")
+    _gradient.__name__ = f"spherical_harmonic_{name}_gradient"
+    _gradient.__qualname__ = _gradient.__name__
+    _gradient.__doc__ = (f"Gradient of Y_{name} w.r.t. position [..., 3] -> "
+                         "[..., 3].")
+    return _value, _gradient
+
+
+for _idx, _name in enumerate(_COMPONENT_NAMES):
+    _v, _g = _make_component(_idx, _name)
+    globals()[_v.__name__] = _v
+    globals()[_g.__name__] = _g
+del _idx, _name, _v, _g

@@ -14,6 +14,7 @@ from nvalchemiops_tpu.neighborlist.batch_naive_dual_cutoff import (  # noqa: F40
 )
 from nvalchemiops_tpu.neighborlist.cell_list import (  # noqa: F401
     CellList,
+    allocate_cell_list,
     build_cell_list,
     cell_list,
     estimate_cell_list_sizes,
@@ -49,6 +50,7 @@ __all__ = [
     "batch_naive_neighbor_list_dual_cutoff",
     "CellList",
     "BatchCellList",
+    "allocate_cell_list",
     "build_cell_list",
     "query_cell_list",
     "cell_list",

@@ -132,6 +132,29 @@ def _bin_atoms(positions, cell, pbc_arr, cpd):
     return cell_coords, aps
 
 
+def allocate_cell_list(total_atoms: int, max_total_cells: int,
+                       neighbor_search_radius=None) -> CellList:
+    """Zero-filled :class:`CellList` with the given static capacities.
+
+    Counterpart of the reference's buffer pre-allocation
+    (neighbor_utils.py:494-539).  In the functional JAX model the build
+    returns fresh arrays, so this exists for (a) API parity, (b) seeding
+    ``jax.jit`` donation / ``lax.cond`` branches that need a CellList of
+    the right shapes before the first real build.
+    """
+    radius = (jnp.zeros((3,), INDEX_DTYPE) if neighbor_search_radius is None
+              else jnp.asarray(neighbor_search_radius, INDEX_DTYPE))
+    return CellList(
+        cells_per_dimension=jnp.zeros((3,), INDEX_DTYPE),
+        neighbor_search_radius=radius,
+        atom_periodic_shifts=jnp.zeros((total_atoms, 3), INDEX_DTYPE),
+        atom_to_cell_mapping=jnp.zeros((total_atoms, 3), INDEX_DTYPE),
+        atoms_per_cell_count=jnp.zeros((max_total_cells,), INDEX_DTYPE),
+        cell_atom_start_indices=jnp.zeros((max_total_cells,), INDEX_DTYPE),
+        cell_atom_list=jnp.zeros((total_atoms,), INDEX_DTYPE),
+    )
+
+
 @partial(jax.jit, static_argnames=("max_total_cells", "max_nbins"))
 def build_cell_list(
     positions,

@@ -37,6 +37,11 @@ from nvalchemiops_tpu.types import INDEX_DTYPE
 __all__ = [
     "bspline_weight",
     "bspline_derivative",
+    "compute_fractional_coords",
+    "bspline_grid_offset",
+    "bspline_weight_3d",
+    "bspline_weight_gradient_3d",
+    "wrap_grid_index",
     "spline_spread",
     "spline_gather",
     "spline_gather_vec3",
@@ -118,6 +123,84 @@ def bspline_derivative(u, order: int):
             ),
         )
     raise ValueError(f"spline order must be 1-4, got {order}")
+
+
+# ---------------------------------------------------------------------------
+# Low-level stencil helpers (reference: spline.py:257-494), vectorized.
+#
+# These are the public building blocks the reference exposes for kernel
+# authors; the library's own spread/gather paths use the separable stencil
+# below instead (same math, batched per axis).
+# ---------------------------------------------------------------------------
+
+
+def compute_fractional_coords(positions, cell, mesh_dims, batch_idx=None):
+    """Mesh coordinates of each atom (reference: spline.py:257-302).
+
+    Returns ``(base_grid, theta)``: the floor of the mesh-scaled fractional
+    coordinate as int32 ``[..., 3]`` and its fractional remainder in
+    ``[0, 1)`` with the dtype of ``positions``.
+    """
+    positions = jnp.asarray(positions)
+    frac, _ = _cell_inverse_per_atom(positions, jnp.asarray(cell, positions.dtype),
+                                     batch_idx)
+    mesh_coords = frac * jnp.asarray(mesh_dims, positions.dtype)
+    base = jnp.floor(mesh_coords)
+    return base.astype(INDEX_DTYPE), mesh_coords - base
+
+
+def bspline_grid_offset(point_idx, order: int, theta):
+    """Grid offset of linear stencil point(s) (reference: spline.py:304-349).
+
+    ``point_idx`` enumerates the ``order**3`` cube points; the returned
+    ``[..., 3]`` int32 offset includes the ``floor(theta - (order-2)/2)``
+    start shift that keeps the spline parameter ``u`` inside ``[0, order)``.
+    """
+    point_idx = jnp.asarray(point_idx, INDEX_DTYPE)
+    theta = jnp.asarray(theta)
+    i = point_idx // (order * order)
+    j = (point_idx % (order * order)) // order
+    k = point_idx % order
+    ijk = jnp.stack(jnp.broadcast_arrays(i, j, k), axis=-1)
+    start = jnp.floor(theta - 0.5 * (order - 2)).astype(INDEX_DTYPE)
+    return ijk + start
+
+
+def _spline_u(theta, offset, order: int):
+    theta = jnp.asarray(theta)
+    return 0.5 * order + theta - jnp.asarray(offset).astype(theta.dtype)
+
+
+def bspline_weight_3d(theta, offset, order: int):
+    """Separable 3-D spline weight ``M(u_x) M(u_y) M(u_z)``
+    (reference: spline.py:350-408); zero outside ``u in [0, order)``."""
+    u = _spline_u(theta, offset, order)
+    return (bspline_weight(u[..., 0], order)
+            * bspline_weight(u[..., 1], order)
+            * bspline_weight(u[..., 2], order))
+
+
+def bspline_weight_gradient_3d(theta, offset, order: int, mesh_dims):
+    """Gradient of :func:`bspline_weight_3d` w.r.t. ``theta``, scaled by
+    ``mesh_dims`` (reference: spline.py:410-483)."""
+    u = _spline_u(theta, offset, order)
+    dims = jnp.asarray(mesh_dims, u.dtype)
+    wx = bspline_weight(u[..., 0], order)
+    wy = bspline_weight(u[..., 1], order)
+    wz = bspline_weight(u[..., 2], order)
+    dwx = bspline_derivative(u[..., 0], order) * dims[0]
+    dwy = bspline_derivative(u[..., 1], order) * dims[1]
+    dwz = bspline_derivative(u[..., 2], order) * dims[2]
+    return jnp.stack([dwx * wy * wz, wx * dwy * wz, wx * wy * dwz], axis=-1)
+
+
+def wrap_grid_index(idx, dim):
+    """Periodic grid-index wrap (reference: spline.py:485-488).
+
+    ``jnp.mod`` already returns a value in ``[0, dim)`` for positive
+    ``dim``, matching the reference's double-mod spelling.
+    """
+    return jnp.mod(jnp.asarray(idx, INDEX_DTYPE), dim)
 
 
 # ---------------------------------------------------------------------------

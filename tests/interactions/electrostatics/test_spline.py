@@ -169,3 +169,39 @@ def test_deconvolution_basic():
     assert d.shape == (8, 8, 8)
     assert float(d[0, 0, 0]) == pytest.approx(1.0)
     assert (np.asarray(d) >= 1.0 - 1e-12).all()  # |b(k)|^2 <= 1
+
+
+@pytest.mark.parametrize("order", [1, 2, 3, 4])
+def test_stencil_helper_partition_of_unity(order):
+    """The public low-level helpers reproduce a full normalized stencil
+    (reference: spline.py:257-494 device functions)."""
+    from nvalchemiops_tpu.spline import (
+        bspline_grid_offset,
+        bspline_weight_3d,
+        bspline_weight_gradient_3d,
+        compute_fractional_coords,
+        wrap_grid_index,
+    )
+
+    rng = np.random.default_rng(11)
+    cell = jnp.asarray(np.diag([5.0, 6.0, 7.0]))
+    pos = jnp.asarray(rng.uniform(0, 5, (11, 3)))
+    mesh_dims = (16, 20, 24)
+    base, theta = compute_fractional_coords(pos, cell, mesh_dims)
+    assert base.dtype == jnp.int32
+    assert np.all((np.asarray(theta) >= 0) & (np.asarray(theta) < 1))
+
+    pts = jnp.arange(order**3)[:, None] * jnp.ones((11,), jnp.int32)
+    offs = bspline_grid_offset(pts, order, theta[None])
+    w = bspline_weight_3d(theta[None], offs, order)          # [order^3, N]
+    np.testing.assert_allclose(np.asarray(w.sum(0)), 1.0, atol=1e-12)
+    g = bspline_weight_gradient_3d(theta[None], offs, order, mesh_dims)
+    np.testing.assert_allclose(np.asarray(g.sum(0)), 0.0, atol=1e-10)
+
+    # periodic wrap of the absolute grid indices
+    absolute = base[None] + offs
+    wrapped = wrap_grid_index(absolute, jnp.asarray(mesh_dims))
+    arr = np.asarray(wrapped)
+    assert arr.min() >= 0
+    assert np.all(arr < np.asarray(mesh_dims))
+    np.testing.assert_array_equal(np.asarray(wrap_grid_index(-3, 16)), 13)

@@ -105,3 +105,59 @@ def test_gto_normalization_formula():
     sigma = 1.1
     expected = np.sqrt(4 * np.pi) / (2 * np.pi) ** 1.5 / sigma**3
     np.testing.assert_allclose(float(gto_normalization(sigma)), expected, rtol=1e-12)
+
+
+def test_per_component_spherical_harmonic_accessors():
+    import nvalchemiops_tpu.mathops as m
+
+    r = jnp.asarray(np.random.default_rng(0).normal(size=(7, 3)))
+    y = m.eval_all_spherical_harmonics(r)
+    g = m.spherical_harmonics_gradient(r)
+    names = ("00", "1m1", "10", "1p1", "2m2", "2m1", "20", "2p1", "2p2")
+    for i, n in enumerate(names):
+        np.testing.assert_allclose(
+            np.asarray(getattr(m, f"spherical_harmonic_{n}")(r)),
+            np.asarray(y[..., i]), rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(getattr(m, f"spherical_harmonic_{n}_gradient")(r)),
+            np.asarray(g[..., i, :]), rtol=1e-12,
+        )
+
+
+def test_gto_per_l_wrappers_match_vectorized():
+    import nvalchemiops_tpu.mathops as m
+
+    rng = np.random.default_rng(3)
+    r = jnp.asarray(rng.normal(size=(9, 3)))
+    k = jnp.asarray(rng.normal(size=(9, 3)))
+    sigma = 0.8
+    dens = m.eval_gto_density(r, sigma, l_max=2)
+    np.testing.assert_allclose(np.asarray(m.gto_density_l0(r, sigma)), np.asarray(dens[..., 0]))
+    np.testing.assert_allclose(np.asarray(m.gto_density_l1(r, sigma)), np.asarray(dens[..., 1:4]))
+    np.testing.assert_allclose(np.asarray(m.gto_density_l2(r, sigma)), np.asarray(dens[..., 4:9]))
+    np.testing.assert_allclose(np.asarray(m.gto_density_all(r, sigma)), np.asarray(dens))
+    re, im = m.eval_gto_fourier(k, sigma, l_max=2)
+    np.testing.assert_allclose(np.asarray(m.gto_fourier_l0(k, sigma)), np.asarray(re[..., 0]))
+    np.testing.assert_allclose(np.asarray(m.gto_fourier_l1_real(k, sigma)), 0.0)
+    np.testing.assert_allclose(np.asarray(m.gto_fourier_l1_imag(k, sigma)), np.asarray(im[..., 1:4]))
+    np.testing.assert_allclose(np.asarray(m.gto_fourier_l2_real(k, sigma)), np.asarray(re[..., 4:9]))
+    r2 = jnp.sum(r * r, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(m.gto_gaussian_factor(r2, sigma)),
+        np.exp(-np.asarray(r2) / (2 * sigma**2)),
+    )
+    assert float(m.gto_integral_l0(sigma)) == 1.0
+
+
+def test_gto_density_l0_gradient_finite_difference():
+    import nvalchemiops_tpu.mathops as m
+
+    r = jnp.asarray(np.random.default_rng(5).normal(size=(6, 3)))
+    sigma = 0.7
+    g = m.gto_density_l0_gradient(r, sigma)
+    eps = 1e-6
+    for d in range(3):
+        fd = (m.gto_density_l0(r.at[:, d].add(eps), sigma)
+              - m.gto_density_l0(r.at[:, d].add(-eps), sigma)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(g[:, d]), np.asarray(fd), atol=1e-8)
