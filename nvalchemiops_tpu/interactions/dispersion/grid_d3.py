@@ -327,7 +327,7 @@ def _d3_feature_planes(grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
 @partial(
     jax.jit,
     static_argnames=("dims", "radius", "cap", "mesh", "zmax1", "precision",
-                     "compute_virial"),
+                     "compute_virial", "skip_chain"),
 )
 def _grid_d3_impl(
     grid: AtomGrid,
@@ -340,7 +340,16 @@ def _grid_d3_impl(
     cutoff, a1, a2, s6, s8, k1, k3,
     dims, radius, cap, mesh: int, zmax1: int, precision=None,
     compute_virial: bool = False,
+    cn_a_override=None, skip_chain: bool = False,
 ):
+    """Row-sweep D3 pipeline.
+
+    ``cn_a_override`` replaces pass 1 with precomputed per-atom CNs and
+    ``skip_chain`` stops after pass 2 (returning the dE/dCN plane instead
+    of chain forces) — together they let the hybrid engine run passes 1
+    and 3 on the voxel stencil (stencil.py) while keeping the MXU
+    interpolation pass here.
+    """
     dtype = grid.ext_px.dtype
     cz, cy, cx = dims
     rz_, ry_, rx_ = radius
@@ -366,12 +375,16 @@ def _grid_d3_impl(
 
     extra_ext = (("px", ext_px_d), ("rcov", rcov_ext))
     extra_own = (("px", _interior(grid, ext_px_d)), ("rcov", rcov_plane))
-    cn_plane, (cn_fold,) = grid_row_reduce_sym(
-        grid, cn_kern, jnp.zeros((cz, cy, cx, cap), dtype), 1,
-        extra_ext_planes=extra_ext, extra_own_planes=extra_own,
-    )
-    cn_plane = cn_plane + cn_fold
-    cn_a = gather_from_grid(grid, cn_plane)  # [N]
+    if cn_a_override is None:
+        cn_plane, (cn_fold,) = grid_row_reduce_sym(
+            grid, cn_kern, jnp.zeros((cz, cy, cx, cap), dtype), 1,
+            extra_ext_planes=extra_ext, extra_own_planes=extra_own,
+        )
+        cn_plane = cn_plane + cn_fold
+        cn_a = gather_from_grid(grid, cn_plane)  # [N]
+    else:
+        cn_a = cn_a_override
+        cn_plane = scatter_to_grid(grid, cn_a)
 
     # ---- per-atom interpolation features (built ONCE, flat layouts) ------
     #
@@ -417,6 +430,8 @@ def _grid_d3_impl(
     fy_pl = fy_pl + dfy
     fz_pl = fz_pl + dfz
     decn_pl = decn_pl + ddecn
+    if skip_chain:
+        return e_pl, fx_pl, fy_pl, fz_pl, cn_plane, decn_pl
     decn_ext = _extend_like(grid, decn_pl, 0.0)
 
     # ---- pass 3: CN chain-rule forces (symmetric) --------------------------
@@ -981,6 +996,7 @@ def grid_dftd3(
     engine: str | None = None,
     block_G: int | None = None,
     compute_virial: bool = False,
+    stencil=None,
 ):
     """DFT-D3(BJ) energies/forces/CNs on the atom grid.
 
@@ -1006,6 +1022,11 @@ def grid_dftd3(
       recompile per parameter set).
     - ``"pallas"``: first-generation per-cell Mosaic row sweep
       (pallas/row_sweep.py), kept as the banded-sweep substrate.
+    - ``"hybrid"`` (implied by passing ``stencil=``): the CN and
+      chain-rule passes run on the capacity-free voxel stencil
+      (stencil.py — requires a valid occupancy-1 ``StencilGrid`` built
+      for >= this cutoff) while the MXU C6-interpolation pass stays on
+      the row sweep.  ``compute_virial`` forces the XLA engine.
 
     ``precision`` applies to the XLA engine only.  Note the dC6/dCN chain
     is a near-cancellation: ~1e-6 CN rounding differences amplify to
@@ -1045,6 +1066,10 @@ def grid_dftd3(
         # the virial accumulators ride the XLA engine's scan carries; the
         # Mosaic engines do not carry scalars across blocks
         engine = "xla"
+    if engine is None and stencil is not None:
+        engine = "hybrid"
+    if engine == "hybrid" and stencil is None:
+        raise ValueError("engine='hybrid' requires a StencilGrid (stencil=...)")
     if engine is None:
         # measured on chip at 110k atoms (tuned geometry): xla 28.4 ms vs
         # block 30.4 ms, within run noise of each other — default to the
@@ -1058,7 +1083,35 @@ def grid_dftd3(
         cx = grid.dims[2]
         block_G = min((g for g in range(1, cx + 1) if cx % g == 0),
                       key=lambda g: abs(g - block_G))
-    if engine == "block":
+    chain_forces_a = None
+    if engine == "hybrid":
+        # passes 1 and 3 on the capacity-free voxel stencil; pass 2 (the
+        # MXU C6-interpolation sweep) on the row grid
+        from nvalchemiops_tpu.stencil import (
+            stencil_cn_chain_forces,
+            stencil_coordination_numbers,
+        )
+
+        cn_a = stencil_coordination_numbers(stencil, rcov_a, float(cutoff),
+                                            float(k1))
+        e_pl, fx_pl, fy_pl, fz_pl, cn_pl, decn_pl = _grid_d3_impl(
+            grid,
+            z_plane, z_ext,
+            rcov_plane, rcov_ext,
+            r4r2_plane, r4r2_ext,
+            cna_a, mask_a, c6p_a,
+            jnp.asarray(cutoff, dtype), jnp.asarray(a1, dtype),
+            jnp.asarray(a2, dtype), jnp.asarray(s6, dtype),
+            jnp.asarray(s8, dtype), jnp.asarray(k1, dtype),
+            jnp.asarray(k3, dtype),
+            grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
+            precision, compute_virial=False,
+            cn_a_override=cn_a, skip_chain=True,
+        )
+        decn_a = gather_from_grid(grid, decn_pl)
+        chain_forces_a = stencil_cn_chain_forces(
+            stencil, rcov_a, decn_a, float(cutoff), float(k1))
+    elif engine == "block":
         e_pl, fx_pl, fy_pl, fz_pl, cn_pl = _grid_d3_block_impl(
             grid,
             z_plane, z_ext,
@@ -1105,6 +1158,8 @@ def grid_dftd3(
          gather_from_grid(grid, fz_pl)],
         axis=-1,
     )
+    if chain_forces_a is not None:
+        forces = forces + chain_forces_a
     coord_num = gather_from_grid(grid, cn_pl)
     if compute_virial:
         return energy, forces, coord_num, virial

@@ -344,14 +344,33 @@ def stencil_reduce_sym(sg: StencilGrid, kernel, init, num_ext_acc: int,
 
     ext_acc = [jnp.zeros((ez, sg.flat_width), dtype) for _ in range(num_ext_acc)]
     carry = init
-    for dz, dy, dx in _half_space_offsets(sg.radius):
-        shift = dy * ex + dx
-        cand = {name: p[rz + dz:rz + dz + cz, pad + shift:pad + shift + W0]
-                for name, p in ext.items()}
-        carry, deltas = kernel(carry, own, cand)
-        for k, d in enumerate(deltas):
+
+    # (dz, dy) half-space with the x-shifts folded per offset: the 2*Rx+1
+    # dx variants of one (dz, dy) share their candidate rows, so looping
+    # them inside one delta-fold keeps the whole group a single XLA fusion
+    # cluster and one accumulator update — 171 tiny kernels collapse to
+    # ~25 big ones (measured 9.8 -> see benchmarks/stencil_probe.py).
+    zy_offsets = [(0, 0)] + [
+        (dz, dy)
+        for dz in range(-rz, rz + 1)
+        for dy in range(-ry, ry + 1)
+        if dz > 0 or (dz == 0 and dy > 0)
+    ]
+    for dz, dy in zy_offsets:
+        dxs = range(1, rx + 1) if (dz, dy) == (0, 0) else range(-rx, rx + 1)
+        base = dy * ex
+        comb = [jnp.zeros((cz, W0 + 2 * rx), dtype) for _ in range(num_ext_acc)]
+        for dx in dxs:
+            shift = base + dx
+            cand = {name: p[rz + dz:rz + dz + cz, pad + shift:pad + shift + W0]
+                    for name, p in ext.items()}
+            carry, deltas = kernel(carry, own, cand)
+            for k, d in enumerate(deltas):
+                comb[k] = comb[k].at[:, rx + dx:rx + dx + W0].add(d)
+        c0 = pad + base - rx
+        for k in range(num_ext_acc):
             ext_acc[k] = ext_acc[k].at[
-                rz + dz:rz + dz + cz, pad + shift:pad + shift + W0].add(d)
+                rz + dz:rz + dz + cz, c0:c0 + W0 + 2 * rx].add(comb[k])
     folded = tuple(fold_stencil(sg, a) for a in ext_acc)
     return carry, folded
 
@@ -425,12 +444,24 @@ def _interior_of_ext(sg: StencilGrid, ext_plane):
 # ---------------------------------------------------------------------------
 
 
+def _resolve_engine(engine):
+    if engine is None:
+        # the XLA half-space sweep is granularity-bound on TPU (~48 us per
+        # offset step); the VMEM-resident Mosaic full-space kernel wins
+        # there.  Elsewhere (CPU tests) interpret mode would crawl.
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return engine
+
+
 def stencil_coulomb_energy_forces(sg: StencilGrid, charges, cutoff,
-                                  alpha=0.0):
+                                  alpha=0.0, engine: str | None = None):
     """(Damped-)Coulomb per-atom energies/forces on the voxel stencil.
 
     Numerically matches ``grid.grid_coulomb_energy_forces`` (same pair
-    math, different traversal order).
+    math, different traversal order).  ``engine``: ``"pallas"`` (TPU
+    default — VMEM-resident full-space Mosaic kernel,
+    pallas/stencil_sweep.py) or ``"xla"`` (half-space fold sweep,
+    non-TPU default and reference implementation).
     """
     dtype = sg.ext_px.dtype
     cutoff_sq = float(cutoff) ** 2
@@ -440,6 +471,27 @@ def stencil_coulomb_energy_forces(sg: StencilGrid, charges, cutoff,
 
     q_int = scatter_to_stencil(sg, jnp.asarray(charges, dtype))
     q_ext = extend_stencil(sg, q_int, 0.0)
+
+    if _resolve_engine(engine) == "pallas":
+        from nvalchemiops_tpu.pallas import stencil_sweep as ss
+
+        e, fx, fy, fz = ss.stencil_sweep_fullspace(
+            sg, (("q", q_ext),),
+            (("q", own_flat_from_interior(sg, q_int)),),
+            ss.coulomb_body(cutoff, alpha), 4,
+            interpret=jax.default_backend() not in ("tpu",),
+        )
+        e_pl = own_interior(sg, e)
+        fx_pl = own_interior(sg, fx)
+        fy_pl = own_interior(sg, fy)
+        fz_pl = own_interior(sg, fz)
+        energies = gather_from_stencil(sg, e_pl)
+        forces = jnp.stack(
+            [gather_from_stencil(sg, fx_pl), gather_from_stencil(sg, fy_pl),
+             gather_from_stencil(sg, fz_pl)],
+            axis=-1,
+        )
+        return energies, forces
 
     def kern(carry, own, cand):
         e, fx, fy, fz = carry
@@ -485,3 +537,121 @@ def stencil_coulomb_energy_forces(sg: StencilGrid, charges, cutoff,
         axis=-1,
     )
     return energies, forces
+
+
+def stencil_coordination_numbers(sg: StencilGrid, rcov_per_atom, cutoff,
+                                 k1=16.0, engine: str | None = None):
+    """DFT-D3 coordination numbers on the voxel stencil.
+
+    Same math as ``grid.grid_coordination_numbers`` /
+    ``grid_d3.make_d3_row_kernels``'s CN pass (reference 4-pass pipeline,
+    dispersion/dftd3.py:832-940), voxel traversal.
+    """
+    dtype = sg.ext_px.dtype
+    cutoff_sq = float(cutoff) ** 2
+    k1 = float(k1)
+    cz = sg.dims[0]
+
+    rcov_int = scatter_to_stencil(sg, jnp.asarray(rcov_per_atom, dtype))
+    rcov_ext = extend_stencil(sg, rcov_int, 0.0)
+
+    if _resolve_engine(engine) == "pallas":
+        from nvalchemiops_tpu.pallas import stencil_sweep as ss
+
+        (cn,) = ss.stencil_sweep_fullspace(
+            sg, (("rcov", rcov_ext),),
+            (("rcov", own_flat_from_interior(sg, rcov_int)),),
+            ss.cn_body(cutoff, k1), 1,
+            interpret=jax.default_backend() not in ("tpu",),
+        )
+        return gather_from_stencil(sg, own_interior(sg, cn))
+
+    def kern(cn, own, cand):
+        dx = cand["px"] - own["px"]
+        dy = cand["py"] - own["py"]
+        dz = cand["pz"] - own["pz"]
+        d2 = dx * dx + dy * dy + dz * dz
+        ok = (d2 < cutoff_sq) & (d2 > 1e-20)
+        inv_r = jax.lax.rsqrt(jnp.where(ok, d2, 1.0))
+        rc = own["rcov"] + cand["rcov"]
+        f = jnp.where(ok, 1.0 / (1.0 + jnp.exp(-k1 * (rc * inv_r - 1.0))), 0.0)
+        return cn + f, (f,)
+
+    zeros = jnp.zeros((cz, sg.ext_dims[1] * sg.ext_dims[2]), dtype)
+    cn, (cn2,) = stencil_reduce_sym(
+        sg, kern, zeros, 1,
+        extra_ext_planes=(("rcov", rcov_ext),),
+        extra_own_planes=(("rcov", own_flat_from_interior(sg, rcov_int)),),
+    )
+    return gather_from_stencil(sg, own_interior(sg, cn) + cn2)
+
+
+def stencil_cn_chain_forces(sg: StencilGrid, rcov_per_atom, decn_per_atom,
+                            cutoff, k1=16.0, engine: str | None = None):
+    """D3 CN chain-rule force contribution on the voxel stencil.
+
+    ``F_i += sum_j (dE/dCN_i + dE/dCN_j) dCN_ij/dr_ij r_hat`` — the same
+    pass-3 body as ``grid_d3.make_d3_row_kernels``'s ``chain_kern``
+    (reference: dispersion/dftd3.py:1133-1258).  Returns forces [N, 3].
+    """
+    dtype = sg.ext_px.dtype
+    cutoff_sq = float(cutoff) ** 2
+    k1 = float(k1)
+    cz = sg.dims[0]
+
+    rcov_int = scatter_to_stencil(sg, jnp.asarray(rcov_per_atom, dtype))
+    rcov_ext = extend_stencil(sg, rcov_int, 0.0)
+    decn_int = scatter_to_stencil(sg, jnp.asarray(decn_per_atom, dtype))
+    decn_ext = extend_stencil(sg, decn_int, 0.0)
+
+    if _resolve_engine(engine) == "pallas":
+        from nvalchemiops_tpu.pallas import stencil_sweep as ss
+
+        fx, fy, fz = ss.stencil_sweep_fullspace(
+            sg,
+            (("rcov", rcov_ext), ("decn", decn_ext)),
+            (("rcov", own_flat_from_interior(sg, rcov_int)),
+             ("decn", own_flat_from_interior(sg, decn_int))),
+            ss.chain_body(cutoff, k1), 3,
+            interpret=jax.default_backend() not in ("tpu",),
+        )
+        return jnp.stack(
+            [gather_from_stencil(sg, own_interior(sg, fx)),
+             gather_from_stencil(sg, own_interior(sg, fy)),
+             gather_from_stencil(sg, own_interior(sg, fz))],
+            axis=-1,
+        )
+
+    def kern(carry, own, cand):
+        fx_a, fy_a, fz_a = carry
+        dx = cand["px"] - own["px"]
+        dy = cand["py"] - own["py"]
+        dz = cand["pz"] - own["pz"]
+        d2 = dx * dx + dy * dy + dz * dz
+        ok = (d2 < cutoff_sq) & (d2 > 1e-20)
+        inv_r = jax.lax.rsqrt(jnp.where(ok, d2, 1.0))
+        rc = own["rcov"] + cand["rcov"]
+        rrq = rc * inv_r
+        f_cn = 1.0 / (1.0 + jnp.exp(-k1 * (rrq - 1.0)))
+        dcn_dr_r = -f_cn * (1.0 - f_cn) * k1 * rrq * inv_r * inv_r
+        coef = jnp.where(ok, (own["decn"] + cand["decn"]) * dcn_dr_r, 0.0)
+        cfx = coef * dx
+        cfy = coef * dy
+        cfz = coef * dz
+        return (fx_a + cfx, fy_a + cfy, fz_a + cfz), (-cfx, -cfy, -cfz)
+
+    zeros = jnp.zeros((cz, sg.ext_dims[1] * sg.ext_dims[2]), dtype)
+    (fx, fy, fz), (fx2, fy2, fz2) = stencil_reduce_sym(
+        sg, kern, (zeros, zeros, zeros), 3,
+        extra_ext_planes=(("rcov", rcov_ext), ("decn", decn_ext)),
+        extra_own_planes=(("rcov", own_flat_from_interior(sg, rcov_int)),
+                          ("decn", own_flat_from_interior(sg, decn_int))),
+    )
+    fx_pl = own_interior(sg, fx) + fx2
+    fy_pl = own_interior(sg, fy) + fy2
+    fz_pl = own_interior(sg, fz) + fz2
+    return jnp.stack(
+        [gather_from_stencil(sg, fx_pl), gather_from_stencil(sg, fy_pl),
+         gather_from_stencil(sg, fz_pl)],
+        axis=-1,
+    )

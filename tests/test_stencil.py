@@ -118,3 +118,78 @@ def test_stencil_f64():
     np.testing.assert_allclose(np.asarray(e_s), np.asarray(e_ref), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(f_s), np.asarray(f_ref), rtol=1e-10,
                                atol=1e-14)
+
+
+def test_pallas_fullspace_matches_xla_halfspace():
+    """Interpret-mode Mosaic full-space sweep vs the XLA half-space fold."""
+    from nvalchemiops_tpu.stencil import (
+        stencil_cn_chain_forces,
+        stencil_coordination_numbers,
+    )
+
+    pos, cell = _crystal(n_rep=6)
+    pbc = np.array([True] * 3)
+    cutoff = 6.0
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.normal(size=pos.shape[0]), jnp.float32)
+    rcov = jnp.asarray(rng.uniform(0.8, 1.4, pos.shape[0]), jnp.float32)
+    decn = jnp.asarray(rng.normal(size=pos.shape[0]), jnp.float32)
+    sg = build_stencil_auto(pos, cell, pbc, cutoff)
+
+    e_x, f_x = stencil_coulomb_energy_forces(sg, q, cutoff, 0.35, engine="xla")
+    e_p, f_p = stencil_coulomb_energy_forces(sg, q, cutoff, 0.35,
+                                             engine="pallas")
+    np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_x),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(stencil_coordination_numbers(sg, rcov, cutoff,
+                                                engine="pallas")),
+        np.asarray(stencil_coordination_numbers(sg, rcov, cutoff,
+                                                engine="xla")),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(stencil_cn_chain_forces(sg, rcov, decn, cutoff,
+                                           engine="pallas")),
+        np.asarray(stencil_cn_chain_forces(sg, rcov, decn, cutoff,
+                                           engine="xla")),
+        rtol=1e-4, atol=2e-5)
+
+
+def test_hybrid_d3_matches_xla():
+    """grid_dftd3(stencil=...) == engine='xla' to f32 rounding."""
+    from nvalchemiops_tpu.grid import build_atom_grid_auto
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
+        element_cn_ref, grid_dftd3,
+    )
+
+    rng = np.random.default_rng(6)
+    zmax = 5
+    rcov = np.concatenate([[0.0], rng.uniform(0.6, 1.4, zmax)])
+    r4r2 = np.concatenate([[0.0], rng.uniform(2.0, 6.0, zmax)])
+    cna = np.concatenate([np.zeros((1, 5)),
+                          np.cumsum(rng.uniform(0.3, 1.0, (zmax, 5)), 1)])
+    cn_ref = np.broadcast_to(cna[:, None, :, None],
+                             (zmax + 1,) * 2 + (5, 5)).copy()
+    c6 = rng.uniform(5.0, 40.0, (zmax + 1, zmax + 1, 5, 5))
+    c6[0] = 0.0
+    c6[:, 0] = 0.0
+    c6 = 0.5 * (c6 + np.swapaxes(np.swapaxes(c6, 0, 1), 2, 3))
+
+    pos, cell = _crystal()
+    pbc = np.array([True] * 3)
+    numbers = jnp.asarray(rng.integers(1, zmax + 1, pos.shape[0]), jnp.int32)
+    cutoff = 6.5
+    cna_j = element_cn_ref(jnp.asarray(cn_ref))
+    g = build_atom_grid_auto(pos, cell, pbc, cutoff)
+    sg = build_stencil_auto(pos, cell, pbc, cutoff)
+    args = (g, numbers, jnp.asarray(rcov), jnp.asarray(r4r2), jnp.asarray(c6),
+            cna_j, cutoff, 0.42, 4.1, 1.7)
+    e_x, f_x, cn_x = grid_dftd3(*args, engine="xla")
+    e_h, f_h, cn_h = grid_dftd3(*args, stencil=sg)
+    np.testing.assert_allclose(float(e_h), float(e_x), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(cn_h), np.asarray(cn_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_h), np.asarray(f_x),
+                               rtol=1e-4, atol=1e-6)
