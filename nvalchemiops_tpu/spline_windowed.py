@@ -353,31 +353,56 @@ def _extract_windows(mesh, tile: int):
     return a.reshape(ntx * nty * ntz, w_win, w_win * w_win)
 
 
-def windowed_gather(tiles: MeshTiles, mesh, with_gradient: bool = False):
+def windowed_gather(tiles: MeshTiles, mesh, with_gradient: bool = False,
+                    order: str | None = None):
     """Per-atom interpolation (and optional fractional-axis gradients).
 
     Returns ``values [N]`` or ``(values, grad_frac [N, 3])`` where the
     gradient components are d/d(fractional coord) scaled by mesh dims (like
     spline._stencil's ``dw``); rotate with ``tiles.inv`` for Cartesian.
+
+    ``order`` picks the contraction order (design-guide rule 15):
+
+    - ``"m"`` (default) contracts the fat W*W axis first (``Q[t,c,z]``);
+      the thin [t, cap, W] outputs are the only thin arrays.  Measured
+      faster for BOTH paths at 128^3/110k: E-gather 3.60 vs 4.88 ms,
+      E+F gather 10.18 vs 10.91 ms incl binning
+      (benchmarks/gather_order_probe.py) — design-guide rule 15.
+    - ``"z"`` contracts z first (``A[t,c,m]``, fat) and shares A across
+      values/gx/gy (and Ad for gz); fewer matmuls but every elementwise
+      reduce then runs on 10x more lanes — measured slower.
     """
     win = _extract_windows(mesh, tiles.tile)             # [t, W, W*W]
+    if order is None:
+        order = "m"
 
-    # contract the fat (W*W) axis first: Q[t, c, z] = sum_m tyx . win is a
-    # real batched matmul and the per-z reductions then run on thin-but-
-    # cheap [t, c, W] arrays
     def per_atom(plane):
         return plane.reshape(-1)[jnp.minimum(tiles.flat_slot, plane.size - 1)]
 
-    def q_of(tyx_variant):
-        return jnp.einsum("tcm,tzm->tcz", tyx_variant, win,
-                          precision=jax.lax.Precision.HIGHEST)
+    hi = jax.lax.Precision.HIGHEST
+    if order == "m":
+        def q_of(tyx_variant):
+            return jnp.einsum("tcm,tzm->tcz", tyx_variant, win, precision=hi)
 
-    q = q_of(_tyx(tiles, 1, 0))
-    values = per_atom(jnp.sum(tiles.axis_mat(2) * q, axis=-1))
+        q = q_of(_tyx(tiles, 1, 0))
+        values = per_atom(jnp.sum(tiles.axis_mat(2) * q, axis=-1))
+        if not with_gradient:
+            return values
+        gx = per_atom(jnp.sum(tiles.axis_mat(2) * q_of(_tyx(tiles, 1, 3)),
+                              axis=-1))
+        gy = per_atom(jnp.sum(tiles.axis_mat(2) * q_of(_tyx(tiles, 4, 0)),
+                              axis=-1))
+        gz = per_atom(jnp.sum(tiles.axis_mat(5) * q, axis=-1))
+        return values, jnp.stack([gx, gy, gz], axis=-1)
+
+    A = jnp.einsum("tcz,tzm->tcm", tiles.axis_mat(2), win, precision=hi)
+    tyx = _tyx(tiles, 1, 0)
+    values = per_atom(jnp.sum(tyx * A, axis=-1))
     if not with_gradient:
         return values
 
-    gx = per_atom(jnp.sum(tiles.axis_mat(2) * q_of(_tyx(tiles, 1, 3)), axis=-1))
-    gy = per_atom(jnp.sum(tiles.axis_mat(2) * q_of(_tyx(tiles, 4, 0)), axis=-1))
-    gz = per_atom(jnp.sum(tiles.axis_mat(5) * q, axis=-1))
+    gx = per_atom(jnp.sum(_tyx(tiles, 1, 3) * A, axis=-1))
+    gy = per_atom(jnp.sum(_tyx(tiles, 4, 0) * A, axis=-1))
+    Ad = jnp.einsum("tcz,tzm->tcm", tiles.axis_mat(5), win, precision=hi)
+    gz = per_atom(jnp.sum(tyx * Ad, axis=-1))
     return values, jnp.stack([gx, gy, gz], axis=-1)

@@ -446,11 +446,112 @@ def _interior_of_ext(sg: StencilGrid, ext_plane):
 
 def _resolve_engine(engine):
     if engine is None:
-        # the XLA half-space sweep is granularity-bound on TPU (~48 us per
-        # offset step); the VMEM-resident Mosaic full-space kernel wins
-        # there.  Elsewhere (CPU tests) interpret mode would crawl.
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        # the XLA half-space fold sweep is granularity-bound on TPU (~48 us
+        # per offset step, serialized through the carry); the unmaterialized
+        # full-space add-tree replaces it with one wide fusion (measured at
+        # 110k/9A: CN 4.3 ms vs 8.1 row / 6.2 stack; chain 7.4; coulomb 7.8).
+        # Elsewhere (CPU tests) the half-space fold does half the flops.
+        return "fuse" if jax.default_backend() == "tpu" else "xla"
     return engine
+
+
+def stencil_sweep_fullspace_stack(sg: StencilGrid, ext_named, own_named,
+                                  body, num_out: int, group: int = 114):
+    """Full-space own-only sweep via materialized shifted-view stacks.
+
+    Same contract as ``pallas.stencil_sweep.stencil_sweep_fullspace`` (all
+    ``(2R+1)^3 - 1`` offsets, own-side accumulation only, energies split
+    half to each side), but pure XLA: each group of offsets becomes one
+    stacked candidate tensor ``[G, Cz, W0]`` per plane and one broadcast
+    body + offset-axis reduce — a single wide fusion with no carry chain
+    and no per-offset kernel granularity (the half-space fold measured
+    ~48 us/offset-step; the stack trades ~0.6 GB of HBM stack traffic per
+    pass at 110k atoms, ~0.5 ms, for full data parallelism).  2x the pair
+    visits of the half-space fold, all at VPU rate.
+    """
+    from nvalchemiops_tpu.pallas.stencil_sweep import _full_offsets
+
+    rz, ry, rx = sg.radius
+    cz = sg.dims[0]
+    ez, ey, ex = sg.ext_dims
+    pad = sg.col_pad
+    W0 = ey * ex
+    dtype = sg.ext_px.dtype
+    offsets = _full_offsets(sg.radius)
+
+    ext = [("px", sg.ext_px), ("py", sg.ext_py), ("pz", sg.ext_pz)]
+    ext += list(ext_named)
+    own = {
+        "px": own_flat_from_interior(sg, _interior_of_ext(sg, sg.ext_px),
+                                     -DISPLACE),
+        "py": own_flat_from_interior(sg, _interior_of_ext(sg, sg.ext_py)),
+        "pz": own_flat_from_interior(sg, _interior_of_ext(sg, sg.ext_pz)),
+    }
+    for name, plane in own_named:
+        own[name] = plane
+
+    acc = [jnp.zeros((cz, W0), dtype) for _ in range(num_out)]
+    for g0 in range(0, len(offsets), group):
+        chunk = offsets[g0:g0 + group]
+        cand = {
+            name: jnp.stack([
+                jax.lax.slice(plane, (rz + dz, pad + dy * ex + dx),
+                              (rz + dz + cz, pad + dy * ex + dx + W0))
+                for dz, dy, dx in chunk
+            ])
+            for name, plane in ext
+        }
+        outs = body(own, cand)
+        acc = [a + o.sum(axis=0) for a, o in zip(acc, outs)]
+    return tuple(acc)
+
+
+def stencil_sweep_fullspace_fused(sg: StencilGrid, ext_named, own_named,
+                                  body, num_out: int):
+    """Full-space own-only sweep as one flat add-tree of per-offset bodies.
+
+    Same contract as :func:`stencil_sweep_fullspace_stack` but nothing is
+    materialized: every offset's candidate planes are direct (overlapping)
+    slices of the ext planes and the per-offset body outputs are summed in
+    a balanced pairwise tree, leaving XLA one wide fusion with [Cz, W0]
+    intermediates only.
+    """
+    from nvalchemiops_tpu.pallas.stencil_sweep import _full_offsets
+
+    rz, ry, rx = sg.radius
+    cz = sg.dims[0]
+    ez, ey, ex = sg.ext_dims
+    pad = sg.col_pad
+    W0 = ey * ex
+
+    ext = [("px", sg.ext_px), ("py", sg.ext_py), ("pz", sg.ext_pz)]
+    ext += list(ext_named)
+    own = {
+        "px": own_flat_from_interior(sg, _interior_of_ext(sg, sg.ext_px),
+                                     -DISPLACE),
+        "py": own_flat_from_interior(sg, _interior_of_ext(sg, sg.ext_py)),
+        "pz": own_flat_from_interior(sg, _interior_of_ext(sg, sg.ext_pz)),
+    }
+    for name, plane in own_named:
+        own[name] = plane
+
+    parts = []
+    for dz, dy, dx in _full_offsets(sg.radius):
+        cand = {
+            name: jax.lax.slice(plane, (rz + dz, pad + dy * ex + dx),
+                                (rz + dz + cz, pad + dy * ex + dx + W0))
+            for name, plane in ext
+        }
+        parts.append(body(own, cand))
+    # balanced pairwise tree keeps the reduction depth ~log2(n_offsets)
+    while len(parts) > 1:
+        nxt = [
+            tuple(a + b for a, b in zip(parts[i], parts[i + 1]))
+            if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+        parts = nxt
+    return parts[0]
 
 
 def stencil_coulomb_energy_forces(sg: StencilGrid, charges, cutoff,
@@ -472,15 +573,24 @@ def stencil_coulomb_energy_forces(sg: StencilGrid, charges, cutoff,
     q_int = scatter_to_stencil(sg, jnp.asarray(charges, dtype))
     q_ext = extend_stencil(sg, q_int, 0.0)
 
-    if _resolve_engine(engine) == "pallas":
+    eng = _resolve_engine(engine)
+    if eng in ("pallas", "stack", "fuse"):
         from nvalchemiops_tpu.pallas import stencil_sweep as ss
 
-        e, fx, fy, fz = ss.stencil_sweep_fullspace(
-            sg, (("q", q_ext),),
-            (("q", own_flat_from_interior(sg, q_int)),),
-            ss.coulomb_body(cutoff, alpha), 4,
-            interpret=jax.default_backend() not in ("tpu",),
-        )
+        ext_named = (("q", q_ext),)
+        own_named = (("q", own_flat_from_interior(sg, q_int)),)
+        if eng == "stack":
+            e, fx, fy, fz = stencil_sweep_fullspace_stack(
+                sg, ext_named, own_named, ss.coulomb_body(cutoff, alpha), 4)
+        elif eng == "fuse":
+            e, fx, fy, fz = stencil_sweep_fullspace_fused(
+                sg, ext_named, own_named, ss.coulomb_body(cutoff, alpha), 4)
+        else:
+            e, fx, fy, fz = ss.stencil_sweep_fullspace(
+                sg, ext_named, own_named,
+                ss.coulomb_body(cutoff, alpha), 4,
+                interpret=jax.default_backend() not in ("tpu",),
+            )
         e_pl = own_interior(sg, e)
         fx_pl = own_interior(sg, fx)
         fy_pl = own_interior(sg, fy)
@@ -555,15 +665,23 @@ def stencil_coordination_numbers(sg: StencilGrid, rcov_per_atom, cutoff,
     rcov_int = scatter_to_stencil(sg, jnp.asarray(rcov_per_atom, dtype))
     rcov_ext = extend_stencil(sg, rcov_int, 0.0)
 
-    if _resolve_engine(engine) == "pallas":
+    eng = _resolve_engine(engine)
+    if eng in ("pallas", "stack", "fuse"):
         from nvalchemiops_tpu.pallas import stencil_sweep as ss
 
-        (cn,) = ss.stencil_sweep_fullspace(
-            sg, (("rcov", rcov_ext),),
-            (("rcov", own_flat_from_interior(sg, rcov_int)),),
-            ss.cn_body(cutoff, k1), 1,
-            interpret=jax.default_backend() not in ("tpu",),
-        )
+        ext_named = (("rcov", rcov_ext),)
+        own_named = (("rcov", own_flat_from_interior(sg, rcov_int)),)
+        if eng == "stack":
+            (cn,) = stencil_sweep_fullspace_stack(
+                sg, ext_named, own_named, ss.cn_body(cutoff, k1), 1)
+        elif eng == "fuse":
+            (cn,) = stencil_sweep_fullspace_fused(
+                sg, ext_named, own_named, ss.cn_body(cutoff, k1), 1)
+        else:
+            (cn,) = ss.stencil_sweep_fullspace(
+                sg, ext_named, own_named, ss.cn_body(cutoff, k1), 1,
+                interpret=jax.default_backend() not in ("tpu",),
+            )
         return gather_from_stencil(sg, own_interior(sg, cn))
 
     def kern(cn, own, cand):
@@ -604,17 +722,24 @@ def stencil_cn_chain_forces(sg: StencilGrid, rcov_per_atom, decn_per_atom,
     decn_int = scatter_to_stencil(sg, jnp.asarray(decn_per_atom, dtype))
     decn_ext = extend_stencil(sg, decn_int, 0.0)
 
-    if _resolve_engine(engine) == "pallas":
+    eng = _resolve_engine(engine)
+    if eng in ("pallas", "stack", "fuse"):
         from nvalchemiops_tpu.pallas import stencil_sweep as ss
 
-        fx, fy, fz = ss.stencil_sweep_fullspace(
-            sg,
-            (("rcov", rcov_ext), ("decn", decn_ext)),
-            (("rcov", own_flat_from_interior(sg, rcov_int)),
-             ("decn", own_flat_from_interior(sg, decn_int))),
-            ss.chain_body(cutoff, k1), 3,
-            interpret=jax.default_backend() not in ("tpu",),
-        )
+        ext_named = (("rcov", rcov_ext), ("decn", decn_ext))
+        own_named = (("rcov", own_flat_from_interior(sg, rcov_int)),
+                     ("decn", own_flat_from_interior(sg, decn_int)))
+        if eng == "stack":
+            fx, fy, fz = stencil_sweep_fullspace_stack(
+                sg, ext_named, own_named, ss.chain_body(cutoff, k1), 3)
+        elif eng == "fuse":
+            fx, fy, fz = stencil_sweep_fullspace_fused(
+                sg, ext_named, own_named, ss.chain_body(cutoff, k1), 3)
+        else:
+            fx, fy, fz = ss.stencil_sweep_fullspace(
+                sg, ext_named, own_named, ss.chain_body(cutoff, k1), 3,
+                interpret=jax.default_backend() not in ("tpu",),
+            )
         return jnp.stack(
             [gather_from_stencil(sg, own_interior(sg, fx)),
              gather_from_stencil(sg, own_interior(sg, fy)),
