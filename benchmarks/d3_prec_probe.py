@@ -43,10 +43,14 @@ for label, kw in [
     print(f"{label:22s} vs xla-HIGHEST: E rel {abs(float((e-eh)/eh)):.2e} "
           f"F max/scale {float(jnp.max(jnp.abs(f-fh)))/fs:.2e}", flush=True)
 
-def step_h(p):
-    gg = build_atom_grid(p, cell, pbc, dims, radius, cap)
-    e, f, cn = grid_dftd3(gg, numbers, rcov, r4r2, c6, cna, cutoff,
-                          0.4, 4.2, 1.8, precision=jax.lax.Precision.HIGHEST)
-    return f
-t = measure(step_h, dep, (pos,), iters=3)
-print(f"D3 xla HIGHEST: {t*1e3:7.2f} ms", flush=True)
+def make_step(prec):
+    def step(p):
+        gg = build_atom_grid(p, cell, pbc, dims, radius, cap)
+        e, f, cn = grid_dftd3(gg, numbers, rcov, r4r2, c6, cna, cutoff,
+                              0.4, 4.2, 1.8, precision=prec)
+        return f
+    return step
+for label, prec in [("default", None),
+                    ("HIGHEST", jax.lax.Precision.HIGHEST)]:
+    t = measure(make_step(prec), dep, (pos,), iters=3)
+    print(f"D3 xla {label}: {t*1e3:7.2f} ms", flush=True)

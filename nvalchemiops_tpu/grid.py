@@ -276,6 +276,37 @@ def gather_from_grid(grid: AtomGrid, plane):
     return plane.reshape(-1)[jnp.minimum(grid.flat_slot, plane.size - 1)]
 
 
+def gather_rows_from_grid(grid: AtomGrid, planes):
+    """One [slots, k] row gather for k interior planes -> k per-atom arrays.
+
+    Separate per-atom gathers each cost ~1 ms at 110k atoms; one row
+    gather of the stacked planes costs ~0.3 ms TOTAL
+    (benchmarks/multi_gather_probe.py: 4 scalar gathers 3.10 ms vs
+    stack+row gather 1.09, prestacked 0.29) — use this for every
+    multi-output epilogue (forces + energy/CN).
+    """
+    stacked = jnp.stack([p.reshape(-1) for p in planes], axis=-1)
+    rows = stacked[jnp.minimum(grid.flat_slot, stacked.shape[0] - 1)]
+    return tuple(rows[..., i] for i in range(len(planes)))
+
+
+def scatter_rows_to_grid(grid: AtomGrid, values_list, fill=0.0):
+    """One [slots, k] row scatter for k per-atom arrays -> k interior planes.
+
+    Same economics as :func:`gather_rows_from_grid`, scatter side.  All
+    values are cast to a common dtype (the first array's); integer planes
+    up to 2^24 survive a float round-trip exactly.
+    """
+    cz, cy, cx = grid.dims
+    dtype = values_list[0].dtype
+    k = len(values_list)
+    vals = jnp.stack([jnp.asarray(v, dtype) for v in values_list], axis=-1)
+    buf = jnp.full((cz * cy * cx * grid.cap + 1, k), fill, dtype=dtype)
+    planes = buf.at[grid.flat_slot].set(vals)[:-1].reshape(
+        cz, cy, cx, grid.cap, k)
+    return tuple(planes[..., i] for i in range(k))
+
+
 def _interior(grid: AtomGrid, ext_plane):
     rz, ry, rx = grid.radius
     cz, cy, cx = grid.dims
@@ -596,13 +627,8 @@ def grid_coulomb_energy_forces(grid: AtomGrid, charges, cutoff, alpha=0.0,
             grid, q_plane, q_ext, float(cutoff), float(alpha),
             grid.dims, grid.radius, grid.cap
         )
-    energies = gather_from_grid(grid, e)
-    forces = jnp.stack(
-        [gather_from_grid(grid, fx), gather_from_grid(grid, fy),
-         gather_from_grid(grid, fz)],
-        axis=-1,
-    )
-    return energies, forces
+    energies, f1, f2, f3 = gather_rows_from_grid(grid, (e, fx, fy, fz))
+    return energies, jnp.stack([f1, f2, f3], axis=-1)
 
 
 def choose_grid_origin(positions, cell, pbc, dims):

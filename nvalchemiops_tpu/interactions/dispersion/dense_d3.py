@@ -67,8 +67,11 @@ def _dense_impl(positions, numbers, cell, cutoff, rcov, r4r2, cna_a, mask_a,
     f_cn = jnp.where(ok, 1.0 / (1.0 + jnp.exp(-k1 * (rc * inv_r - 1.0))), 0.0)
     cn = jnp.sum(f_cn, axis=1)
 
-    # ---- per-atom features ------------------------------------------------
-    l0, l1, rf, rfd, w_a, wd_a = _d3_atom_features(
+    # ---- per-atom features (COMPENSATED l1c/rfdc derivative features:
+    # z_di = z_di_naive - c6 w_di comes straight out of the dot — the
+    # naive difference cancels catastrophically for atoms whose CN sits
+    # far from every reference point; see _d3_atom_features) -------------
+    l0, l1c, rf, rfdc, w_a, wd_a = _d3_atom_features(
         numbers, cn, cna_a, mask_a, c6p_a, k3, dtype)
 
     # ---- pass 2: energy, direct forces, dE/dCN ---------------------------
@@ -77,11 +80,10 @@ def _dense_impl(positions, numbers, cell, cutoff, rcov, r4r2, cna_a, mask_a,
     # engines, where bf16 C6 dots are a measured 5 ms saving)
     hi = jax.lax.Precision.HIGHEST
     zacc = jnp.matmul(l0, rf.T, precision=hi)
-    z_di = jnp.matmul(l1, rf.T, precision=hi)
-    z_dj = jnp.matmul(l0, rfd.T, precision=hi)
+    z_di = jnp.matmul(l1c, rf.T, precision=hi)
+    # no z_dj dot: the dense sweep sees every pair from both sides, so the
+    # j-side dE/dCN term is i's z_di when the roles swap
     w = w_a[:, None] * w_a[None, :]
-    w_di = wd_a[:, None] * w_a[None, :]
-    w_dj = w_a[:, None] * wd_a[None, :]
 
     good = w > 1e-12
     w_inv = 1.0 / jnp.where(good, w, 1.0)
@@ -116,7 +118,7 @@ def _dense_impl(positions, numbers, cell, cutoff, rcov, r4r2, cna_a, mask_a,
     fz = jnp.sum(coef * dz, axis=1)
 
     m = jnp.where(pair_ok, (-2.0 * k3) * damp_sum * w_inv, 0.0)
-    de_dcn = jnp.sum(m * (z_di - c6 * w_di), axis=1)
+    de_dcn = jnp.sum(m * z_di, axis=1)
 
     # ---- pass 3: CN chain-rule forces ------------------------------------
     rrq = rc * inv_r

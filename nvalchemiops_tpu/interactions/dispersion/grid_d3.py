@@ -44,8 +44,10 @@ from nvalchemiops_tpu.grid import (
     AtomGrid,
     _extend_like,
     gather_from_grid,
+    gather_rows_from_grid,
     grid_row_reduce_sym,
     row_home_mask,
+    scatter_rows_to_grid,
     scatter_to_grid,
 )
 
@@ -100,7 +102,8 @@ def element_c6_mask(c6ab):
 
 
 def make_d3_row_kernels(cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper,
-                        precision=None, compute_virial=False):
+                        precision=None, compute_virial=False,
+                        bilinear: str = "split"):
     """The three D3 pass bodies for [.., cap, W] row-window pair blocks.
 
     ``kern(carry, own, cand, home) -> (carry, j_deltas)`` matching the
@@ -109,6 +112,17 @@ def make_d3_row_kernels(cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper,
     (parallel/domain.py), so the two stay numerically identical by
     construction.  Validity compares are absent — parked invalid slots
     (displacement validity) fail the distance test on their own.
+
+    ``bilinear`` selects how pass 2 evaluates its three bilinear forms:
+
+    - ``"split"``: three einsums [.., cap, zm] x [.., W, zm] (M=cap).
+    - ``"quad"``: one dot of the stacked operands ([l0; l1] on the cap
+      axis x [rf | rfd] on the window axis) -> [.., 2 cap, 2 W]; the
+      three used quadrants are slices, the l1 x rfd quadrant is MXU
+      slack.  Bit-identical to split, but MEASURED A LOSS on the chip
+      (benchmarks/d3_quad_probe.py, 110k atoms: passes 1-2 23.9 ms vs
+      15.5 split; full 36.2 vs 23.7) — rule 9's third confirmation.
+      Kept for documentation; never the default.
 
     With ``compute_virial`` the direct/chain carries gain a trailing
     ``[3, 3]`` virial accumulator: ``-sum_pairs F_pair (x) d`` (the
@@ -151,16 +165,29 @@ def make_d3_row_kernels(cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper,
 
         lf = own["lf"]
         l0 = lf[..., :zm]
-        l1 = lf[..., zm:]
-        zacc = jnp.einsum("...if,...jf->...ij", l0, cand["rf"],
-                          precision=precision)
-        z_di = jnp.einsum("...if,...jf->...ij", l1, cand["rf"],
-                          precision=precision)
-        z_dj = jnp.einsum("...if,...jf->...ij", l0, cand["rfd"],
-                          precision=precision)
+        l1c = lf[..., zm:]
+        # z_di/z_dj are the COMPENSATED bilinears (l1c/rfdc features):
+        # z_di = z_di_naive - c6 w_di, z_dj = z_dj_naive - c6 w_dj — see
+        # _d3_atom_features.
+        if bilinear == "quad":
+            cap_i = l0.shape[-2]
+            w_j = cand["rf"].shape[-2]
+            lhs = jnp.concatenate([l0, l1c], axis=-2)      # [.., 2 cap, zm]
+            rhs = jnp.concatenate([cand["rf"], cand["rfdc"]],
+                                  axis=-2)                 # [.., 2 W, zm]
+            out = jnp.einsum("...if,...jf->...ij", lhs, rhs,
+                             precision=precision)
+            zacc = out[..., :cap_i, :w_j]
+            z_di = out[..., cap_i:, :w_j]
+            z_dj = out[..., :cap_i, w_j:]
+        else:
+            zacc = jnp.einsum("...if,...jf->...ij", l0, cand["rf"],
+                              precision=precision)
+            z_di = jnp.einsum("...if,...jf->...ij", l1c, cand["rf"],
+                              precision=precision)
+            z_dj = jnp.einsum("...if,...jf->...ij", l0, cand["rfdc"],
+                              precision=precision)
         w = own["w"][..., :, None] * cand["w"][..., None, :]
-        w_di = own["wd"][..., :, None] * cand["w"][..., None, :]
-        w_dj = own["w"][..., :, None] * cand["wd"][..., None, :]
 
         good = w > 1e-12
         w_inv = 1.0 / jnp.where(good, w, 1.0)
@@ -200,12 +227,12 @@ def make_d3_row_kernels(cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper,
         fx_a = fx_a + jnp.sum(cfx, axis=-1)
         fy_a = fy_a + jnp.sum(cfy, axis=-1)
         fz_a = fz_a + jnp.sum(cfz, axis=-1)
-        decn = decn + jnp.sum(m * (z_di - c6 * w_di), axis=-1)
+        decn = decn + jnp.sum(m * z_di, axis=-1)
         deltas = (
             -jnp.sum(cfx, axis=-2),
             -jnp.sum(cfy, axis=-2),
             -jnp.sum(cfz, axis=-2),
-            jnp.sum(m * (z_dj - c6 * w_dj), axis=-2),
+            jnp.sum(m * z_dj, axis=-2),
         )
         if compute_virial:
             vir = _virial_acc(vir, (cfx, cfy, cfz), (dx, dy, dz))
@@ -251,7 +278,7 @@ def _d3_atom_features(numbers_a, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
                       precision=None):
     """Per-atom C6-interpolation features (flat layouts).
 
-    Returns ``(l0 [N, zm], l1, rf [N, zm], rfd, w [N], wd [N])``:
+    Returns ``(l0 [N, zm], l1c, rf [N, zm], rfdc, w [N], wd [N])``:
 
     - ``e_i[p] = m_i[p] exp(k3 (CN_i - cnA_i[p])^2 - masked_max)``: exact
       LSE scaling over *available* reference points; zeroed where
@@ -261,6 +288,15 @@ def _d3_atom_features(numbers_a, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
       right features R[(z, q)] = [z == z_j] e_j[q] are built flat with
       constant one-hot expanders (never materializing a [.., Z, mesh]
       trailing pair).
+    - the derivative features are COMPENSATED per atom: with
+      ``a = wd/w``, ``l1c = l1 - a l0`` and ``rfdc = rfd - a rf`` so the
+      pair kernels compute ``z_di - c6 w_di = l1c_i . rf_j`` and
+      ``z_dj - c6 w_dj = l0_i . rfdc_j`` DIRECTLY.  The naive form is a
+      catastrophic cancellation of two O(C6) bilinears — at the MXU's
+      default bf16 it measured 7e-2 relative error on dE/dCN (4e-2 on
+      end forces); the compensated form keeps bf16 error relative to the
+      small difference itself, and drops the w_di/w_dj VPU products from
+      the pair sweep (rule 13: the sweep is VPU-bound).
     """
     mesh = cna_a.shape[-1]
     zm = c6p_a.shape[-1]
@@ -282,32 +318,39 @@ def _d3_atom_features(numbers_a, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
     l0_a = jnp.einsum("npf,np->nf", c6p_a, e_a, precision=precision)  # [N, zm]
     l1_a = jnp.einsum("npf,np->nf", c6p_a, ed_a, precision=precision)
 
-    # layout (z, q): column m = z*mesh + q
-    rz_map = np.zeros((zmax1, zm), np.float32)
-    rq_map = np.zeros((mesh, zm), np.float32)
-    for z in range(zmax1):
-        rz_map[z, z * mesh:(z + 1) * mesh] = 1.0
-    for q in range(mesh):
-        rq_map[q, q::mesh] = 1.0
-    rz_c = jnp.asarray(rz_map, dtype)
-    rq_c = jnp.asarray(rq_map, dtype)
-
+    # layout (z, q): column m = z*mesh + q.  R[(z,q)] = [z == z_j] e_j[q]
+    # via repeat/tile — NOT one-hot expansion matmuls: on TPU a 0/1
+    # selection matmul still rounds the *values* to bf16 on the MXU
+    # (design rule 16; measured 0.9-3.5e-3 corruption of rf/rfd that
+    # surfaced as 3e-2 force error even at HIGHEST pass-2 precision).
     ziota = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, zmax1), 1)
     ohz = (numbers_a[:, None] == ziota).astype(dtype)     # [N, Z+1]
-    rf_a = (ohz @ rz_c) * (e_a @ rq_c)                    # [N, zm]
-    rfd_a = (ohz @ rz_c) * (ed_a @ rq_c)
-    return l0_a, l1_a, rf_a, rfd_a, w_a, wd_a
+    ohz_r = jnp.repeat(ohz, mesh, axis=-1)                # [N, zm]
+    rf_a = ohz_r * jnp.tile(e_a, (1, zmax1))              # [N, zm]
+    rfd_a = ohz_r * jnp.tile(ed_a, (1, zmax1))
+
+    # compensated derivative features (see docstring): w >= 1 whenever any
+    # reference is available (LSE scaling pins the max term to 1), so the
+    # guard only parks padding atoms (w == 0 exactly).
+    a_cn = jnp.where(w_a > 0.0, wd_a / jnp.where(w_a > 0.0, w_a, 1.0), 0.0)
+    l1c_a = l1_a - a_cn[..., None] * l0_a
+    rfdc_a = rfd_a - a_cn[..., None] * rf_a
+    return l0_a, l1c_a, rf_a, rfdc_a, w_a, wd_a
 
 
 def _d3_feature_planes(grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
-                       dims, cap, precision=None):
+                       dims, cap, precision=None, numbers_a=None):
     """Per-atom C6-interpolation features scattered into grid planes.
 
-    Returns ``(lf_plane [.., cap, 2 zm], rf_plane [.., cap, zm],
-    rfd_plane, w_a [N], wd_a [N])``; see :func:`_d3_atom_features`.
+    Returns ``(lf_plane [.., cap, 2 zm] = [l0 | l1c], rf_plane
+    [.., cap, zm], rfdc_plane, w_a [N], wd_a [N])``; see
+    :func:`_d3_atom_features` for the compensated l1c/rfdc features.
+    ``numbers_a`` skips the plane regather when the caller already holds
+    the per-atom numbers (each 110k-atom gather costs ~1 ms, rule 7).
     """
     cz, cy, cx = dims
-    numbers_a = gather_from_grid(grid, z_plane)
+    if numbers_a is None:
+        numbers_a = gather_from_grid(grid, z_plane)
     l0_a, l1_a, rf_a, rfd_a, w_a, wd_a = _d3_atom_features(
         numbers_a, cn_a, cna_a, mask_a, c6p_a, k3, dtype, precision)
 
@@ -327,7 +370,7 @@ def _d3_feature_planes(grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
 @partial(
     jax.jit,
     static_argnames=("dims", "radius", "cap", "mesh", "zmax1", "precision",
-                     "compute_virial", "skip_chain"),
+                     "compute_virial", "skip_chain", "bilinear"),
 )
 def _grid_d3_impl(
     grid: AtomGrid,
@@ -340,7 +383,8 @@ def _grid_d3_impl(
     cutoff, a1, a2, s6, s8, k1, k3,
     dims, radius, cap, mesh: int, zmax1: int, precision=None,
     compute_virial: bool = False,
-    cn_a_override=None, skip_chain: bool = False,
+    cn_a_override=None, skip_chain: bool = False, bilinear: str = "split",
+    numbers_a=None,
 ):
     """Row-sweep D3 pipeline.
 
@@ -371,7 +415,7 @@ def _grid_d3_impl(
     zm = zmax1 * mesh
     cn_kern, direct_kern, chain_kern = make_d3_row_kernels(
         cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper, precision,
-        compute_virial=compute_virial)
+        compute_virial=compute_virial, bilinear=bilinear)
 
     extra_ext = (("px", ext_px_d), ("rcov", rcov_ext))
     extra_own = (("px", _interior(grid, ext_px_d)), ("rcov", rcov_plane))
@@ -392,16 +436,14 @@ def _grid_d3_impl(
     # scaling over *available* reference points; zeroed where unavailable so
     # garbage cn_ref entries at nonexistent references cannot overflow or
     # leak into any accumulator (c6 rows are 0 there; w excludes them).
-    (lf_plane, rf_plane, rfd_plane, w_a, wd_a) = _d3_feature_planes(
+    (lf_plane, rf_plane, rfdc_plane, w_a, wd_a) = _d3_feature_planes(
         grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
-        dims, cap, precision,
+        dims, cap, precision, numbers_a=numbers_a,
     )
     rf_ext = _extend_like(grid, rf_plane, 0.0)
-    rfd_ext = _extend_like(grid, rfd_plane, 0.0)
+    rfdc_ext = _extend_like(grid, rfdc_plane, 0.0)
     w_plane = scatter_to_grid(grid, w_a)
-    wd_plane = scatter_to_grid(grid, wd_a)
     w_ext = _extend_like(grid, w_plane, 0.0)
-    wd_ext = _extend_like(grid, wd_plane, 0.0)
     cn_ext = _extend_like(grid, cn_plane, 0.0)
 
     # ---- pass 2: energy, direct forces, dE/dCN ---------------------------
@@ -410,12 +452,12 @@ def _grid_d3_impl(
     si_plane = jnp.sqrt(r4r2_plane * 1.7320508075688772)
     si_ext = jnp.sqrt(r4r2_ext * 1.7320508075688772)
     extra_ext2 = extra_ext + (
-        ("si", si_ext), ("rf", rf_ext), ("rfd", rfd_ext),
-        ("w", w_ext), ("wd", wd_ext),
+        ("si", si_ext), ("rf", rf_ext), ("rfdc", rfdc_ext),
+        ("w", w_ext),
     )
     extra_own2 = extra_own + (
         ("si", si_plane), ("lf", lf_plane),
-        ("w", w_plane), ("wd", wd_plane),
+        ("w", w_plane),
     )
     init2 = (zeros, zeros, zeros, zeros, zeros)
     if compute_virial:
@@ -538,17 +580,19 @@ def _grid_d3_pallas_impl(
     l0_a = jnp.einsum("npf,np->nf", c6p_a, e_a)
     l1_a = jnp.einsum("npf,np->nf", c6p_a, ed_a)
 
-    rz_map = np.zeros((zmax1, zm), np.float32)
-    rq_map = np.zeros((mesh, zm), np.float32)
-    for z in range(zmax1):
-        rz_map[z, z * mesh:(z + 1) * mesh] = 1.0
-    for q in range(mesh):
-        rq_map[q, q::mesh] = 1.0
+    # repeat/tile, NOT one-hot matmuls: a 0/1 selection matmul rounds the
+    # values to bf16 on the MXU (rule 16; measured 3e-2 force corruption).
     numbers_a = gather_from_grid(grid, z_plane)
     ziota = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, zmax1), 1)
     ohz = (numbers_a[:, None] == ziota).astype(dtype)
-    rf_a = (ohz @ jnp.asarray(rz_map, dtype)) * (e_a @ jnp.asarray(rq_map, dtype))
-    rfd_a = (ohz @ jnp.asarray(rz_map, dtype)) * (ed_a @ jnp.asarray(rq_map, dtype))
+    ohz_r = jnp.repeat(ohz, mesh, axis=-1)
+    rf_a = ohz_r * jnp.tile(e_a, (1, zmax1))
+    rfd_a = ohz_r * jnp.tile(ed_a, (1, zmax1))
+    # compensated derivative features (see _d3_atom_features): the naive
+    # z_d - c6 w_d difference cancels catastrophically under bf16 MXU dots
+    a_cn = jnp.where(w_a > 0.0, wd_a / jnp.where(w_a > 0.0, w_a, 1.0), 0.0)
+    l1c_a = l1_a - a_cn[..., None] * l0_a
+    rfdc_a = rfd_a - a_cn[..., None] * rf_a
 
     def feat_plane(vals):
         nslots = cz * cy * cx * cap
@@ -558,7 +602,7 @@ def _grid_d3_pallas_impl(
         )
 
     # interleaved own feature plane [cz, cy, cx, 2*cap, zm]: per cell the
-    # first cap slots hold l0 rows, the next cap hold l1 rows, so the
+    # first cap slots hold l0 rows, the next cap hold l1c rows, so the
     # kernel's per-x slice is a ready-made [zm, 2*cap] matmul lhs.
     trash = cz * cy * cx * cap
     is_trash = grid.flat_slot == trash
@@ -568,46 +612,44 @@ def _grid_d3_pallas_impl(
     s1 = jnp.where(is_trash, 2 * trash, lin2 * 2 * cap + cap + rank2)
     lf_buf = jnp.zeros((2 * trash + 1, zm), dtype)
     lf_buf = lf_buf.at[s0].set(l0_a)
-    lf_buf = lf_buf.at[s1].set(l1_a)
+    lf_buf = lf_buf.at[s1].set(l1c_a)
     lf2_plane = lf_buf[:-1].reshape(cz, cy, cx, 2 * cap, zm)
 
     rf_ext = _extend_like(grid, feat_plane(rf_a), 0.0)
-    rfd_ext = _extend_like(grid, feat_plane(rfd_a), 0.0)
+    rfdc_ext = _extend_like(grid, feat_plane(rfdc_a), 0.0)
     w_plane = scatter_to_grid(grid, w_a)
-    wd_plane = scatter_to_grid(grid, wd_a)
 
-    own2 = dict(own_scalars, r4r2=_t(r4r2_plane), w=_t(w_plane), wd=_t(wd_plane))
+    own2 = dict(own_scalars, r4r2=_t(r4r2_plane), w=_t(w_plane))
     cand2 = dict(
         cand_scalars,
         r4r2=to_cand_layout(r4r2_ext),
         w=to_cand_layout(_extend_like(grid, w_plane, 0.0)),
-        wd=to_cand_layout(_extend_like(grid, wd_plane, 0.0)),
     )
     own_feat = {"lf": to_own_feature_layout(lf2_plane)}
-    cand_feat = {"rf": to_cand_layout(rf_ext), "rfd": to_cand_layout(rfd_ext)}
+    cand_feat = {"rf": to_cand_layout(rf_ext),
+                 "rfdc": to_cand_layout(rfdc_ext)}
 
     # ---- pass 2: energy, direct forces, dE/dCN ---------------------------
     def direct_body(oc, cw, of, cf, pair_mask):
         ok, r, dx, dy, dz = geom(oc, cw, pair_mask)
         w_win = cw["px"].shape[1]
         # one bf16 MXU pass per x: [zm, 2*cap]^T x [zm, 2*W] -> all three
-        # bilinears as quadrants (the l1 x rfd quadrant is unused slack)
+        # bilinears as quadrants (the l1c x rfdc quadrant is unused slack);
+        # z_di/z_dj come out pre-compensated (l1c/rfdc features)
         dn = (((0,), (0,)), ((), ()))
-        rhs = jnp.concatenate([cf["rf"], cf["rfd"]], axis=1)
+        rhs = jnp.concatenate([cf["rf"], cf["rfdc"]], axis=1)
         out = jax.lax.dot_general(of["lf"], rhs, dn,
                                   preferred_element_type=jnp.float32)
         zacc = out[:cap, :w_win]
         z_di = out[cap:2 * cap, :w_win]
         z_dj = out[:cap, w_win:2 * w_win]
         w = oc["w"] * cw["w"]
-        w_di = oc["wd"] * cw["w"]
-        w_dj = oc["w"] * cw["wd"]
 
         good = w > 1e-12
         w_safe = jnp.where(good, w, 1.0)
         c6 = jnp.where(good, zacc / w_safe, 0.0)
-        dc6_dcni = jnp.where(good, 2.0 * k3 / w_safe * (z_di - c6 * w_di), 0.0)
-        dc6_dcnj = jnp.where(good, 2.0 * k3 / w_safe * (z_dj - c6 * w_dj), 0.0)
+        dc6_dcni = jnp.where(good, 2.0 * k3 / w_safe * z_di, 0.0)
+        dc6_dcnj = jnp.where(good, 2.0 * k3 / w_safe * z_dj, 0.0)
 
         pair_ok = ok & (c6 >= 1e-12)
         rr = 3.0 * oc["r4r2"] * cw["r4r2"]
@@ -691,7 +733,7 @@ def _grid_d3_pallas_impl(
     static_argnames=(
         "dims", "radius", "cap", "mesh", "zmax1",
         "cutoff", "a1", "a2", "s6", "s8", "k1", "k3", "interpret",
-        "with_coulomb", "calpha", "ccutoff", "block_G",
+        "with_coulomb", "calpha", "ccutoff", "block_G", "skip_chain",
     ),
 )
 def _grid_d3_block_impl(
@@ -705,7 +747,8 @@ def _grid_d3_block_impl(
     dims, radius, cap, mesh: int, zmax1: int, interpret: bool,
     q_plane=None, q_ext=None, with_coulomb: bool = False,
     calpha: float = 0.0, ccutoff: float = 0.0,
-    block_G: int | None = None,
+    block_G: int | None = None, numbers_a=None,
+    skip_chain: bool = False,
 ):
     """D3 on the super-chunk Pallas engine (pallas/block_sweep.py).
 
@@ -796,17 +839,18 @@ def _grid_d3_block_impl(
     l0_a = jnp.einsum("npf,np->nf", c6p_a, e_a)
     l1_a = jnp.einsum("npf,np->nf", c6p_a, ed_a)
 
-    rz_map = np.zeros((zmax1, zm), np.float32)
-    rq_map = np.zeros((mesh, zm), np.float32)
-    for z in range(zmax1):
-        rz_map[z, z * mesh:(z + 1) * mesh] = 1.0
-    for q in range(mesh):
-        rq_map[q, q::mesh] = 1.0
-    numbers_a = gather_from_grid(grid, z_plane)
+    # repeat/tile, NOT one-hot matmuls (rule 16 — see _d3_atom_features)
+    if numbers_a is None:
+        numbers_a = gather_from_grid(grid, z_plane)
     ziota = jax.lax.broadcasted_iota(INDEX_DTYPE, (1, zmax1), 1)
     ohz = (numbers_a[:, None] == ziota).astype(dtype)
-    rf_a = (ohz @ jnp.asarray(rz_map, dtype)) * (e_a @ jnp.asarray(rq_map, dtype))
-    rfd_a = (ohz @ jnp.asarray(rz_map, dtype)) * (ed_a @ jnp.asarray(rq_map, dtype))
+    ohz_r = jnp.repeat(ohz, mesh, axis=-1)
+    rf_a = ohz_r * jnp.tile(e_a, (1, zmax1))
+    rfd_a = ohz_r * jnp.tile(ed_a, (1, zmax1))
+    # compensated derivative features (see _d3_atom_features)
+    a_cn = jnp.where(w_a > 0.0, wd_a / jnp.where(w_a > 0.0, w_a, 1.0), 0.0)
+    l1c_a = l1_a - a_cn[..., None] * l0_a
+    rfdc_a = rfd_a - a_cn[..., None] * rf_a
 
     def feat_plane(vals):
         nslots = cz * cy * cx * cap
@@ -815,14 +859,12 @@ def _grid_d3_block_impl(
             cz, cy, cx, cap, vals.shape[-1]
         )
 
-    lf_cols = feat_plane(jnp.concatenate([l0_a, l1_a], axis=-1)).reshape(
+    lf_cols = feat_plane(jnp.concatenate([l0_a, l1c_a], axis=-1)).reshape(
         cz, cy, cx * cap, 2 * zm)
     rf_ext5 = _extend_like(grid, feat_plane(rf_a), 0.0)
-    rfd_ext5 = _extend_like(grid, feat_plane(rfd_a), 0.0)
+    rfdc_ext5 = _extend_like(grid, feat_plane(rfdc_a), 0.0)
     w_plane = scatter_to_grid(grid, w_a)
-    wd_plane = scatter_to_grid(grid, wd_a)
     w_ext = _extend_like(grid, w_plane, 0.0)
-    wd_ext = _extend_like(grid, wd_plane, 0.0)
 
     # ---- pass 2: energy, direct forces, dE/dCN ---------------------------
     def direct_body(own, crow, ccol, pair_ok):
@@ -831,21 +873,16 @@ def _grid_d3_block_impl(
         lf = own["lf"]
         # [M, K] x [K, W] against the pre-transposed candidate features —
         # no per-block rhs transpose in Mosaic.  Default (single-bf16-pass)
-        # dots: measured on chip, HIGHEST costs +5 ms and does NOT improve
-        # end accuracy — the dc6/dCN chain is a near-cancellation that
-        # amplifies CN input rounding (~1e-6) to ~1e-4 absolute force
-        # noise on weak-force atoms regardless of dot precision (the XLA
-        # engine shows the same internal spread).
+        # dots; z_di/z_dj come out pre-compensated (l1c/rfdc features), so
+        # the dc6/dCN chain carries no catastrophic cancellation at bf16.
         dn = (((1,), (0,)), ((), ()))
         zacc = jax.lax.dot_general(lf[:, :zm], ccol["rfT"], dn,
                                    preferred_element_type=dtype)
         z_di = jax.lax.dot_general(lf[:, zm:], ccol["rfT"], dn,
                                    preferred_element_type=dtype)
-        z_dj = jax.lax.dot_general(lf[:, :zm], ccol["rfdT"], dn,
+        z_dj = jax.lax.dot_general(lf[:, :zm], ccol["rfdcT"], dn,
                                    preferred_element_type=dtype)
         w = s[:, 4:5] * crow["w"]
-        w_di = s[:, 5:6] * crow["w"]
-        w_dj = s[:, 4:5] * crow["wd"]
 
         good = w > 1e-12
         w_inv = 1.0 / jnp.where(good, w, 1.0)
@@ -877,17 +914,17 @@ def _grid_d3_block_impl(
         cfx = coef * dx
         cfy = coef * dy
         cfz = coef * dz
-        # dei/dej = -damp * (2 k3 / w) * (z_d - c6 w_d): share the prefactor
+        # dei/dej = -damp * (2 k3 / w) * z_d (compensated): share prefactor
         m = jnp.where(pair_good, (-2.0 * k3) * damp_sum * w_inv, 0.0)
-        dei = m * (z_di - c6 * w_di)
-        dej = m * (z_dj - c6 * w_dj)
+        dei = m * z_di
+        dej = m * z_dj
         own_blocks = (e_ij, cfx, cfy, cfz, dei)
         j_blocks = (("neg", cfx), ("neg", cfy), ("neg", cfz), dej)
         if with_coulomb:
             from nvalchemiops_tpu.mathops.math import erfc_approx
             ok_c = base & (d2 < ccutoff * ccutoff)
             inv_rc = jax.lax.rsqrt(jnp.where(ok_c, d2, 1.0))
-            qq = s[:, 6:7] * crow["q"]
+            qq = s[:, 5:6] * crow["q"]
             if calpha > 0:
                 rc_ = jnp.where(ok_c, d2, 1.0) * inv_rc
                 ar = calpha * rc_
@@ -913,7 +950,7 @@ def _grid_d3_block_impl(
     # removing the per-slot sqrt from the BJ radius
     si_plane = jnp.sqrt(r4r2_plane * 1.7320508075688772)
     si_ext = jnp.sqrt(r4r2_ext * 1.7320508075688772)
-    own2_cols = list(geom_own) + [si_plane, w_plane, wd_plane]
+    own2_cols = list(geom_own) + [si_plane, w_plane]
     if with_coulomb:
         own2_cols.append(q_plane)
     own2 = {
@@ -922,13 +959,13 @@ def _grid_d3_block_impl(
     }
     crow2 = dict(
         geom_rows,
-        si=rows(si_ext), w=rows(w_ext), wd=rows(wd_ext),
+        si=rows(si_ext), w=rows(w_ext),
     )
     if with_coulomb:
         crow2["q"] = rows(q_ext)
     ccolt2 = {
         "rfT": jnp.swapaxes(rf_ext5.reshape(ez, ey, lext, zm), 2, 3),
-        "rfdT": jnp.swapaxes(rfd_ext5.reshape(ez, ey, lext, zm), 2, 3),
+        "rfdcT": jnp.swapaxes(rfdc_ext5.reshape(ez, ey, lext, zm), 2, 3),
     }
     n_own2 = 9 if with_coulomb else 5
     n_j2 = 8 if with_coulomb else 4
@@ -949,6 +986,10 @@ def _grid_d3_block_impl(
         fcx_pl = acc2[6] + fold_halo(grid, j2[5])
         fcy_pl = acc2[7] + fold_halo(grid, j2[6])
         fcz_pl = acc2[8] + fold_halo(grid, j2[7])
+
+    if skip_chain:
+        # debug/hybrid hook: passes 1-2 only, exposing the dE/dCN plane
+        return e_pl, fx_pl, fy_pl, fz_pl, cn_plane, decn_pl
 
     # ---- pass 3: CN chain-rule forces ------------------------------------
     def chain_body(own, crow, ccol, pair_ok):
@@ -1055,9 +1096,9 @@ def grid_dftd3(
     )
     c6p_a = c6p[numbers]
 
-    z_plane = scatter_to_grid(grid, numbers, fill=0)
-    rcov_plane = scatter_to_grid(grid, rcov_a)
-    r4r2_plane = scatter_to_grid(grid, r4r2_a)
+    zf_plane, rcov_plane, r4r2_plane = scatter_rows_to_grid(
+        grid, (numbers.astype(dtype), rcov_a, r4r2_a))
+    z_plane = zf_plane.astype(INDEX_DTYPE)
     z_ext = _extend_like(grid, z_plane, 0)
     rcov_ext = _extend_like(grid, rcov_plane, 0.0)
     r4r2_ext = _extend_like(grid, r4r2_plane, 0.0)
@@ -1106,7 +1147,7 @@ def grid_dftd3(
             jnp.asarray(k3, dtype),
             grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
             precision, compute_virial=False,
-            cn_a_override=cn_a, skip_chain=True,
+            cn_a_override=cn_a, skip_chain=True, numbers_a=numbers,
         )
         decn_a = gather_from_grid(grid, decn_pl)
         chain_forces_a = stencil_cn_chain_forces(
@@ -1122,7 +1163,7 @@ def grid_dftd3(
             float(k1), float(k3),
             grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
             jax.default_backend() != "tpu",
-            block_G=block_G,
+            block_G=block_G, numbers_a=numbers,
         )
     elif engine == "pallas":
         e_pl, fx_pl, fy_pl, fz_pl, cn_pl = _grid_d3_pallas_impl(
@@ -1147,20 +1188,17 @@ def grid_dftd3(
             jnp.asarray(s6, dtype), jnp.asarray(s8, dtype), jnp.asarray(k1, dtype),
             jnp.asarray(k3, dtype),
             grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
-            precision, compute_virial=compute_virial,
+            precision, compute_virial=compute_virial, numbers_a=numbers,
         )
         e_pl, fx_pl, fy_pl, fz_pl, cn_pl = out[:5]
         if compute_virial:
             virial = out[5]
     energy = jnp.sum(e_pl)  # pairs counted once in the symmetric sweep
-    forces = jnp.stack(
-        [gather_from_grid(grid, fx_pl), gather_from_grid(grid, fy_pl),
-         gather_from_grid(grid, fz_pl)],
-        axis=-1,
-    )
+    f1, f2, f3, coord_num = gather_rows_from_grid(
+        grid, (fx_pl, fy_pl, fz_pl, cn_pl))
+    forces = jnp.stack([f1, f2, f3], axis=-1)
     if chain_forces_a is not None:
         forces = forces + chain_forces_a
-    coord_num = gather_from_grid(grid, cn_pl)
     if compute_virial:
         return energy, forces, coord_num, virial
     return energy, forces, coord_num
@@ -1209,10 +1247,10 @@ def grid_dftd3_coulomb(
     )
     c6p_a = c6p[numbers]
 
-    z_plane = scatter_to_grid(grid, numbers, fill=0)
-    rcov_plane = scatter_to_grid(grid, rcov_a)
-    r4r2_plane = scatter_to_grid(grid, r4r2_a)
-    q_plane = scatter_to_grid(grid, jnp.asarray(charges, dtype))
+    zf_plane, rcov_plane, r4r2_plane, q_plane = scatter_rows_to_grid(
+        grid, (numbers.astype(dtype), rcov_a, r4r2_a,
+               jnp.asarray(charges, dtype)))
+    z_plane = zf_plane.astype(INDEX_DTYPE)
     z_ext = _extend_like(grid, z_plane, 0)
     rcov_ext = _extend_like(grid, rcov_plane, 0.0)
     r4r2_ext = _extend_like(grid, r4r2_plane, 0.0)
@@ -1231,20 +1269,13 @@ def grid_dftd3_coulomb(
         jax.default_backend() != "tpu",
         q_plane=q_plane, q_ext=q_ext, with_coulomb=True,
         calpha=float(alpha), ccutoff=float(coulomb_cutoff),
+        numbers_a=numbers,
     )
     energy = jnp.sum(e_pl)
-    forces = jnp.stack(
-        [gather_from_grid(grid, fx_pl), gather_from_grid(grid, fy_pl),
-         gather_from_grid(grid, fz_pl)],
-        axis=-1,
-    )
-    coord_num = gather_from_grid(grid, cn_pl)
-    e_c = gather_from_grid(grid, ec_pl)
-    f_c = jnp.stack(
-        [gather_from_grid(grid, fcx_pl), gather_from_grid(grid, fcy_pl),
-         gather_from_grid(grid, fcz_pl)],
-        axis=-1,
-    )
+    f1, f2, f3, coord_num, e_c, fc1, fc2, fc3 = gather_rows_from_grid(
+        grid, (fx_pl, fy_pl, fz_pl, cn_pl, ec_pl, fcx_pl, fcy_pl, fcz_pl))
+    forces = jnp.stack([f1, f2, f3], axis=-1)
+    f_c = jnp.stack([fc1, fc2, fc3], axis=-1)
     return energy, forces, coord_num, e_c, f_c
 
 

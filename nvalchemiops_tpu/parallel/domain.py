@@ -42,6 +42,7 @@ from nvalchemiops_tpu.grid import (
     AtomGrid,
     scatter_to_grid,
     gather_from_grid,
+    gather_rows_from_grid,
     _interior,
     row_home_mask,
     DISPLACE,
@@ -286,17 +287,17 @@ def _domain_d3_impl(mesh: Mesh, grid: AtomGrid, z_plane, rcov_plane,
 
     # per-atom features (replicated)
     cn_a = gather_from_grid(grid, cn_plane)
-    lf_plane, rf_plane, rfd_plane, w_a, wd_a = _d3_feature_planes(
+    lf_plane, rf_plane, rfdc_plane, w_a, wd_a = _d3_feature_planes(
         grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype, dims, cap)
     w_plane = scatter_to_grid(grid, w_a)
-    wd_plane = scatter_to_grid(grid, wd_a)
     si_plane = jnp.sqrt(r4r2_plane * 1.7320508075688772)
 
-    # pass 2: energy + direct forces + dE/dCN
+    # pass 2: energy + direct forces + dE/dCN (compensated l1c/rfdc
+    # derivative features — see _d3_atom_features)
     carry, (dfx, dfy, dfz, ddecn) = _run_domain_sym(
         mesh, direct_kern,
-        dict(pos, si=si_plane, w=w_plane, wd=wd_plane, lf=lf_plane,
-             rf=rf_plane, rfd=rfd_plane),
+        dict(pos, si=si_plane, w=w_plane, lf=lf_plane,
+             rf=rf_plane, rfdc=rfdc_plane),
         (zeros, zeros, zeros, zeros, zeros), 4,
         cell, dims, radius, cap, pbc_yx)
     e_pl, fx_pl, fy_pl, fz_pl, decn_pl = carry
@@ -360,11 +361,8 @@ def domain_dftd3(mesh: Mesh, grid: AtomGrid, numbers, rcov, r4r2, c6ab,
         float(k1), float(k3), grid.dims, grid.radius, grid.cap,
         int(mesh_pts), int(zmax1), (bool(pbc[1]), bool(pbc[2])))
     energy = jnp.sum(e_pl)
-    forces = jnp.stack(
-        [gather_from_grid(grid, fx), gather_from_grid(grid, fy),
-         gather_from_grid(grid, fz)], axis=-1)
-    coord_num = gather_from_grid(grid, cn_pl)
-    return energy, forces, coord_num
+    f1, f2, f3, coord_num = gather_rows_from_grid(grid, (fx, fy, fz, cn_pl))
+    return energy, jnp.stack([f1, f2, f3], axis=-1), coord_num
 
 
 @partial(jax.jit, static_argnames=("mesh", "dims", "radius", "cap", "cutoff",
@@ -494,11 +492,8 @@ def domain_coulomb_energy_forces(mesh: Mesh, grid: AtomGrid, charges, cell,
         mesh, grid, q_plane, cellj, float(cutoff), float(alpha),
         grid.dims, grid.radius, grid.cap, (bool(pbc[1]), bool(pbc[2])),
     )
-    energies = gather_from_grid(grid, e)
-    forces = jnp.stack(
-        [gather_from_grid(grid, fx), gather_from_grid(grid, fy),
-         gather_from_grid(grid, fz)], axis=-1)
-    return energies, forces
+    energies, f1, f2, f3 = gather_rows_from_grid(grid, (e, fx, fy, fz))
+    return energies, jnp.stack([f1, f2, f3], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("mesh", "dims", "radius", "cap", "cutoff",

@@ -294,12 +294,16 @@ def _expand_onehots(w_win: int, dtype):
     return jnp.asarray(ry, dtype), jnp.asarray(rx, dtype)
 
 
+def _axis_expanded(tiles: MeshTiles, idx: int, onehot):
+    """One axis matrix expanded onto the (y', x') product lanes."""
+    return jnp.matmul(tiles.axis_mat(idx), onehot,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def _tyx(tiles: MeshTiles, iy: int, ix: int):
     """(S_y (x) S_x) flat [ntiles, cap, W*W] without thin intermediates."""
     ry, rx = _expand_onehots(tiles.w_win, tiles.smat.dtype)
-    hi = jax.lax.Precision.HIGHEST
-    return (jnp.matmul(tiles.axis_mat(iy), ry, precision=hi)
-            * jnp.matmul(tiles.axis_mat(ix), rx, precision=hi))
+    return _axis_expanded(tiles, iy, ry) * _axis_expanded(tiles, ix, rx)
 
 
 def windowed_spread(tiles: MeshTiles, values):
@@ -379,30 +383,48 @@ def windowed_gather(tiles: MeshTiles, mesh, with_gradient: bool = False,
     def per_atom(plane):
         return plane.reshape(-1)[jnp.minimum(tiles.flat_slot, plane.size - 1)]
 
+    def per_atom4(planes):
+        # ONE random per-atom gather for all outputs: each 110k-element
+        # flat gather costs ~1 ms at 1e8 elem/s (rule 7); gathering [S, 4]
+        # rows costs the same as [S] scalars.
+        stacked = jnp.stack(planes, axis=-1).reshape(-1, len(planes))
+        rows = stacked[jnp.minimum(tiles.flat_slot, stacked.shape[0] - 1)]
+        return rows[:, 0], rows[:, 1:]
+
     hi = jax.lax.Precision.HIGHEST
     if order == "m":
         def q_of(tyx_variant):
             return jnp.einsum("tcm,tzm->tcz", tyx_variant, win, precision=hi)
 
-        q = q_of(_tyx(tiles, 1, 0))
-        values = per_atom(jnp.sum(tiles.axis_mat(2) * q, axis=-1))
         if not with_gradient:
-            return values
-        gx = per_atom(jnp.sum(tiles.axis_mat(2) * q_of(_tyx(tiles, 1, 3)),
-                              axis=-1))
-        gy = per_atom(jnp.sum(tiles.axis_mat(2) * q_of(_tyx(tiles, 4, 0)),
-                              axis=-1))
-        gz = per_atom(jnp.sum(tiles.axis_mat(5) * q, axis=-1))
-        return values, jnp.stack([gx, gy, gz], axis=-1)
+            return per_atom(
+                jnp.sum(tiles.axis_mat(2) * q_of(_tyx(tiles, 1, 0)), axis=-1))
+        # share the one-hot axis expansions across the three (y, x)
+        # tensor-product variants: 4 expansion matmuls instead of 6
+        ry, rx = _expand_onehots(tiles.w_win, tiles.smat.dtype)
+        ys = _axis_expanded(tiles, 1, ry)
+        xs = _axis_expanded(tiles, 0, rx)
+        q = q_of(ys * xs)
+        values, grad = per_atom4([
+            jnp.sum(tiles.axis_mat(2) * q, axis=-1),
+            jnp.sum(tiles.axis_mat(2)
+                    * q_of(ys * _axis_expanded(tiles, 3, rx)), axis=-1),
+            jnp.sum(tiles.axis_mat(2)
+                    * q_of(_axis_expanded(tiles, 4, ry) * xs), axis=-1),
+            jnp.sum(tiles.axis_mat(5) * q, axis=-1),
+        ])
+        return values, grad
 
     A = jnp.einsum("tcz,tzm->tcm", tiles.axis_mat(2), win, precision=hi)
     tyx = _tyx(tiles, 1, 0)
-    values = per_atom(jnp.sum(tyx * A, axis=-1))
     if not with_gradient:
-        return values
+        return per_atom(jnp.sum(tyx * A, axis=-1))
 
-    gx = per_atom(jnp.sum(_tyx(tiles, 1, 3) * A, axis=-1))
-    gy = per_atom(jnp.sum(_tyx(tiles, 4, 0) * A, axis=-1))
     Ad = jnp.einsum("tcz,tzm->tcm", tiles.axis_mat(5), win, precision=hi)
-    gz = per_atom(jnp.sum(tyx * Ad, axis=-1))
-    return values, jnp.stack([gx, gy, gz], axis=-1)
+    values, grad = per_atom4([
+        jnp.sum(tyx * A, axis=-1),
+        jnp.sum(_tyx(tiles, 1, 3) * A, axis=-1),
+        jnp.sum(_tyx(tiles, 4, 0) * A, axis=-1),
+        jnp.sum(tyx * Ad, axis=-1),
+    ])
+    return values, grad

@@ -133,6 +133,15 @@ def gather_from_stencil(sg: StencilGrid, plane):
     return plane.reshape(-1)[sg.flat_idx]
 
 
+def gather_rows_from_stencil(sg: StencilGrid, planes):
+    """One [voxels, k] row gather for k interior planes (rule 7: separate
+    per-atom gathers cost ~1 ms each at 110k atoms; one stacked row gather
+    ~0.3 ms total — benchmarks/multi_gather_probe.py)."""
+    stacked = jnp.stack([p.reshape(-1) for p in planes], axis=-1)
+    rows = stacked[sg.flat_idx]
+    return tuple(rows[..., i] for i in range(len(planes)))
+
+
 @partial(jax.jit, static_argnames=("dims", "radius", "pbc_t"))
 def _build_stencil_impl(positions, cell, dims, radius, pbc_t, origin):
     n = positions.shape[0]
@@ -740,12 +749,9 @@ def stencil_cn_chain_forces(sg: StencilGrid, rcov_per_atom, decn_per_atom,
                 sg, ext_named, own_named, ss.chain_body(cutoff, k1), 3,
                 interpret=jax.default_backend() not in ("tpu",),
             )
-        return jnp.stack(
-            [gather_from_stencil(sg, own_interior(sg, fx)),
-             gather_from_stencil(sg, own_interior(sg, fy)),
-             gather_from_stencil(sg, own_interior(sg, fz))],
-            axis=-1,
-        )
+        return jnp.stack(gather_rows_from_stencil(
+            sg, (own_interior(sg, fx), own_interior(sg, fy),
+                 own_interior(sg, fz))), axis=-1)
 
     def kern(carry, own, cand):
         fx_a, fy_a, fz_a = carry
@@ -776,7 +782,4 @@ def stencil_cn_chain_forces(sg: StencilGrid, rcov_per_atom, decn_per_atom,
     fy_pl = own_interior(sg, fy) + fy2
     fz_pl = own_interior(sg, fz) + fz2
     return jnp.stack(
-        [gather_from_stencil(sg, fx_pl), gather_from_stencil(sg, fy_pl),
-         gather_from_stencil(sg, fz_pl)],
-        axis=-1,
-    )
+        gather_rows_from_stencil(sg, (fx_pl, fy_pl, fz_pl)), axis=-1)

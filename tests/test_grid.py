@@ -407,3 +407,56 @@ def test_grid_auto_nonperiodic_lumpy_occupancy():
     e_g, _ = grid_coulomb_energy_forces(g, jnp.asarray(q_np, jnp.float64),
                                         cutoff, 0.0)
     np.testing.assert_allclose(np.asarray(e_g), e_bf, rtol=1e-10, atol=1e-12)
+
+
+def test_grid_d3_quad_bilinear_bitwise_matches_split():
+    """bilinear="quad" stacks pass-2's three dots into one quadrant dot.
+
+    The MXU tiles both layouts identically, so the energy plane must be
+    BIT-identical; the layout is kept only as the measured-loss record
+    for design rule 9 (benchmarks/d3_quad_probe.py).
+    """
+    from nvalchemiops_tpu.grid import _extend_like, scatter_to_grid
+    from nvalchemiops_tpu.interactions.dispersion import grid_d3 as gd3
+
+    rng = np.random.default_rng(23)
+    zmax = 4
+    rcov = np.concatenate([[0.0], rng.uniform(0.6, 1.4, zmax)])
+    r4r2 = np.concatenate([[0.0], rng.uniform(2.0, 6.0, zmax)])
+    cna = np.concatenate(
+        [np.zeros((1, 5)), np.cumsum(rng.uniform(0.3, 1.0, (zmax, 5)), 1)])
+    c6 = rng.uniform(5.0, 40.0, (zmax + 1, zmax + 1, 5, 5))
+    c6[0] = 0.0
+    c6[:, 0] = 0.0
+    c6 = 0.5 * (c6 + np.swapaxes(np.swapaxes(c6, 0, 1), 2, 3))
+
+    cell = np.eye(3) * 10.0
+    pos = rng.uniform(0, 10.0, (80, 3))
+    numbers = rng.integers(1, zmax + 1, 80).astype(np.int32)
+    g = make_grid(pos, cell, np.array([True] * 3), 3.2, 80)
+
+    mesh, zmax1 = 5, zmax + 1
+    numbers_j = jnp.asarray(numbers)
+    mask_a = gd3.element_c6_mask(jnp.asarray(c6, jnp.float32))[numbers_j]
+    mask_a = mask_a.astype(jnp.float32)
+    c6p = jnp.transpose(jnp.asarray(c6, jnp.float32),
+                        (0, 2, 1, 3)).reshape(zmax1, mesh, zmax1 * mesh)
+
+    z_plane = scatter_to_grid(g, numbers_j, fill=0)
+    rcov_plane = scatter_to_grid(g, jnp.asarray(rcov[numbers], jnp.float32))
+    r4r2_plane = scatter_to_grid(g, jnp.asarray(r4r2[numbers], jnp.float32))
+
+    def run(bilinear):
+        return gd3._grid_d3_impl(
+            g, z_plane, _extend_like(g, z_plane, 0),
+            rcov_plane, _extend_like(g, rcov_plane, 0.0),
+            r4r2_plane, _extend_like(g, r4r2_plane, 0.0),
+            jnp.asarray(cna, jnp.float32)[numbers_j], mask_a, c6p[numbers_j],
+            3.2, 0.42, 4.1, 1.7, 1.8, 16.0, -4.0,
+            g.dims, g.radius, g.cap, mesh, zmax1, bilinear=bilinear,
+        )
+
+    out_s = run("split")
+    out_q = run("quad")
+    for a, b in zip(out_s, out_q):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
