@@ -13,7 +13,9 @@ separable-matmul spread/gather) energies + ik-space forces.
 Baseline (H100, from BASELINE.md): cell-list NL 0.051 us/atom (131k),
 DFT-D3 0.19 us/atom (85.7k), PME reciprocal 0.045 us/atom (128k batched)
 => 0.286 us/atom combined.  vs_baseline = ours / baseline (1.0 = parity,
-lower = faster).
+lower = faster).  The headline sums exactly those three stages; the
+real-space erfc Coulomb stage (not part of the reference composite) is
+measured too and reported in detail with a with-coulomb composite.
 
 Timing: the axon tunnel acks before execution completes, so wall-clock
 around a dispatch is meaningless; each stage runs inside a jitted
@@ -144,8 +146,14 @@ def main():
 
     t_fused = measure(md_step, dep, (pos,), iters=3)
 
-    total = t_nl + t_d3 + t_coul + t_pme
+    # Headline = the BASELINE.json stage set (NL + DFT-D3 + PME reciprocal;
+    # the H100 0.286 us/atom denominator has exactly those three
+    # components).  The real-space erfc Coulomb stage — which the
+    # reference's composite does NOT include — is reported alongside in
+    # detail, with its own with-coulomb composite.
+    total = t_nl + t_d3 + t_pme
     us_per_atom = total * 1e6 / n
+    with_coul = (total + t_coul) * 1e6 / n
     result = {
         "metric": "NL+D3+PME end-to-end (110,592 atoms, f32, energies+forces, TPU chip)",
         "value": round(us_per_atom, 4),
@@ -157,6 +165,7 @@ def main():
             "dftd3_ms": round(t_d3 * 1e3, 3),
             "coulomb_real_ms": round(t_coul * 1e3, 3),
             "pme_recip_forces_ms_128^3": round(t_pme * 1e3, 3),
+            "with_coulomb_us_per_atom": round(with_coul, 4),
             "fused_md_step_ms": round(t_fused * 1e3, 3),
             "baseline_us_per_atom_h100": BASELINE_US_PER_ATOM,
         },

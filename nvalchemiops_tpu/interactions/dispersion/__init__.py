@@ -7,6 +7,7 @@ from nvalchemiops_tpu.interactions.dispersion.dftd3 import (  # noqa: F401
 )
 from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (  # noqa: F401
     batch_grid_dftd3,
+    compact_d3_elements,
     element_c6_mask,
     element_cn_ref,
     grid_dftd3,
@@ -21,6 +22,7 @@ __all__ = [
     "D3Parameters",
     "batch_dense_dftd3",
     "batch_grid_dftd3",
+    "compact_d3_elements",
     "dense_dftd3",
     "dftd3",
     "element_c6_mask",

@@ -51,8 +51,8 @@ from nvalchemiops_tpu.grid import (
     scatter_to_grid,
 )
 
-__all__ = ["element_cn_ref", "element_c6_mask", "grid_dftd3",
-           "grid_dftd3_coulomb", "batch_grid_dftd3"]
+__all__ = ["compact_d3_elements", "element_cn_ref", "element_c6_mask",
+           "grid_dftd3", "grid_dftd3_coulomb", "batch_grid_dftd3"]
 
 
 def element_cn_ref(cn_ref, atol=0.0):
@@ -99,6 +99,52 @@ def element_c6_mask(c6ab):
             "matrix-path dftd3 instead"
         )
     return jnp.asarray(m.astype(c6.dtype))
+
+
+def compact_d3_elements(numbers, rcov, r4r2, c6ab, cn_ref):
+    """Remap atomic numbers onto the dense set of elements present.
+
+    The grid/dense engines turn the 5x5 C6 interpolation into bilinear
+    forms of width ``zm = (Zmax+1) * mesh`` (rule 4) — with full periodic
+    tables (Z <= 94, zm = 475) pass 2 pays ~5x more MXU work than a
+    typical composition needs.  This helper selects the elements actually
+    present and relabels ``numbers`` with dense local indices (padding 0
+    stays 0), shrinking every downstream feature width to
+    ``(n_present+1) * mesh``.
+
+    Host-side (``np.unique`` must see concrete values): call once per
+    composition OUTSIDE jit and reuse across MD steps — the mapping only
+    changes when the element set changes.  Accepts the full
+    ``cn_ref [Z+1, Z+1, m, m]`` or the element-structured ``[Z+1, m]``
+    form.  Returns ``(numbers_local, rcov_c, r4r2_c, c6ab_c, cn_ref_c)``.
+
+    Reference counterpart: none — the reference's per-pair table gathers
+    (dftd3.py:426-548) are composition-size-independent, so it never
+    needs this; the bilinear formulation does.
+    """
+    numbers_np = np.asarray(jax.device_get(numbers))
+    rcov_np = np.asarray(jax.device_get(rcov))
+    r4r2_np = np.asarray(jax.device_get(r4r2))
+    c6_np = np.asarray(jax.device_get(c6ab))
+    cn_np = np.asarray(jax.device_get(cn_ref))
+    present = np.unique(numbers_np)
+    present = present[present > 0].astype(np.int64)
+    if present.size and present.max() >= rcov_np.shape[0]:
+        raise ValueError(
+            f"atomic number {present.max()} exceeds table size "
+            f"{rcov_np.shape[0]}"
+        )
+    lut = np.zeros(rcov_np.shape[0], np.int32)
+    lut[present] = np.arange(1, present.size + 1, dtype=np.int32)
+    sel = np.r_[np.zeros(1, np.int64), present]
+    cn_c = cn_np[np.ix_(sel, sel)] if cn_np.ndim == 4 else cn_np[sel]
+    return (
+        jnp.asarray(lut[numbers_np]),
+        jnp.asarray(rcov_np[sel]),
+        jnp.asarray(r4r2_np[sel]),
+        jnp.asarray(c6_np[np.ix_(sel, sel)]),
+        jnp.asarray(cn_c),
+    )
 
 
 def make_d3_row_kernels(cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper,

@@ -460,3 +460,70 @@ def test_grid_d3_quad_bilinear_bitwise_matches_split():
     out_q = run("quad")
     for a, b in zip(out_s, out_q):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_compact_d3_elements_matches_full_tables():
+    """Compacted present-element tables reproduce the full-table results."""
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
+        compact_d3_elements, element_cn_ref, grid_dftd3,
+    )
+    from nvalchemiops_tpu.interactions.dispersion.dense_d3 import dense_dftd3
+
+    rng = np.random.default_rng(23)
+    zmax = 40  # big sparse table; only a handful of elements present
+    rcov = np.concatenate([[0.0], rng.uniform(0.6, 1.4, zmax)])
+    r4r2 = np.concatenate([[0.0], rng.uniform(2.0, 6.0, zmax)])
+    cna = np.concatenate(
+        [np.zeros((1, 5)), np.cumsum(rng.uniform(0.3, 1.0, (zmax, 5)), 1)])
+    c6 = rng.uniform(5.0, 40.0, (zmax + 1, zmax + 1, 5, 5))
+    c6[0] = 0.0
+    c6[:, 0] = 0.0
+    c6 = 0.5 * (c6 + np.swapaxes(np.swapaxes(c6, 0, 1), 2, 3))
+    cn_ref_full = np.broadcast_to(
+        cna[:, None, :, None], (zmax + 1,) * 2 + (5, 5)).copy()
+
+    cell = np.eye(3) * 11.0
+    pos = rng.uniform(0, 11.0, (160, 3))
+    present = np.array([3, 7, 29, 40])
+    numbers = present[rng.integers(0, len(present), 160)].astype(np.int32)
+    cutoff = 3.4
+    pbc = np.array([True] * 3)
+    a1, a2, s8 = 0.42, 4.1, 1.7
+
+    nums_c, rcov_c, r4r2_c, c6_c, cn_c = compact_d3_elements(
+        jnp.asarray(numbers), jnp.asarray(rcov), jnp.asarray(r4r2),
+        jnp.asarray(c6), jnp.asarray(cn_ref_full))
+    assert int(jnp.max(nums_c)) == len(present)
+    assert c6_c.shape == (5, 5, 5, 5)
+
+    g = make_grid(pos, cell, pbc, cutoff, 160)
+    e_f, f_f, cn_f = grid_dftd3(
+        g, jnp.asarray(numbers), jnp.asarray(rcov), jnp.asarray(r4r2),
+        jnp.asarray(c6), element_cn_ref(jnp.asarray(cn_ref_full)),
+        cutoff, a1, a2, s8)
+    e_c, f_c, cn_cc = grid_dftd3(
+        g, nums_c, rcov_c, r4r2_c, c6_c, element_cn_ref(cn_c),
+        cutoff, a1, a2, s8)
+    np.testing.assert_allclose(float(e_c), float(e_f), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_f),
+                               rtol=1e-5, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(cn_cc), np.asarray(cn_f), rtol=1e-6)
+
+    # dense minimum-image path through the same compaction
+    e_df, f_df, cn_df = dense_dftd3(
+        jnp.asarray(pos, jnp.float32), jnp.asarray(numbers),
+        jnp.asarray(cell, jnp.float32), cutoff,
+        jnp.asarray(rcov, jnp.float32), jnp.asarray(r4r2, jnp.float32),
+        jnp.asarray(c6, jnp.float32), jnp.asarray(cna, jnp.float32),
+        a1, a2, s8)
+    e_dc, f_dc, cn_dc = dense_dftd3(
+        jnp.asarray(pos, jnp.float32), nums_c,
+        jnp.asarray(cell, jnp.float32), cutoff,
+        rcov_c.astype(jnp.float32), r4r2_c.astype(jnp.float32),
+        c6_c.astype(jnp.float32), element_cn_ref(cn_c).astype(jnp.float32),
+        a1, a2, s8)
+    np.testing.assert_allclose(float(e_dc), float(e_df), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_dc), np.asarray(f_df),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cn_dc), np.asarray(cn_df),
+                               rtol=1e-5)
