@@ -28,7 +28,9 @@ from nvalchemiops_tpu.parallel.mlip import (  # noqa: F401
 )
 from nvalchemiops_tpu.parallel.domain import (  # noqa: F401
     domain_coulomb_energy_forces,
+    domain_dftd3,
     domain_dftd3_cn,
+    domain_pme_reciprocal,
     make_z_mesh,
 )
 
@@ -36,7 +38,9 @@ __all__ = [
     "MLIPParams",
     "batched_energy_forces",
     "domain_coulomb_energy_forces",
+    "domain_dftd3",
     "domain_dftd3_cn",
+    "domain_pme_reciprocal",
     "init_mlip_params",
     "make_mesh",
     "make_z_mesh",
