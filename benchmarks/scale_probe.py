@@ -47,6 +47,8 @@ c6 = jnp.asarray(c6_np, jnp.float32)
 
 dims, radius, cap = estimate_grid_geometry(cell, pbc, cutoff, n,
                                            target_occupancy=0.75)
+if os.environ.get("DIMS"):
+    dims = (int(os.environ["DIMS"]),) * 3
 origin_np, observed = choose_grid_origin(pos, cell, pbc, dims)
 origin = jnp.asarray(origin_np, jnp.float32) if origin_np.any() else None
 cap = max(int(np.ceil((observed + 1) / 8)) * 8,

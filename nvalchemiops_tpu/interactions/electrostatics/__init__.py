@@ -28,6 +28,7 @@ from nvalchemiops_tpu.interactions.electrostatics.ewald import (  # noqa: F401
 )
 from nvalchemiops_tpu.interactions.electrostatics.pme import (  # noqa: F401
     particle_mesh_ewald,
+    grid_particle_mesh_ewald,
     pme_reciprocal_space,
 )
 
@@ -54,5 +55,6 @@ __all__ = [
     "ewald_reciprocal_space",
     "ewald_summation",
     "particle_mesh_ewald",
+    "grid_particle_mesh_ewald",
     "pme_reciprocal_space",
 ]

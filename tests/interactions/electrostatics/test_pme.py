@@ -164,3 +164,40 @@ def test_parameter_estimation_accuracy_autotune():
     )
     e_ref = float(full_ewald(pos, q, cell, accuracy=1e-10).sum())
     np.testing.assert_allclose(e_auto, e_ref, rtol=5e-5)
+
+
+def test_grid_particle_mesh_ewald_matches_ewald_summation():
+    """At-scale full PME (grid real + windowed recip) vs Ewald summation."""
+    import numpy as np
+    import jax.numpy as jnp
+    from nvalchemiops_tpu.grid import build_atom_grid_auto
+    from nvalchemiops_tpu.interactions.electrostatics import (
+        ewald_summation, grid_particle_mesh_ewald,
+    )
+    from nvalchemiops_tpu.neighborlist import naive_neighbor_list
+
+    rng = np.random.default_rng(31)
+    n, box = 192, 12.0
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    q_np = rng.normal(size=n)
+    q = jnp.asarray(q_np - q_np.mean(), jnp.float32)
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32)
+    pbc = np.array([True] * 3)
+    cutoff = 5.0
+
+    grid = build_atom_grid_auto(pos, cell, pbc, cutoff)
+    e_pme, f_pme = grid_particle_mesh_ewald(
+        grid, pos, q, cell, cutoff, mesh_dimensions=(32, 32, 32))
+
+    alpha = float(np.sqrt(-np.log(1e-6)) / cutoff)
+    nm, num, sh = naive_neighbor_list(pos, cutoff, cell=cell, pbc=pbc,
+                                      max_neighbors=128)
+    e_ew, f_ew = ewald_summation(
+        pos, q, cell, alpha=alpha,
+        k_cutoff=18.0, neighbor_matrix=nm, neighbor_matrix_shifts=sh,
+        compute_forces=True)
+
+    et_p, et_e = float(jnp.sum(e_pme)), float(jnp.sum(e_ew))
+    np.testing.assert_allclose(et_p, et_e, rtol=2e-4)
+    fs = float(jnp.max(jnp.abs(f_ew)))
+    assert float(jnp.max(jnp.abs(f_pme - f_ew))) / fs < 2e-3
