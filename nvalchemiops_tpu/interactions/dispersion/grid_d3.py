@@ -226,13 +226,33 @@ def make_d3_row_kernels(cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper,
             zacc = out[..., :cap_i, :w_j]
             z_di = out[..., cap_i:, :w_j]
             z_dj = out[..., :cap_i, w_j:]
-        else:
-            zacc = jnp.einsum("...if,...jf->...ij", l0, cand["rf"],
-                              precision=precision)
-            z_di = jnp.einsum("...if,...jf->...ij", l1c, cand["rf"],
-                              precision=precision)
+        elif bilinear == "stack":
+            # lhs-only merge: zacc and z_di share the SAME rhs window
+            # (cand["rf"], the fattest read of the pass) — stacking the
+            # two small lhs operands on the row axis reads it once and
+            # costs no wasted quadrant (unlike "quad", rule 9).
+            cap_i = l0.shape[-2]
+            pet = (jnp.float32 if l0.dtype == jnp.bfloat16 else None)
+            out = jnp.einsum("...if,...jf->...ij",
+                             jnp.concatenate([l0, l1c], axis=-2),
+                             cand["rf"], precision=precision,
+                             preferred_element_type=pet)
+            zacc = out[..., :cap_i, :]
+            z_di = out[..., cap_i:, :]
             z_dj = jnp.einsum("...if,...jf->...ij", l0, cand["rfdc"],
-                              precision=precision)
+                              precision=precision,
+                              preferred_element_type=pet)
+        else:
+            pet = (jnp.float32 if l0.dtype == jnp.bfloat16 else None)
+            zacc = jnp.einsum("...if,...jf->...ij", l0, cand["rf"],
+                              precision=precision,
+                              preferred_element_type=pet)
+            z_di = jnp.einsum("...if,...jf->...ij", l1c, cand["rf"],
+                              precision=precision,
+                              preferred_element_type=pet)
+            z_dj = jnp.einsum("...if,...jf->...ij", l0, cand["rfdc"],
+                              precision=precision,
+                              preferred_element_type=pet)
         w = own["w"][..., :, None] * cand["w"][..., None, :]
 
         good = w > 1e-12
@@ -416,7 +436,8 @@ def _d3_feature_planes(grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
 @partial(
     jax.jit,
     static_argnames=("dims", "radius", "cap", "mesh", "zmax1", "precision",
-                     "compute_virial", "skip_chain", "bilinear"),
+                     "compute_virial", "skip_chain", "bilinear",
+                     "feature_dtype"),
 )
 def _grid_d3_impl(
     grid: AtomGrid,
@@ -430,7 +451,7 @@ def _grid_d3_impl(
     dims, radius, cap, mesh: int, zmax1: int, precision=None,
     compute_virial: bool = False,
     cn_a_override=None, skip_chain: bool = False, bilinear: str = "split",
-    numbers_a=None,
+    numbers_a=None, feature_dtype=None,
 ):
     """Row-sweep D3 pipeline.
 
@@ -486,6 +507,14 @@ def _grid_d3_impl(
         grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
         dims, cap, precision, numbers_a=numbers_a,
     )
+    if feature_dtype is not None:
+        # einsum-operand-only storage cast (the MXU casts f32 operands to
+        # bf16 per pass anyway — storing them bf16 halves the windowed
+        # reads, the fattest HBM traffic of pass 2, at no extra rounding
+        # beyond the default single-pass bf16 matmul)
+        lf_plane = lf_plane.astype(feature_dtype)
+        rf_plane = rf_plane.astype(feature_dtype)
+        rfdc_plane = rfdc_plane.astype(feature_dtype)
     rf_ext = _extend_like(grid, rf_plane, 0.0)
     rfdc_ext = _extend_like(grid, rfdc_plane, 0.0)
     w_plane = scatter_to_grid(grid, w_a)
@@ -1084,6 +1113,8 @@ def grid_dftd3(
     block_G: int | None = None,
     compute_virial: bool = False,
     stencil=None,
+    bilinear: str = "split",
+    feature_dtype=None,
 ):
     """DFT-D3(BJ) energies/forces/CNs on the atom grid.
 
@@ -1097,6 +1128,14 @@ def grid_dftd3(
     energy and ~1e-4 force agreement with the exact f32 matrix path at
     100k atoms; pass ``jax.lax.Precision.HIGHEST`` for full-f32 matmuls
     (~2-3x slower interpolation) when tighter energies are required.
+
+    ``bilinear`` (XLA engine): ``"split"`` (three einsums, default),
+    ``"stack"`` (lhs-stacked: the two einsums sharing the candidate
+    ``rf`` window merge into one — same dot products, the fattest
+    window read once), or ``"quad"`` (documentation-only, rule 9).
+    ``feature_dtype=jnp.bfloat16`` stores the einsum feature planes in
+    bf16 (the MXU casts f32 operands to bf16 per pass anyway, so this
+    halves the windowed reads at no additional rounding).
 
     ``engine`` selects the sweep implementation:
 
@@ -1235,6 +1274,7 @@ def grid_dftd3(
             jnp.asarray(k3, dtype),
             grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
             precision, compute_virial=compute_virial, numbers_a=numbers,
+            bilinear=bilinear, feature_dtype=feature_dtype,
         )
         e_pl, fx_pl, fy_pl, fz_pl, cn_pl = out[:5]
         if compute_virial:

@@ -527,3 +527,50 @@ def test_compact_d3_elements_matches_full_tables():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(cn_dc), np.asarray(cn_df),
                                rtol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["stack", "bf16", "stack_bf16"])
+def test_grid_dftd3_bilinear_variants_match_split(variant):
+    """The lhs-stacked einsum computes the same dot products as the split
+    form; bf16 feature storage only re-rounds the einsum operands."""
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import grid_dftd3
+
+    rng = np.random.default_rng(23)
+    zmax = 4
+    rcov = np.concatenate([[0.0], rng.uniform(0.6, 1.4, zmax)])
+    r4r2 = np.concatenate([[0.0], rng.uniform(2.0, 6.0, zmax)])
+    cna = np.concatenate(
+        [np.zeros((1, 5)), np.cumsum(rng.uniform(0.3, 1.0, (zmax, 5)), 1)])
+    c6 = rng.uniform(5.0, 40.0, (zmax + 1, zmax + 1, 5, 5))
+    c6[0] = 0.0
+    c6[:, 0] = 0.0
+    c6 = 0.5 * (c6 + np.swapaxes(np.swapaxes(c6, 0, 1), 2, 3))
+
+    cell = np.eye(3) * 10.0
+    pos = rng.uniform(0, 10.0, (100, 3))
+    numbers = rng.integers(1, zmax + 1, 100).astype(np.int32)
+    pbc = np.array([True] * 3)
+    g = make_grid(pos, cell, pbc, 3.2, 100)
+    args = (
+        g, jnp.asarray(numbers), jnp.asarray(rcov, jnp.float32),
+        jnp.asarray(r4r2, jnp.float32), jnp.asarray(c6, jnp.float32),
+        jnp.asarray(cna, jnp.float32), 3.2, 0.42, 4.1, 1.7,
+    )
+    e_s, f_s, cn_s = grid_dftd3(*args, bilinear="split")
+    kw = {}
+    if "stack" in variant:
+        kw["bilinear"] = "stack"
+    if "bf16" in variant:
+        kw["feature_dtype"] = jnp.bfloat16
+    e_v, f_v, cn_v = grid_dftd3(*args, **kw)
+    if "bf16" in variant:
+        # storage re-rounding only: documented engine-level tolerance
+        np.testing.assert_allclose(float(e_v), float(e_s), rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(f_v), np.asarray(f_s),
+                                   atol=5e-3)
+    else:
+        np.testing.assert_allclose(float(e_v), float(e_s), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(f_v), np.asarray(f_s),
+                                   atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cn_v), np.asarray(cn_s),
+                               atol=1e-12)
