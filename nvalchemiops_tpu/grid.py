@@ -57,6 +57,7 @@ __all__ = [
     "build_atom_grid",
     "build_atom_grid_auto",
     "choose_grid_origin",
+    "choose_grid_geometry",
     "grid_pair_reduce",
     "grid_row_reduce_sym",
     "row_home_mask",
@@ -674,19 +675,97 @@ def choose_grid_origin(positions, cell, pbc, dims):
     return best
 
 
+def choose_grid_geometry(positions, cell, pbc, cutoff: float,
+                         dims_candidates=None):
+    """Score dims x origin x capacity by predicted sweep cost; pick the best.
+
+    The sweep cost of every grid pass is ``ncells * cap^2 * window_cols``
+    (grid_row_reduce_sym: M = cap rows per cell against x-merged windows).
+    Bin-count choices interact non-obviously with the occupancy
+    distribution — measured on chip at 531k atoms, the "exact" 27-bin
+    geometry is 1.6x slower than 26 bins (estimate_grid_geometry's NOTE):
+    a slightly coarser grid can have a much tighter max occupancy.  This
+    searches the per-axis bin counts {floor, floor-1} (all-axes deltas,
+    plus any explicit ``dims_candidates`` in (Cz, Cy, Cx) order), runs
+    the cheap occupancy histogram (:func:`choose_grid_origin`) for each,
+    and returns ``(dims, radius, cap, origin | None)`` minimizing
+
+        ncells * cap^2 * ((rx+1) + n_half_offsets * (2*rx+1))
+
+    — the exact slot count of the symmetric row sweep.  Any candidate is
+    a *valid* partition (physics is geometry-independent); this only
+    picks the cheapest.
+    """
+    cell_np = np.asarray(jax.device_get(cell), dtype=np.float64).reshape(3, 3)
+    inv_t = np.linalg.inv(cell_np).T
+    face = 1.0 / np.linalg.norm(inv_t, axis=1)          # xyz order
+    pbc_np = np.asarray(jax.device_get(pbc), dtype=bool).reshape(-1)[:3]
+    cpd_max = np.maximum((face / cutoff).astype(np.int64), 1)
+
+    cands = []
+    for delta in (0, -1):
+        cpd = np.maximum(cpd_max + delta, 1)
+        cands.append((int(cpd[2]), int(cpd[1]), int(cpd[0])))
+    if dims_candidates:
+        cands.extend(tuple(int(v) for v in d) for d in dims_candidates)
+    seen, uniq = set(), []
+    for d in cands:
+        if d not in seen:
+            seen.add(d)
+            uniq.append(d)
+
+    best = None
+    for dims in uniq:
+        cpd_xyz = np.array([dims[2], dims[1], dims[0]], dtype=np.int64)
+        radius = np.ceil(cutoff * cpd_xyz / face).astype(np.int64)
+        if (radius[pbc_np] > cpd_xyz[pbc_np]).any():
+            continue  # halo would wrap onto itself; invalid geometry
+        origin_np, occ = choose_grid_origin(positions, cell, pbc, dims)
+        cap = max(int(np.ceil((occ + 1) / 8)) * 8,
+                  int(np.ceil(occ * 1.02 / 8)) * 8)
+        rz, ry, rx = int(radius[2]), int(radius[1]), int(radius[0])
+        n_half = ((2 * rz + 1) * (2 * ry + 1) - 1) // 2
+        ncells = dims[0] * dims[1] * dims[2]
+        score = ncells * cap * cap * ((rx + 1) + n_half * (2 * rx + 1))
+        if best is None or score < best[0]:
+            origin = origin_np if np.any(origin_np != 0.0) else None
+            best = (score, dims, (rz, ry, rx), cap, origin)
+    if best is None:
+        raise ValueError(
+            "no valid grid geometry for this cell/cutoff (radius > cells "
+            "per dimension on a periodic axis); use the naive path"
+        )
+    return best[1], best[2], best[3], best[4]
+
+
 def build_atom_grid_auto(positions, cell, pbc, cutoff: float,
                          target_occupancy: float = 0.66,
                          bins_per_cutoff: int = 1,
-                         optimize_origin: bool = True):
+                         optimize_origin: bool = True,
+                         optimize_geometry: bool = False):
     """Estimate geometry, pick an origin, build with a tight capacity.
 
     Host syncs (reading occupancy histograms) — same estimate-then-check
     split the reference uses for its cell-list sizes (cell_list.py:639-724).
     Sweep cost scales ~cap^2, so the observed-occupancy capacity (and the
     origin search that lowers it for crystals) matters more than the extra
-    build.
+    build.  ``optimize_geometry`` additionally searches nearby bin counts
+    with :func:`choose_grid_geometry` (one extra histogram per candidate).
     """
     n = positions.shape[0]
+    if optimize_geometry:
+        dims, radius, cap, origin_np = choose_grid_geometry(
+            positions, cell, pbc, cutoff)
+        origin = (jnp.asarray(origin_np, positions.dtype)
+                  if origin_np is not None else None)
+        g = build_atom_grid(positions, cell, pbc, dims, radius, cap,
+                            origin=origin)
+        true_occ = int(jax.device_get(g.counts_max))
+        if true_occ > cap:
+            cap = int(np.ceil((true_occ + 1) / 8)) * 8
+            g = build_atom_grid(positions, cell, pbc, dims, radius, cap,
+                                origin=origin)
+        return g
     dims, radius, cap = estimate_grid_geometry(
         cell, pbc, cutoff, n, target_occupancy=target_occupancy,
         bins_per_cutoff=bins_per_cutoff,

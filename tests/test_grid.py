@@ -574,3 +574,37 @@ def test_grid_dftd3_bilinear_variants_match_split(variant):
                                    atol=1e-12)
     np.testing.assert_allclose(np.asarray(cn_v), np.asarray(cn_s),
                                atol=1e-12)
+
+
+def test_choose_grid_geometry_valid_and_consistent():
+    """Every searched geometry is a valid partition: the picked one must
+    reproduce the estimate_grid_geometry physics exactly."""
+    from nvalchemiops_tpu.grid import (
+        build_atom_grid, build_atom_grid_auto, choose_grid_geometry,
+        grid_coulomb_energy_forces,
+    )
+
+    rng = np.random.default_rng(17)
+    # incommensurate near-crystal: 7 lattice planes, bins won't divide evenly
+    base = np.stack(
+        np.meshgrid(*[np.arange(7) * 1.9] * 3, indexing="ij"), -1
+    ).reshape(-1, 3)
+    pos = base + rng.uniform(-0.15, 0.15, base.shape)
+    box = 7 * 1.9
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32)
+    pbc = np.array([True] * 3)
+    pos_j = jnp.asarray(pos, jnp.float32)
+    cutoff = 4.0
+    q = jnp.asarray(rng.normal(size=len(pos)), jnp.float32)
+
+    dims, radius, cap, origin = choose_grid_geometry(pos_j, cell, pbc, cutoff)
+    assert all(r <= d for r, d in zip(radius, dims))
+    g_best = build_atom_grid_auto(pos_j, cell, pbc, cutoff,
+                                  optimize_geometry=True)
+    assert int(g_best.counts_max) <= g_best.cap
+
+    g_ref = build_atom_grid_auto(pos_j, cell, pbc, cutoff)
+    e_a, f_a = grid_coulomb_energy_forces(g_best, q, cutoff, 0.3)
+    e_b, f_b = grid_coulomb_energy_forces(g_ref, q, cutoff, 0.3)
+    np.testing.assert_allclose(np.asarray(e_a), np.asarray(e_b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_a), np.asarray(f_b), atol=1e-4)
