@@ -4,6 +4,11 @@
 (counterpart of the reference's examples/neighborlist gallery)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 

@@ -4,6 +4,11 @@
 (counterpart of reference examples/neighborlist/03_rebuild_neighborlist_detection.py)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 

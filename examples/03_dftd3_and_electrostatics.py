@@ -1,6 +1,11 @@
 # SPDX-License-Identifier: Apache-2.0
 """DFT-D3(BJ) dispersion + full electrostatics on a small crystal."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 

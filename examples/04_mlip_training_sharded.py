@@ -1,6 +1,11 @@
 # SPDX-License-Identifier: Apache-2.0
 """Train the built-in MLIP with data+atom sharding over all local devices."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

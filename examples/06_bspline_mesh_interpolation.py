@@ -8,6 +8,11 @@ charge-conservation identities, the spread<->gather adjointness that PME
 relies on, and the Fourier-space deconvolution factors.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 
