@@ -27,6 +27,7 @@ from nvalchemiops_tpu.interactions.electrostatics.ewald import (  # noqa: F401
     ewald_summation,
 )
 from nvalchemiops_tpu.interactions.electrostatics.pme import (  # noqa: F401
+    batch_pme_reciprocal,
     particle_mesh_ewald,
     grid_particle_mesh_ewald,
     pme_reciprocal_space,
@@ -57,4 +58,5 @@ __all__ = [
     "particle_mesh_ewald",
     "grid_particle_mesh_ewald",
     "pme_reciprocal_space",
+    "batch_pme_reciprocal",
 ]

@@ -119,6 +119,7 @@ def pme_green_structure_factor(k_squared, mesh_dimensions, alpha, cell, spline_o
         "compute_forces",
         "compute_charge_gradients",
         "tile_capacity",
+        "fft_mode",
     ),
 )
 def _pme_reciprocal_impl(
@@ -134,6 +135,7 @@ def _pme_reciprocal_impl(
     k_vectors,
     k_squared,
     tile_capacity=None,
+    fft_mode: str = "xla",
 ):
     """Core pipeline (reference: pme.py:1338-1479), compiled as one program."""
     dtype = positions.dtype
@@ -185,10 +187,7 @@ def _pme_reciprocal_impl(
         if is_batch and mesh.ndim == 3:
             mesh = mesh[None]
 
-    # 2. FFT
-    mesh_fft = jnp.fft.rfftn(mesh, norm="backward", axes=fft_axes)
-
-    # 3. Green's function + dealiasing
+    # 2./3. Green's function + dealiasing
     if k_vectors is None or k_squared is None:
         k_vectors, k_squared = generate_k_vectors_pme(
             cell_b if is_batch else cell_b[0], mesh_dimensions
@@ -200,11 +199,17 @@ def _pme_reciprocal_impl(
         spline_order,
     )
 
-    # 4./5. convolve and inverse FFT -> potential mesh
-    convolved = mesh_fft / sf_sq * green
-    potential_mesh = jnp.fft.irfftn(
-        convolved, s=mesh_dimensions, norm="forward", axes=fft_axes
-    ).astype(dtype)
+    # 4./5. FFT, convolve, inverse FFT -> potential mesh
+    if fft_mode == "matmul":
+        from nvalchemiops_tpu.mathops.matmul_dft import matmul_rfft_convolve
+
+        potential_mesh = matmul_rfft_convolve(mesh, green / sf_sq)
+    else:
+        mesh_fft = jnp.fft.rfftn(mesh, norm="backward", axes=fft_axes)
+        convolved = mesh_fft / sf_sq * green
+        potential_mesh = jnp.fft.irfftn(
+            convolved, s=mesh_dimensions, norm="forward", axes=fft_axes
+        ).astype(dtype)
 
     # 6. gather potential (and, for forces, its spline-derivative gradient)
     # at atoms.  Forces use the analytic gradient of the *discrete* energy —
@@ -307,6 +312,7 @@ def pme_reciprocal_space(
     compute_charge_gradients: bool = False,
     accuracy: float = 1e-6,
     tile_capacity: int | None = None,
+    fft_mode: str = "xla",
 ):
     """FFT-based reciprocal-space PME (reference: pme.py:1482-1665).
 
@@ -317,6 +323,9 @@ def pme_reciprocal_space(
     capacity with an observed one
     (:func:`spline_windowed.observed_tile_capacity`) — per-tile work
     scales ~capacity, and crystals sit far below the safe bound.
+
+    ``fft_mode="matmul"`` runs the whole FFT-convolve-inverse as MXU
+    matmuls (``mathops.matmul_dft``) — the small-batched-mesh fast path.
     """
     dtype = positions.dtype
     cell_b = jnp.asarray(cell, dtype=dtype).reshape(-1, 3, 3)
@@ -330,7 +339,7 @@ def pme_reciprocal_space(
     energies, forces, cg = _pme_reciprocal_impl(
         positions, charges, cell_b, alpha_arr, tuple(mesh_dimensions), spline_order,
         batch_idx, compute_forces, compute_charge_gradients, k_vectors, k_squared,
-        tile_capacity=tile_capacity,
+        tile_capacity=tile_capacity, fft_mode=fft_mode,
     )
     if forces is not None and cg is not None:
         return energies, forces, cg
@@ -410,7 +419,8 @@ def particle_mesh_ewald(
 
 
 def _windowed_pme_single(positions, charges, cell, alpha, mesh_dimensions,
-                         spline_order: int, cap: int, compute_forces: bool):
+                         spline_order: int, cap: int, compute_forces: bool,
+                         fft_mode: str = "xla"):
     """One system through the tile-windowed PME pipeline (vmappable).
 
     Lean straight-line version of :func:`_pme_reciprocal_impl`'s windowed
@@ -425,13 +435,20 @@ def _windowed_pme_single(positions, charges, cell, alpha, mesh_dimensions,
                                 spline_order, cap,
                                 need_grad=compute_forces)
     mesh = sw.windowed_spread(tiles, charges)
-    mesh_fft = jnp.fft.rfftn(mesh, norm="backward")
     _, k_squared = generate_k_vectors_pme(cell, mesh_dimensions)
     green, sf_sq = pme_green_structure_factor(
         k_squared, mesh_dimensions, alpha, cell, spline_order)
-    potential_mesh = jnp.fft.irfftn(
-        mesh_fft / sf_sq * green, s=mesh_dimensions,
-        norm="forward").astype(dtype)
+    if fft_mode == "matmul":
+        # small batched meshes: the whole convolution as MXU matmuls
+        # (mathops/matmul_dft.py) — no complex tensors, no XLA FFT
+        from nvalchemiops_tpu.mathops.matmul_dft import matmul_rfft_convolve
+
+        potential_mesh = matmul_rfft_convolve(mesh, green / sf_sq)
+    else:
+        mesh_fft = jnp.fft.rfftn(mesh, norm="backward")
+        potential_mesh = jnp.fft.irfftn(
+            mesh_fft / sf_sq * green, s=mesh_dimensions,
+            norm="forward").astype(dtype)
 
     if compute_forces:
         raw, grad_frac = sw.windowed_gather(tiles, potential_mesh,
@@ -458,20 +475,22 @@ def _windowed_pme_single(positions, charges, cell, alpha, mesh_dimensions,
 @partial(
     jax.jit,
     static_argnames=("mesh_dimensions", "spline_order", "cap",
-                     "compute_forces"),
+                     "compute_forces", "fft_mode"),
 )
 def _batch_windowed_pme_impl(positions, charges, cells, alphas,
                              mesh_dimensions, spline_order, cap,
-                             compute_forces):
+                             compute_forces, fft_mode="xla"):
     return jax.vmap(
         lambda p, q, c, a: _windowed_pme_single(
-            p, q, c, a, mesh_dimensions, spline_order, cap, compute_forces)
+            p, q, c, a, mesh_dimensions, spline_order, cap, compute_forces,
+            fft_mode=fft_mode)
     )(positions, charges, cells, alphas)
 
 
 def batch_pme_reciprocal(positions, charges, cells, alpha, mesh_dimensions,
                          spline_order: int = 4, compute_forces: bool = False,
-                         tile_capacity: int | None = None):
+                         tile_capacity: int | None = None,
+                         fft_mode: str = "xla"):
     """Batched reciprocal-space PME on uniform [B, n, 3] system stacks.
 
     The concatenated ``batch_idx`` path of :func:`pme_reciprocal_space`
@@ -501,7 +520,7 @@ def batch_pme_reciprocal(positions, charges, cells, alpha, mesh_dimensions,
     energies, forces = _batch_windowed_pme_impl(
         positions, jnp.asarray(charges, dtype), cells, alphas,
         tuple(int(d) for d in mesh_dimensions), int(spline_order),
-        int(tile_capacity), bool(compute_forces))
+        int(tile_capacity), bool(compute_forces), fft_mode=fft_mode)
     if compute_forces:
         return energies, forces
     return energies

@@ -36,3 +36,21 @@ def test_batch_windowed_pme_rejects_bad_mesh():
     cell = jnp.eye(3, dtype=jnp.float32) * 10
     with pytest.raises(ValueError):
         batch_pme_reciprocal(pos, q, cell, 0.4, (30, 30, 30))
+
+
+def test_batch_pme_matmul_fft_mode_matches_xla():
+    from nvalchemiops_tpu.interactions.electrostatics import (
+        batch_pme_reciprocal,
+    )
+
+    rng = np.random.default_rng(9)
+    B, npa, box = 3, 60, 6.0
+    pos = jnp.asarray(rng.uniform(0, box, (B, npa, 3)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, npa)), jnp.float32)
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32)
+    e_x, f_x = batch_pme_reciprocal(pos, q, cell, 0.8, (16, 16, 16),
+                                    compute_forces=True)
+    e_m, f_m = batch_pme_reciprocal(pos, q, cell, 0.8, (16, 16, 16),
+                                    compute_forces=True, fft_mode="matmul")
+    np.testing.assert_allclose(np.asarray(e_m), np.asarray(e_x), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(f_m), np.asarray(f_x), atol=2e-4)

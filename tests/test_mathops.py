@@ -161,3 +161,21 @@ def test_gto_density_l0_gradient_finite_difference():
         fd = (m.gto_density_l0(r.at[:, d].add(eps), sigma)
               - m.gto_density_l0(r.at[:, d].add(-eps), sigma)) / (2 * eps)
         np.testing.assert_allclose(np.asarray(g[:, d]), np.asarray(fd), atol=1e-8)
+
+
+def test_matmul_rfft_convolve_matches_fft():
+    """MXU matmul DFT convolution == rfftn/irfftn pipeline (all shapes)."""
+    from nvalchemiops_tpu.mathops.matmul_dft import matmul_rfft_convolve
+
+    rng = np.random.default_rng(0)
+    for shape in [(8, 8, 8), (16, 12, 10), (3, 16, 16, 16), (9, 7, 11)]:
+        mesh = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        nx, ny, nz = shape[-3:]
+        kern = jnp.asarray(rng.normal(size=(nx, ny, nz // 2 + 1)),
+                           jnp.float32)
+        want = jnp.fft.irfftn(
+            jnp.fft.rfftn(mesh, norm="backward", axes=(-3, -2, -1)) * kern,
+            s=(nx, ny, nz), norm="forward", axes=(-3, -2, -1))
+        got = matmul_rfft_convolve(mesh, kern)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-5 * float(jnp.max(jnp.abs(want))))
