@@ -495,7 +495,9 @@ def _grid_d3_impl(
         cn_a = gather_from_grid(grid, cn_plane)  # [N]
     else:
         cn_a = cn_a_override
-        cn_plane = scatter_to_grid(grid, cn_a)
+        # the caller already holds per-atom CNs; scattering them to a
+        # plane only to gather them back out costs two N-ops (rule 7)
+        cn_plane = None
 
     # ---- per-atom interpolation features (built ONCE, flat layouts) ------
     #
@@ -519,7 +521,6 @@ def _grid_d3_impl(
     rfdc_ext = _extend_like(grid, rfdc_plane, 0.0)
     w_plane = scatter_to_grid(grid, w_a)
     w_ext = _extend_like(grid, w_plane, 0.0)
-    cn_ext = _extend_like(grid, cn_plane, 0.0)
 
     # ---- pass 2: energy, direct forces, dE/dCN ---------------------------
     zeros = jnp.zeros((cz, cy, cx, cap), dtype)
@@ -1280,8 +1281,13 @@ def grid_dftd3(
         if compute_virial:
             virial = out[5]
     energy = jnp.sum(e_pl)  # pairs counted once in the symmetric sweep
-    f1, f2, f3, coord_num = gather_rows_from_grid(
-        grid, (fx_pl, fy_pl, fz_pl, cn_pl))
+    if cn_pl is None:
+        # hybrid: CNs never left atom-major form (stencil pass 1)
+        f1, f2, f3 = gather_rows_from_grid(grid, (fx_pl, fy_pl, fz_pl))
+        coord_num = cn_a
+    else:
+        f1, f2, f3, coord_num = gather_rows_from_grid(
+            grid, (fx_pl, fy_pl, fz_pl, cn_pl))
     forces = jnp.stack([f1, f2, f3], axis=-1)
     if chain_forces_a is not None:
         forces = forces + chain_forces_a
