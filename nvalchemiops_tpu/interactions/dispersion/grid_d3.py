@@ -1215,12 +1215,18 @@ def grid_dftd3(
         # passes 1 and 3 on the capacity-free voxel stencil; pass 2 (the
         # MXU C6-interpolation sweep) on the row grid
         from nvalchemiops_tpu.stencil import (
+            extend_stencil,
+            scatter_to_stencil,
             stencil_cn_chain_forces,
             stencil_coordination_numbers,
         )
 
+        # rcov planes scattered once, shared by the CN and chain sweeps
+        rcov_int = scatter_to_stencil(stencil, rcov_a)
+        rcov_planes = (rcov_int, extend_stencil(stencil, rcov_int, 0.0))
         cn_a = stencil_coordination_numbers(stencil, rcov_a, float(cutoff),
-                                            float(k1))
+                                            float(k1),
+                                            rcov_planes=rcov_planes)
         e_pl, fx_pl, fy_pl, fz_pl, cn_pl, decn_pl = _grid_d3_impl(
             grid,
             z_plane, z_ext,
@@ -1237,7 +1243,8 @@ def grid_dftd3(
         )
         decn_a = gather_from_grid(grid, decn_pl)
         chain_forces_a = stencil_cn_chain_forces(
-            stencil, rcov_a, decn_a, float(cutoff), float(k1))
+            stencil, rcov_a, decn_a, float(cutoff), float(k1),
+            rcov_planes=rcov_planes)
     elif engine == "block":
         e_pl, fx_pl, fy_pl, fz_pl, cn_pl = _grid_d3_block_impl(
             grid,

@@ -659,20 +659,27 @@ def stencil_coulomb_energy_forces(sg: StencilGrid, charges, cutoff,
 
 
 def stencil_coordination_numbers(sg: StencilGrid, rcov_per_atom, cutoff,
-                                 k1=16.0, engine: str | None = None):
+                                 k1=16.0, engine: str | None = None,
+                                 rcov_planes=None):
     """DFT-D3 coordination numbers on the voxel stencil.
 
     Same math as ``grid.grid_coordination_numbers`` /
     ``grid_d3.make_d3_row_kernels``'s CN pass (reference 4-pass pipeline,
-    dispersion/dftd3.py:832-940), voxel traversal.
+    dispersion/dftd3.py:832-940), voxel traversal.  ``rcov_planes``
+    optionally supplies prebuilt ``(interior, extended)`` rcov planes so
+    a caller running several stencil passes (the hybrid D3 engine)
+    scatters them once.
     """
     dtype = sg.ext_px.dtype
     cutoff_sq = float(cutoff) ** 2
     k1 = float(k1)
     cz = sg.dims[0]
 
-    rcov_int = scatter_to_stencil(sg, jnp.asarray(rcov_per_atom, dtype))
-    rcov_ext = extend_stencil(sg, rcov_int, 0.0)
+    if rcov_planes is None:
+        rcov_int = scatter_to_stencil(sg, jnp.asarray(rcov_per_atom, dtype))
+        rcov_ext = extend_stencil(sg, rcov_int, 0.0)
+    else:
+        rcov_int, rcov_ext = rcov_planes
 
     eng = _resolve_engine(engine)
     if eng in ("pallas", "stack", "fuse"):
@@ -714,7 +721,8 @@ def stencil_coordination_numbers(sg: StencilGrid, rcov_per_atom, cutoff,
 
 
 def stencil_cn_chain_forces(sg: StencilGrid, rcov_per_atom, decn_per_atom,
-                            cutoff, k1=16.0, engine: str | None = None):
+                            cutoff, k1=16.0, engine: str | None = None,
+                            rcov_planes=None):
     """D3 CN chain-rule force contribution on the voxel stencil.
 
     ``F_i += sum_j (dE/dCN_i + dE/dCN_j) dCN_ij/dr_ij r_hat`` — the same
@@ -726,8 +734,11 @@ def stencil_cn_chain_forces(sg: StencilGrid, rcov_per_atom, decn_per_atom,
     k1 = float(k1)
     cz = sg.dims[0]
 
-    rcov_int = scatter_to_stencil(sg, jnp.asarray(rcov_per_atom, dtype))
-    rcov_ext = extend_stencil(sg, rcov_int, 0.0)
+    if rcov_planes is None:
+        rcov_int = scatter_to_stencil(sg, jnp.asarray(rcov_per_atom, dtype))
+        rcov_ext = extend_stencil(sg, rcov_int, 0.0)
+    else:
+        rcov_int, rcov_ext = rcov_planes
     decn_int = scatter_to_stencil(sg, jnp.asarray(decn_per_atom, dtype))
     decn_ext = extend_stencil(sg, decn_int, 0.0)
 
