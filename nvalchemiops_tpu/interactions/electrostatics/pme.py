@@ -529,7 +529,8 @@ def batch_pme_reciprocal(positions, charges, cells, alpha, mesh_dimensions,
 def grid_particle_mesh_ewald(grid, positions, charges, cell, cutoff,
                              alpha=None, mesh_dimensions=None,
                              spline_order: int = 4, accuracy: float = 1e-6,
-                             tile_capacity: int | None = None):
+                             tile_capacity: int | None = None,
+                             fft_mode: str = "xla"):
     """Full PME at scale: halo-grid real space + tile-windowed reciprocal.
 
     The at-scale composition of :func:`particle_mesh_ewald` (reference:
@@ -562,5 +563,6 @@ def grid_particle_mesh_ewald(grid, positions, charges, cell, cutoff,
     e_rec, f_rec = pme_reciprocal_space(
         positions, charges, cell_b, alpha_f,
         mesh_dimensions=mesh_dimensions, spline_order=spline_order,
-        compute_forces=True, tile_capacity=tile_capacity)
+        compute_forces=True, tile_capacity=tile_capacity,
+        fft_mode=fft_mode)
     return e_real + e_rec, f_real + f_rec
