@@ -39,6 +39,10 @@ def tiles_only(p):
     t = sw.build_mesh_tiles(p, cell, mesh_dims, 4, CAP)
     return t.smat
 
+def tiles_grad(p):
+    t = sw.build_mesh_tiles(p, cell, mesh_dims, 4, CAP, need_grad=True)
+    return t.smat
+
 def spread_only(p):
     t = sw.build_mesh_tiles(p, cell, mesh_dims, 4, CAP)
     return sw.windowed_spread(t, q)
@@ -49,7 +53,9 @@ def fft_pair(p):
     mf = jnp.fft.rfftn(m, norm="backward")
     return jnp.fft.irfftn(mf, s=mesh_dims, norm="forward")
 
-for name, fn, it in [("tiles(bin)", tiles_only, 6), ("spread", spread_only, 6),
+for name, fn, it in [("tiles(bin)", tiles_only, 6),
+                     ("tiles(bin,grad)", tiles_grad, 6),
+                     ("spread", spread_only, 6),
                      ("spread+fft+ifft", fft_pair, 6),
                      ("energy only", energy_only, 4), ("full E+F", full, 4)]:
     t = measure(fn, dep, (pos,), iters=it)
