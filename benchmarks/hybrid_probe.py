@@ -151,6 +151,26 @@ def stage_chain(p):
 t = measure(stage_chain, dep, (pos,), iters=3)
 print(f"stencil chain (incl sb): {t*1e3:7.2f} ms", flush=True)
 
+# stage D2: stencil engine comparison (pallas fullspace vs xla fold)
+for eng in ("pallas", "stack", "fuse", "xla"):
+    def cn_eng(p, e=eng):
+        sg = sbuild(p)
+        return stencil_coordination_numbers(sg, rcov_a, cutoff, K1, engine=e)
+
+    def chain_eng(p, e=eng):
+        sg = sbuild(p)
+        return stencil_cn_chain_forces(sg, rcov_a, decn_a, cutoff, K1,
+                                       engine=e)
+
+    try:
+        t1 = measure(cn_eng, dep, (pos,), iters=3)
+        t2 = measure(chain_eng, dep, (pos,), iters=3)
+        print(f"stencil CN/chain [{eng:6s}]: {t1*1e3:7.2f} / {t2*1e3:7.2f} ms",
+              flush=True)
+    except Exception as exc:
+        print(f"stencil CN/chain [{eng:6s}]: failed {type(exc).__name__}",
+              flush=True)
+
 # stage E: full hybrid through the public API
 def hybrid(p):
     gg = gbuild(p)
