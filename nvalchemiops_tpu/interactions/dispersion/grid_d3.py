@@ -487,12 +487,13 @@ def _grid_d3_impl(
     extra_ext = (("px", ext_px_d), ("rcov", rcov_ext))
     extra_own = (("px", _interior(grid, ext_px_d)), ("rcov", rcov_plane))
     if cn_a_override is None:
-        cn_plane, (cn_fold,) = grid_row_reduce_sym(
-            grid, cn_kern, jnp.zeros((cz, cy, cx, cap), dtype), 1,
-            extra_ext_planes=extra_ext, extra_own_planes=extra_own,
-        )
-        cn_plane = cn_plane + cn_fold
-        cn_a = gather_from_grid(grid, cn_plane)  # [N]
+        with jax.named_scope("d3.pass1_cn"):
+            cn_plane, (cn_fold,) = grid_row_reduce_sym(
+                grid, cn_kern, jnp.zeros((cz, cy, cx, cap), dtype), 1,
+                extra_ext_planes=extra_ext, extra_own_planes=extra_own,
+            )
+            cn_plane = cn_plane + cn_fold
+            cn_a = gather_from_grid(grid, cn_plane)  # [N]
     else:
         cn_a = cn_a_override
         # the caller already holds per-atom CNs; scattering them to a
@@ -505,10 +506,11 @@ def _grid_d3_impl(
     # scaling over *available* reference points; zeroed where unavailable so
     # garbage cn_ref entries at nonexistent references cannot overflow or
     # leak into any accumulator (c6 rows are 0 there; w excludes them).
-    (lf_plane, rf_plane, rfdc_plane, w_a, wd_a) = _d3_feature_planes(
-        grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
-        dims, cap, precision, numbers_a=numbers_a,
-    )
+    with jax.named_scope("d3.features"):
+        (lf_plane, rf_plane, rfdc_plane, w_a, wd_a) = _d3_feature_planes(
+            grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
+            dims, cap, precision, numbers_a=numbers_a,
+        )
     if feature_dtype is not None:
         # einsum-operand-only storage cast (the MXU casts f32 operands to
         # bf16 per pass anyway — storing them bf16 halves the windowed
@@ -538,10 +540,11 @@ def _grid_d3_impl(
     init2 = (zeros, zeros, zeros, zeros, zeros)
     if compute_virial:
         init2 = init2 + (vir0,)
-    carry2, (dfx, dfy, dfz, ddecn) = grid_row_reduce_sym(
-        grid, direct_kern, init2, 4,
-        extra_ext_planes=extra_ext2, extra_own_planes=extra_own2,
-    )
+    with jax.named_scope("d3.pass2_direct"):
+        carry2, (dfx, dfy, dfz, ddecn) = grid_row_reduce_sym(
+            grid, direct_kern, init2, 4,
+            extra_ext_planes=extra_ext2, extra_own_planes=extra_own2,
+        )
     e_pl, fx_pl, fy_pl, fz_pl, decn_pl = carry2[:5]
     vir = carry2[5] if compute_virial else None
     fx_pl = fx_pl + dfx
@@ -558,10 +561,11 @@ def _grid_d3_impl(
     init3 = (fx_pl, fy_pl, fz_pl)
     if compute_virial:
         init3 = init3 + (vir,)
-    carry3, (dfx3, dfy3, dfz3) = grid_row_reduce_sym(
-        grid, chain_kern, init3, 3,
-        extra_ext_planes=extra_ext3, extra_own_planes=extra_own3,
-    )
+    with jax.named_scope("d3.pass3_chain"):
+        carry3, (dfx3, dfy3, dfz3) = grid_row_reduce_sym(
+            grid, chain_kern, init3, 3,
+            extra_ext_planes=extra_ext3, extra_own_planes=extra_own3,
+        )
     fx2 = carry3[0] + dfx3
     fy2 = carry3[1] + dfy3
     fz2 = carry3[2] + dfz3

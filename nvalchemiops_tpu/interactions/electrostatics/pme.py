@@ -176,9 +176,11 @@ def _pme_reciprocal_impl(
             )
             return _separable_spread(charges, sx, sy, sz)
 
-        mesh = jax.lax.cond(
-            tiles_ok, lambda _: sw.windowed_spread(tiles, charges), _dense_spread, None
-        )
+        with jax.named_scope("pme.spread"):
+            mesh = jax.lax.cond(
+                tiles_ok, lambda _: sw.windowed_spread(tiles, charges),
+                _dense_spread, None,
+            )
     else:
         mesh = spline_spread(
             positions, charges, cell_b if is_batch else cell_b[0],
@@ -200,16 +202,19 @@ def _pme_reciprocal_impl(
     )
 
     # 4./5. FFT, convolve, inverse FFT -> potential mesh
-    if fft_mode == "matmul":
-        from nvalchemiops_tpu.mathops.matmul_dft import matmul_rfft_convolve
+    with jax.named_scope("pme.convolve"):
+        if fft_mode == "matmul":
+            from nvalchemiops_tpu.mathops.matmul_dft import (
+                matmul_rfft_convolve,
+            )
 
-        potential_mesh = matmul_rfft_convolve(mesh, green / sf_sq)
-    else:
-        mesh_fft = jnp.fft.rfftn(mesh, norm="backward", axes=fft_axes)
-        convolved = mesh_fft / sf_sq * green
-        potential_mesh = jnp.fft.irfftn(
-            convolved, s=mesh_dimensions, norm="forward", axes=fft_axes
-        ).astype(dtype)
+            potential_mesh = matmul_rfft_convolve(mesh, green / sf_sq)
+        else:
+            mesh_fft = jnp.fft.rfftn(mesh, norm="backward", axes=fft_axes)
+            convolved = mesh_fft / sf_sq * green
+            potential_mesh = jnp.fft.irfftn(
+                convolved, s=mesh_dimensions, norm="forward", axes=fft_axes
+            ).astype(dtype)
 
     # 6. gather potential (and, for forces, its spline-derivative gradient)
     # at atoms.  Forces use the analytic gradient of the *discrete* energy —
@@ -236,7 +241,9 @@ def _pme_reciprocal_impl(
                 return r, g
             return r, jnp.zeros((n, 3), dtype)
 
-        raw, grad_frac = jax.lax.cond(tiles_ok, _win_gather, _dense_gather, None)
+        with jax.named_scope("pme.gather"):
+            raw, grad_frac = jax.lax.cond(
+                tiles_ok, _win_gather, _dense_gather, None)
     else:
         raw = spline_gather(
             positions, potential_mesh, cell_b if is_batch else cell_b[0],
