@@ -340,6 +340,82 @@ def make_d3_row_kernels(cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper,
     return cn_kern, direct_kern, chain_kern
 
 
+def make_coulomb_row_kernel(coulomb_cutoff_sq: float, alpha: float, upper):
+    """(Damped-)Coulomb pair body for [.., cap, W] row-window blocks.
+
+    Same math as ``grid._coulomb_impl``'s kern; factored out so the fused
+    D3+Coulomb pass (:func:`fuse_direct_kernels`) and the domain
+    decomposition can ride one candidate window.  ``alpha``/``cutoff``
+    are Python floats (static) so the undamped path never traces erfc.
+    """
+    from nvalchemiops_tpu.mathops.math import erfc_approx
+
+    two_over_sqrt_pi = 1.1283791670955126
+    alpha_t = float(alpha)
+    ccut_sq = float(coulomb_cutoff_sq)
+
+    def kern(carry, own, cand, home):
+        e, fx, fy, fz = carry
+        dx = cand["px"][..., None, :] - own["px"][..., :, None]
+        dy = cand["py"][..., None, :] - own["py"][..., :, None]
+        dz = cand["pz"][..., None, :] - own["pz"][..., :, None]
+        d2 = dx * dx + dy * dy + dz * dz
+        ok = (d2 < ccut_sq) & (d2 > 1e-20)
+        if home:
+            ok &= upper
+        inv_r = jax.lax.rsqrt(jnp.where(ok, d2, 1.0))
+        qq = own["q"][..., :, None] * cand["q"][..., None, :]
+        if alpha_t > 0:
+            r = jnp.where(ok, d2, 1.0) * inv_r
+            ar = alpha_t * r
+            erfc_ar = erfc_approx(ar)
+            phi = erfc_ar * inv_r
+            mag = (erfc_ar * inv_r
+                   + two_over_sqrt_pi * alpha_t * jnp.exp(-ar * ar)
+                   ) * inv_r * inv_r
+        else:
+            phi = inv_r
+            mag = inv_r * inv_r * inv_r
+        e_pair = jnp.where(ok, 0.5 * qq * phi, 0.0)
+        coef = jnp.where(ok, qq * mag, 0.0)
+        cfx = coef * dx
+        cfy = coef * dy
+        cfz = coef * dz
+        e = e + jnp.sum(e_pair, axis=-1)
+        fx = fx - jnp.sum(cfx, axis=-1)
+        fy = fy - jnp.sum(cfy, axis=-1)
+        fz = fz - jnp.sum(cfz, axis=-1)
+        deltas = (
+            jnp.sum(e_pair, axis=-2),
+            jnp.sum(cfx, axis=-2),
+            jnp.sum(cfy, axis=-2),
+            jnp.sum(cfz, axis=-2),
+        )
+        return (e, fx, fy, fz), deltas
+
+    return kern
+
+
+def fuse_direct_kernels(direct_kern, coulomb_kern):
+    """Run the D3 direct body and the Coulomb body on one candidate window.
+
+    The two bodies recompute the displacement planes from the same
+    ``own``/``cand`` inputs — XLA CSEs them, so geometry is materialized
+    once per window while each body keeps its own cutoff/validity test.
+    Carry/deltas are the concatenation (D3 first, Coulomb's 4 last).
+    """
+
+    def kern(carry, own, cand, home):
+        d3_carry = carry[:-4]
+        c_carry = carry[-4:]
+        d3_carry2, d3_deltas = direct_kern(d3_carry, own, cand, home)
+        c_carry2, c_deltas = coulomb_kern(c_carry, own, cand, home)
+        return (tuple(d3_carry2) + tuple(c_carry2),
+                tuple(d3_deltas) + tuple(c_deltas))
+
+    return kern
+
+
 def _d3_atom_features(numbers_a, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
                       precision=None):
     """Per-atom C6-interpolation features (flat layouts).
@@ -437,7 +513,7 @@ def _d3_feature_planes(grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
     jax.jit,
     static_argnames=("dims", "radius", "cap", "mesh", "zmax1", "precision",
                      "compute_virial", "skip_chain", "bilinear",
-                     "feature_dtype"),
+                     "feature_dtype", "coulomb_alpha", "coulomb_cutoff"),
 )
 def _grid_d3_impl(
     grid: AtomGrid,
@@ -452,6 +528,7 @@ def _grid_d3_impl(
     compute_virial: bool = False,
     cn_a_override=None, skip_chain: bool = False, bilinear: str = "split",
     numbers_a=None, feature_dtype=None,
+    q_plane=None, q_ext=None, coulomb_alpha=None, coulomb_cutoff=None,
 ):
     """Row-sweep D3 pipeline.
 
@@ -540,19 +617,43 @@ def _grid_d3_impl(
     init2 = (zeros, zeros, zeros, zeros, zeros)
     if compute_virial:
         init2 = init2 + (vir0,)
+    with_coulomb = coulomb_cutoff is not None
+    pass2_kern = direct_kern
+    num_acc2 = 4
+    if with_coulomb:
+        # real-space Coulomb rides the same candidate windows (one sweep
+        # for the whole real-space force field; geometry CSEd by XLA)
+        pass2_kern = fuse_direct_kernels(
+            direct_kern,
+            make_coulomb_row_kernel(float(coulomb_cutoff) ** 2,
+                                    float(coulomb_alpha), upper))
+        init2 = init2 + (zeros, zeros, zeros, zeros)
+        num_acc2 = 8
+        extra_ext2 = extra_ext2 + (("q", q_ext),)
+        extra_own2 = extra_own2 + (("q", q_plane),)
     with jax.named_scope("d3.pass2_direct"):
-        carry2, (dfx, dfy, dfz, ddecn) = grid_row_reduce_sym(
-            grid, direct_kern, init2, 4,
+        carry2, deltas2 = grid_row_reduce_sym(
+            grid, pass2_kern, init2, num_acc2,
             extra_ext_planes=extra_ext2, extra_own_planes=extra_own2,
         )
+    dfx, dfy, dfz, ddecn = deltas2[:4]
     e_pl, fx_pl, fy_pl, fz_pl, decn_pl = carry2[:5]
     vir = carry2[5] if compute_virial else None
+    coul = None
+    if with_coulomb:
+        # the Coulomb kern's j-deltas carry the +cfx orientation (j-side
+        # force is opposite the own-side subtraction), folded additively
+        # exactly like grid._coulomb_impl
+        dec, dfcx, dfcy, dfcz = deltas2[4:]
+        ec, fcx, fcy, fcz = carry2[-4:]
+        coul = (ec + dec, fcx + dfcx, fcy + dfcy, fcz + dfcz)
     fx_pl = fx_pl + dfx
     fy_pl = fy_pl + dfy
     fz_pl = fz_pl + dfz
     decn_pl = decn_pl + ddecn
     if skip_chain:
-        return e_pl, fx_pl, fy_pl, fz_pl, cn_plane, decn_pl
+        out = (e_pl, fx_pl, fy_pl, fz_pl, cn_plane, decn_pl)
+        return out + coul if with_coulomb else out
     decn_ext = _extend_like(grid, decn_pl, 0.0)
 
     # ---- pass 3: CN chain-rule forces (symmetric) --------------------------
@@ -570,8 +671,10 @@ def _grid_d3_impl(
     fy2 = carry3[1] + dfy3
     fz2 = carry3[2] + dfz3
     if compute_virial:
-        return e_pl, fx2, fy2, fz2, cn_plane, carry3[3]
-    return e_pl, fx2, fy2, fz2, cn_plane
+        out = (e_pl, fx2, fy2, fz2, cn_plane, carry3[3])
+    else:
+        out = (e_pl, fx2, fy2, fz2, cn_plane)
+    return out + coul if with_coulomb else out
 
 
 # ---------------------------------------------------------------------------
@@ -1320,14 +1423,16 @@ def grid_dftd3_coulomb(
     coulomb_cutoff: float | None = None,
     alpha: float = 0.0,
     s6=1.0, k1=16.0, k3=-4.0,
+    engine: str = "block",
 ):
     """Fused DFT-D3(BJ) + real-space (erfc-damped) Coulomb on one sweep.
 
     The MLIP real-space workload in a single pass: the Coulomb pair terms
-    ride the D3 direct pass's geometry inside the super-chunk Mosaic
-    kernel, saving a full second sweep over all candidate pairs (the
-    separate-call path costs one extra grid traversal).  Both cutoffs must
-    be <= the cutoff the grid was built for.
+    ride the D3 direct pass's geometry — inside the super-chunk Mosaic
+    kernel (``engine="block"``) or the jnp row sweep (``engine="xla"``,
+    geometry CSEd by XLA) — saving a full second sweep over all candidate
+    pairs (the separate-call path costs one extra grid traversal).  Both
+    cutoffs must be <= the cutoff the grid was built for.
 
     Returns ``(e_d3_total, f_d3 [N,3], coord_num [N],
     e_coulomb [N], f_coulomb [N,3])``.  Energy/force channels are kept
@@ -1359,21 +1464,40 @@ def grid_dftd3_coulomb(
     r4r2_ext = _extend_like(grid, r4r2_plane, 0.0)
     q_ext = _extend_like(grid, q_plane, 0.0)
 
-    (e_pl, fx_pl, fy_pl, fz_pl, cn_pl,
-     ec_pl, fcx_pl, fcy_pl, fcz_pl) = _grid_d3_block_impl(
-        grid,
-        z_plane, z_ext,
-        rcov_plane, rcov_ext,
-        r4r2_plane, r4r2_ext,
-        cna_a, mask_a, c6p_a,
-        float(cutoff), float(a1), float(a2), float(s6), float(s8),
-        float(k1), float(k3),
-        grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
-        jax.default_backend() != "tpu",
-        q_plane=q_plane, q_ext=q_ext, with_coulomb=True,
-        calpha=float(alpha), ccutoff=float(coulomb_cutoff),
-        numbers_a=numbers,
-    )
+    if engine == "xla":
+        (e_pl, fx_pl, fy_pl, fz_pl, cn_pl,
+         ec_pl, fcx_pl, fcy_pl, fcz_pl) = _grid_d3_impl(
+            grid,
+            z_plane, z_ext,
+            rcov_plane, rcov_ext,
+            r4r2_plane, r4r2_ext,
+            cna_a, mask_a, c6p_a,
+            jnp.asarray(cutoff, dtype), jnp.asarray(a1, dtype),
+            jnp.asarray(a2, dtype), jnp.asarray(s6, dtype),
+            jnp.asarray(s8, dtype), jnp.asarray(k1, dtype),
+            jnp.asarray(k3, dtype),
+            grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
+            numbers_a=numbers,
+            q_plane=q_plane, q_ext=q_ext,
+            coulomb_alpha=float(alpha),
+            coulomb_cutoff=float(coulomb_cutoff),
+        )
+    else:
+        (e_pl, fx_pl, fy_pl, fz_pl, cn_pl,
+         ec_pl, fcx_pl, fcy_pl, fcz_pl) = _grid_d3_block_impl(
+            grid,
+            z_plane, z_ext,
+            rcov_plane, rcov_ext,
+            r4r2_plane, r4r2_ext,
+            cna_a, mask_a, c6p_a,
+            float(cutoff), float(a1), float(a2), float(s6), float(s8),
+            float(k1), float(k3),
+            grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
+            jax.default_backend() != "tpu",
+            q_plane=q_plane, q_ext=q_ext, with_coulomb=True,
+            calpha=float(alpha), ccutoff=float(coulomb_cutoff),
+            numbers_a=numbers,
+        )
     energy = jnp.sum(e_pl)
     f1, f2, f3, coord_num, e_c, fc1, fc2, fc3 = gather_rows_from_grid(
         grid, (fx_pl, fy_pl, fz_pl, cn_pl, ec_pl, fcx_pl, fcy_pl, fcz_pl))

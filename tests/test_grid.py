@@ -608,3 +608,48 @@ def test_choose_grid_geometry_valid_and_consistent():
     e_b, f_b = grid_coulomb_energy_forces(g_ref, q, cutoff, 0.3)
     np.testing.assert_allclose(np.asarray(e_a), np.asarray(e_b), atol=1e-5)
     np.testing.assert_allclose(np.asarray(f_a), np.asarray(f_b), atol=1e-4)
+
+
+def test_grid_dftd3_coulomb_xla_engine_matches_separate():
+    """Fused xla-engine D3+Coulomb == separate grid_dftd3 + grid Coulomb."""
+    from nvalchemiops_tpu.grid import grid_coulomb_energy_forces
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
+        grid_dftd3, grid_dftd3_coulomb,
+    )
+
+    rng = np.random.default_rng(31)
+    zmax = 4
+    rcov = np.concatenate([[0.0], rng.uniform(0.6, 1.4, zmax)])
+    r4r2 = np.concatenate([[0.0], rng.uniform(2.0, 6.0, zmax)])
+    cna = np.concatenate(
+        [np.zeros((1, 5)), np.cumsum(rng.uniform(0.3, 1.0, (zmax, 5)), 1)])
+    c6 = rng.uniform(5.0, 40.0, (zmax + 1, zmax + 1, 5, 5))
+    c6[0] = 0.0
+    c6[:, 0] = 0.0
+    c6 = 0.5 * (c6 + np.swapaxes(np.swapaxes(c6, 0, 1), 2, 3))
+
+    cell = np.eye(3) * 10.0
+    pos = rng.uniform(0, 10.0, (120, 3))
+    numbers = rng.integers(1, zmax + 1, 120).astype(np.int32)
+    q = rng.normal(size=120)
+    pbc = np.array([True] * 3)
+    g = make_grid(pos, cell, pbc, 3.2, 120)
+    args = (
+        g, jnp.asarray(numbers), jnp.asarray(q, jnp.float32),
+        jnp.asarray(rcov, jnp.float32), jnp.asarray(r4r2, jnp.float32),
+        jnp.asarray(c6, jnp.float32), jnp.asarray(cna, jnp.float32),
+        3.2, 0.42, 4.1, 1.7,
+    )
+    e_f, f_f, cn_f, ec_f, fc_f = grid_dftd3_coulomb(
+        *args, alpha=0.35, engine="xla")
+    e_s, f_s, cn_s = grid_dftd3(
+        g, jnp.asarray(numbers), jnp.asarray(rcov, jnp.float32),
+        jnp.asarray(r4r2, jnp.float32), jnp.asarray(c6, jnp.float32),
+        jnp.asarray(cna, jnp.float32), 3.2, 0.42, 4.1, 1.7, engine="xla")
+    ec_s, fc_s = grid_coulomb_energy_forces(
+        g, jnp.asarray(q, jnp.float32), 3.2, 0.35)
+    np.testing.assert_allclose(float(e_f), float(e_s), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_s), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cn_f), np.asarray(cn_s), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ec_f), np.asarray(ec_s), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fc_f), np.asarray(fc_s), atol=1e-5)
