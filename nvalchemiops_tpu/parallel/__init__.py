@@ -30,6 +30,7 @@ from nvalchemiops_tpu.parallel.domain import (  # noqa: F401
     domain_coulomb_energy_forces,
     domain_dftd3,
     domain_dftd3_cn,
+    domain_dftd3_coulomb,
     domain_pme_reciprocal,
     make_z_mesh,
 )
@@ -40,6 +41,7 @@ __all__ = [
     "domain_coulomb_energy_forces",
     "domain_dftd3",
     "domain_dftd3_cn",
+    "domain_dftd3_coulomb",
     "domain_pme_reciprocal",
     "init_mlip_params",
     "make_mesh",

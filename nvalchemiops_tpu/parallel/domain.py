@@ -54,6 +54,7 @@ __all__ = [
     "domain_coulomb_energy_forces",
     "domain_dftd3_cn",
     "domain_dftd3",
+    "domain_dftd3_coulomb",
     "domain_pme_reciprocal",
 ]
 
@@ -240,12 +241,14 @@ def _run_domain_sym(mesh: Mesh, kern, planes: dict, init, num_j: int,
 
 @partial(jax.jit, static_argnames=("mesh", "dims", "radius", "cap", "cutoff",
                                    "a1", "a2", "s6", "s8", "k1", "k3",
-                                   "mesh_pts", "zmax1", "pbc_yx"))
+                                   "mesh_pts", "zmax1", "pbc_yx",
+                                   "calpha", "ccutoff"))
 def _domain_d3_impl(mesh: Mesh, grid: AtomGrid, z_plane, rcov_plane,
                     r4r2_plane, cna_a, mask_a, c6p_a, cell,
                     cutoff: float, a1: float, a2: float, s6: float,
                     s8: float, k1: float, k3: float,
-                    dims, radius, cap, mesh_pts: int, zmax1: int, pbc_yx):
+                    dims, radius, cap, mesh_pts: int, zmax1: int, pbc_yx,
+                    q_plane=None, calpha=None, ccutoff=None):
     """Full 3-pass DFT-D3 with the grid's z axis sharded over the mesh.
 
     Reuses the *exact* single-device pass bodies
@@ -293,14 +296,36 @@ def _domain_d3_impl(mesh: Mesh, grid: AtomGrid, z_plane, rcov_plane,
     si_plane = jnp.sqrt(r4r2_plane * 1.7320508075688772)
 
     # pass 2: energy + direct forces + dE/dCN (compensated l1c/rfdc
-    # derivative features — see _d3_atom_features)
-    carry, (dfx, dfy, dfz, ddecn) = _run_domain_sym(
-        mesh, direct_kern,
-        dict(pos, si=si_plane, w=w_plane, lf=lf_plane,
-             rf=rf_plane, rfdc=rfdc_plane),
-        (zeros, zeros, zeros, zeros, zeros), 4,
+    # derivative features — see _d3_atom_features); optionally fused with
+    # the real-space Coulomb body on the same candidate windows
+    pass2_kern = direct_kern
+    planes2 = dict(pos, si=si_plane, w=w_plane, lf=lf_plane,
+                   rf=rf_plane, rfdc=rfdc_plane)
+    init2 = (zeros, zeros, zeros, zeros, zeros)
+    num_j2 = 4
+    with_coulomb = ccutoff is not None
+    if with_coulomb:
+        from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
+            fuse_direct_kernels, make_coulomb_row_kernel,
+        )
+
+        pass2_kern = fuse_direct_kernels(
+            direct_kern,
+            make_coulomb_row_kernel(float(ccutoff) ** 2, float(calpha),
+                                    upper))
+        planes2["q"] = q_plane
+        init2 = init2 + (zeros, zeros, zeros, zeros)
+        num_j2 = 8
+    carry, deltas2 = _run_domain_sym(
+        mesh, pass2_kern, planes2, init2, num_j2,
         cell, dims, radius, cap, pbc_yx)
-    e_pl, fx_pl, fy_pl, fz_pl, decn_pl = carry
+    dfx, dfy, dfz, ddecn = deltas2[:4]
+    e_pl, fx_pl, fy_pl, fz_pl, decn_pl = carry[:5]
+    coul = None
+    if with_coulomb:
+        dec, dfcx, dfcy, dfcz = deltas2[4:]
+        ec, fcx, fcy, fcz = carry[-4:]
+        coul = (ec + dec, fcx + dfcx, fcy + dfcy, fcz + dfcz)
     fx_pl = fx_pl + dfx
     fy_pl = fy_pl + dfy
     fz_pl = fz_pl + dfz
@@ -311,7 +336,8 @@ def _domain_d3_impl(mesh: Mesh, grid: AtomGrid, z_plane, rcov_plane,
         mesh, chain_kern, dict(pos, rcov=rcov_plane, decn=decn_pl),
         (fx_pl, fy_pl, fz_pl), 3,
         cell, dims, radius, cap, pbc_yx)
-    return e_pl, fx2 + dfx3, fy2 + dfy3, fz2 + dfz3, cn_plane
+    out = (e_pl, fx2 + dfx3, fy2 + dfy3, fz2 + dfz3, cn_plane)
+    return out + coul if with_coulomb else out
 
 
 def domain_dftd3(mesh: Mesh, grid: AtomGrid, numbers, rcov, r4r2, c6ab,
@@ -363,6 +389,70 @@ def domain_dftd3(mesh: Mesh, grid: AtomGrid, numbers, rcov, r4r2, c6ab,
     energy = jnp.sum(e_pl)
     f1, f2, f3, coord_num = gather_rows_from_grid(grid, (fx, fy, fz, cn_pl))
     return energy, jnp.stack([f1, f2, f3], axis=-1), coord_num
+
+
+def domain_dftd3_coulomb(mesh: Mesh, grid: AtomGrid, numbers, charges,
+                         rcov, r4r2, c6ab, cn_ref_elem, cutoff,
+                         a1, a2, s8, cell, coulomb_cutoff=None, alpha=0.0,
+                         s6=1.0, k1=16.0, k3=-4.0,
+                         pbc=(True, True, True)):
+    """Fused domain-decomposed D3 + real-space Coulomb (one sweep set).
+
+    The multi-chip counterpart of
+    :func:`...grid_d3.grid_dftd3_coulomb(engine="xla")`: the Coulomb pair
+    body rides the D3 direct pass inside the same shard_map program, so
+    the whole real-space force field pays ONE set of z-ring halo
+    exchanges and one pass-2 traversal.  Returns
+    ``(e_d3_total, f_d3 [N,3], coord_num [N], e_coulomb [N],
+    f_coulomb [N,3])``.
+    """
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
+        element_c6_mask,
+    )
+    from nvalchemiops_tpu.types import INDEX_DTYPE
+
+    cz = grid.dims[0]
+    ndev = mesh.devices.size
+    if cz % ndev or cz // ndev < grid.radius[0]:
+        raise ValueError(
+            f"cz={cz} must split into >={grid.radius[0]}-thick slabs "
+            f"across {ndev} devices")
+    if not pbc[0]:
+        raise NotImplementedError("non-periodic z not yet wired")
+    if coulomb_cutoff is None:
+        coulomb_cutoff = cutoff
+
+    dtype = grid.ext_px.dtype
+    numbers = jnp.asarray(numbers, INDEX_DTYPE)
+    zmax1 = rcov.shape[0]
+    mesh_pts = cn_ref_elem.shape[1]
+    mask_elem = element_c6_mask(c6ab)
+    rcov_a = rcov.astype(dtype)[numbers]
+    r4r2_a = r4r2.astype(dtype)[numbers]
+    cna_a = cn_ref_elem.astype(dtype)[numbers]
+    mask_a = mask_elem.astype(dtype)[numbers]
+    c6p = jnp.transpose(c6ab.astype(dtype), (0, 2, 1, 3)).reshape(
+        zmax1, mesh_pts, zmax1 * mesh_pts)
+    c6p_a = c6p[numbers]
+
+    z_plane = scatter_to_grid(grid, numbers, fill=0)
+    rcov_plane = scatter_to_grid(grid, rcov_a)
+    r4r2_plane = scatter_to_grid(grid, r4r2_a)
+    q_plane = scatter_to_grid(grid, jnp.asarray(charges, dtype))
+    cellj = jnp.asarray(cell, dtype).reshape(3, 3)
+
+    (e_pl, fx, fy, fz, cn_pl, ec_pl, fcx, fcy, fcz) = _domain_d3_impl(
+        mesh, grid, z_plane, rcov_plane, r4r2_plane, cna_a, mask_a, c6p_a,
+        cellj, float(cutoff), float(a1), float(a2), float(s6), float(s8),
+        float(k1), float(k3), grid.dims, grid.radius, grid.cap,
+        int(mesh_pts), int(zmax1), (bool(pbc[1]), bool(pbc[2])),
+        q_plane=q_plane, calpha=float(alpha),
+        ccutoff=float(coulomb_cutoff))
+    energy = jnp.sum(e_pl)
+    f1, f2, f3, coord_num, e_c, fc1, fc2, fc3 = gather_rows_from_grid(
+        grid, (fx, fy, fz, cn_pl, ec_pl, fcx, fcy, fcz))
+    return (energy, jnp.stack([f1, f2, f3], axis=-1), coord_num,
+            e_c, jnp.stack([fc1, fc2, fc3], axis=-1))
 
 
 @partial(jax.jit, static_argnames=("mesh", "dims", "radius", "cap", "cutoff",

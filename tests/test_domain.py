@@ -151,3 +151,48 @@ def test_domain_rejects_bad_slabs(zmesh):
     with pytest.raises(ValueError):
         domain_coulomb_energy_forces(zmesh, g, jnp.asarray(q),
                                      jnp.asarray(cell, jnp.float32), 3.0)
+
+
+def test_domain_dftd3_coulomb_matches_separate(zmesh):
+    """Fused domain D3+Coulomb == domain_dftd3 + domain Coulomb."""
+    from nvalchemiops_tpu.parallel.domain import (
+        domain_coulomb_energy_forces,
+        domain_dftd3,
+        domain_dftd3_coulomb,
+    )
+
+    pos, _, cell = _system(seed=13)
+    pbc = np.array([True] * 3)
+    cutoff = 4.0
+    n = len(pos)
+    g = _grid(pos, cell, pbc, cutoff, n)
+
+    rng = np.random.default_rng(3)
+    zmax = 4
+    numbers = jnp.asarray(rng.integers(1, zmax + 1, n), jnp.int32)
+    q = jnp.asarray(rng.normal(size=n), jnp.float32)
+    rcov = jnp.asarray(np.r_[0.0, rng.uniform(0.6, 1.4, zmax)], jnp.float32)
+    r4r2 = jnp.asarray(np.r_[0.0, rng.uniform(2.0, 6.0, zmax)], jnp.float32)
+    cna = jnp.asarray(
+        np.vstack([np.zeros(5),
+                   np.cumsum(rng.uniform(0.3, 1.0, (zmax, 5)), 1)]),
+        jnp.float32)
+    c6_np = rng.uniform(5.0, 40.0, (zmax + 1, zmax + 1, 5, 5))
+    c6_np[0] = 0.0
+    c6_np[:, 0] = 0.0
+    c6_np = 0.5 * (c6_np + np.swapaxes(np.swapaxes(c6_np, 0, 1), 2, 3))
+    c6 = jnp.asarray(c6_np, jnp.float32)
+    cellj = jnp.asarray(cell, jnp.float32)
+
+    e_f, f_f, cn_f, ec_f, fc_f = domain_dftd3_coulomb(
+        zmesh, g, numbers, q, rcov, r4r2, c6, cna,
+        cutoff, 0.42, 4.1, 1.7, cellj, alpha=0.4)
+    e_s, f_s, cn_s = domain_dftd3(zmesh, g, numbers, rcov, r4r2, c6, cna,
+                                  cutoff, 0.42, 4.1, 1.7, cellj)
+    ec_s, fc_s = domain_coulomb_energy_forces(zmesh, g, q, cellj,
+                                              cutoff, 0.4)
+    np.testing.assert_allclose(float(e_f), float(e_s), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_s), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cn_f), np.asarray(cn_s), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ec_f), np.asarray(ec_s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fc_f), np.asarray(fc_s), atol=1e-5)
