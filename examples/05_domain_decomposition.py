@@ -80,3 +80,13 @@ e_d3, f_d3, cn = domain_dftd3(mesh, grid, numbers, rcov, r4r2,
                               cutoff, 0.42, 4.1, 1.7, cell)
 print(f"D3: sharded E = {float(e_d3):.6f}, mean CN = {float(cn.mean()):.3f}, "
       f"net force = {np.abs(np.asarray(f_d3).sum(0)).max():.2e}")
+
+# --- fused: the whole real-space force field in ONE shard_map program ---
+from nvalchemiops_tpu.parallel import domain_dftd3_coulomb
+
+e_d3f, f_d3f, cnf, e_cf, f_cf = domain_dftd3_coulomb(
+    mesh, grid, numbers, q, rcov, r4r2, jnp.asarray(c6, jnp.float32), cna,
+    cutoff, 0.42, 4.1, 1.7, cell, alpha=0.35)
+print(f"fused D3+Coulomb: E_d3 = {float(e_d3f):.6f} "
+      f"(matches {float(e_d3):.6f}), E_c = {float(jnp.sum(e_cf)):.6f} "
+      f"(matches {float(jnp.sum(e_s)):.6f}) — one halo-exchange set")
