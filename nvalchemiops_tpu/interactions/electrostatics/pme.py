@@ -427,7 +427,8 @@ def particle_mesh_ewald(
 
 def _windowed_pme_single(positions, charges, cell, alpha, mesh_dimensions,
                          spline_order: int, cap: int, compute_forces: bool,
-                         fft_mode: str = "xla"):
+                         fft_mode: str = "xla",
+                         compute_charge_gradients: bool = False):
     """One system through the tile-windowed PME pipeline (vmappable).
 
     Lean straight-line version of :func:`_pme_reciprocal_impl`'s windowed
@@ -472,32 +473,45 @@ def _windowed_pme_single(positions, charges, cell, alpha, mesh_dimensions,
         - (alpha_t / SQRT_PI) * charges * charges
         - (math.pi / (2.0 * alpha_t * alpha_t * volume)) * charges * q_total
     )
+    charge_grads = None
+    if compute_charge_gradients:
+        # d(sum E)/dq_k: the spread-side dependence doubles raw_k by the
+        # symmetry of the convolution (same identity as the force path)
+        charge_grads = (
+            2.0 * raw
+            - 2.0 * (alpha_t / SQRT_PI) * charges
+            - (math.pi / (alpha_t * alpha_t * volume)) * q_total
+        )
     if not compute_forces:
-        return energies, None
+        return energies, None, charge_grads
     forces = 2.0 * apply_mat3(-charges[:, None] * grad_frac, tiles.inv.T)
     forces = forces - jnp.mean(forces, axis=0, keepdims=True)
-    return energies, forces
+    return energies, forces, charge_grads
 
 
 @partial(
     jax.jit,
     static_argnames=("mesh_dimensions", "spline_order", "cap",
-                     "compute_forces", "fft_mode"),
+                     "compute_forces", "fft_mode",
+                     "compute_charge_gradients"),
 )
 def _batch_windowed_pme_impl(positions, charges, cells, alphas,
                              mesh_dimensions, spline_order, cap,
-                             compute_forces, fft_mode="xla"):
+                             compute_forces, fft_mode="xla",
+                             compute_charge_gradients=False):
     return jax.vmap(
         lambda p, q, c, a: _windowed_pme_single(
             p, q, c, a, mesh_dimensions, spline_order, cap, compute_forces,
-            fft_mode=fft_mode)
+            fft_mode=fft_mode,
+            compute_charge_gradients=compute_charge_gradients)
     )(positions, charges, cells, alphas)
 
 
 def batch_pme_reciprocal(positions, charges, cells, alpha, mesh_dimensions,
                          spline_order: int = 4, compute_forces: bool = False,
                          tile_capacity: int | None = None,
-                         fft_mode: str = "xla"):
+                         fft_mode: str = "xla",
+                         compute_charge_gradients: bool = False):
     """Batched reciprocal-space PME on uniform [B, n, 3] system stacks.
 
     The concatenated ``batch_idx`` path of :func:`pme_reciprocal_space`
@@ -507,8 +521,10 @@ def batch_pme_reciprocal(positions, charges, cells, alpha, mesh_dimensions,
     (the reference's H100 number is 5.76 ms energies-only).
 
     ``alpha`` scalar or [B]; ``cells`` [3, 3] shared or [B, 3, 3].
-    Returns per-atom energies [B, n] (self/background corrected) and,
-    with ``compute_forces``, forces [B, n, 3].
+    Returns per-atom energies [B, n] (self/background corrected), plus
+    forces [B, n, 3] with ``compute_forces`` and/or per-atom
+    ``d(sum E)/dq`` [B, n] with ``compute_charge_gradients`` (same
+    return patterns as :func:`pme_reciprocal_space`).
     """
     from nvalchemiops_tpu import spline_windowed as sw
 
@@ -524,12 +540,17 @@ def batch_pme_reciprocal(positions, charges, cells, alpha, mesh_dimensions,
     alphas = jnp.broadcast_to(jnp.asarray(alpha, dtype).reshape(-1), (b,))
     if tile_capacity is None:
         tile_capacity = sw.mesh_tile_capacity(n, mesh_dimensions)
-    energies, forces = _batch_windowed_pme_impl(
+    energies, forces, charge_grads = _batch_windowed_pme_impl(
         positions, jnp.asarray(charges, dtype), cells, alphas,
         tuple(int(d) for d in mesh_dimensions), int(spline_order),
-        int(tile_capacity), bool(compute_forces), fft_mode=fft_mode)
+        int(tile_capacity), bool(compute_forces), fft_mode=fft_mode,
+        compute_charge_gradients=bool(compute_charge_gradients))
+    if compute_forces and compute_charge_gradients:
+        return energies, forces, charge_grads
     if compute_forces:
         return energies, forces
+    if compute_charge_gradients:
+        return energies, charge_grads
     return energies
 
 

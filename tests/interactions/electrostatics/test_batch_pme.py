@@ -54,3 +54,21 @@ def test_batch_pme_matmul_fft_mode_matches_xla():
                                     compute_forces=True, fft_mode="matmul")
     np.testing.assert_allclose(np.asarray(e_m), np.asarray(e_x), atol=2e-4)
     np.testing.assert_allclose(np.asarray(f_m), np.asarray(f_x), atol=2e-4)
+
+
+def test_batch_pme_charge_gradients_match_autodiff():
+    import jax
+
+    rng = np.random.default_rng(4)
+    B, npa, box = 2, 50, 6.0
+    pos = jnp.asarray(rng.uniform(0, box, (B, npa, 3)), jnp.float64)
+    q = jnp.asarray(rng.normal(size=(B, npa)), jnp.float64)
+    cell = jnp.asarray(np.eye(3) * box, jnp.float64)
+
+    e, cg = batch_pme_reciprocal(pos, q, cell, 0.8, (16, 16, 16),
+                                 compute_charge_gradients=True)
+    want = jax.grad(
+        lambda qq: jnp.sum(batch_pme_reciprocal(pos, qq, cell, 0.8,
+                                                (16, 16, 16))))(q)
+    np.testing.assert_allclose(np.asarray(cg), np.asarray(want),
+                               rtol=1e-8, atol=1e-10)
