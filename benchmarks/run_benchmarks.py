@@ -120,6 +120,22 @@ def bench_dftd3(cfg, label, outdir, iters):
         t = measure(step, dep, (pos,), iters=max(iters // 2, 2))
         rows.append(["grid-d3", n, round(t * 1e3, 4), round(t * 1e6 / n, 4)])
         print(f"  D3 n={n}: {t*1e3:.3f} ms")
+
+        if n_rep == max(cfg["sizes"]):
+            # pass-2 einsum variants at the largest size only
+            def step_v(p):
+                gg = build_atom_grid(p, cell, pbc, dims, radius, cap,
+                                     origin=origin)
+                _, f, _ = grid_dftd3(gg, numbers, rcov, r4r2, c6, cna,
+                                     cfg["cutoff"], 0.4, 4.2, 1.8,
+                                     bilinear="stack",
+                                     feature_dtype=jnp.bfloat16)
+                return f
+
+            t = measure(step_v, dep, (pos,), iters=max(iters // 2, 2))
+            rows.append(["grid-d3-stack-bf16", n, round(t * 1e3, 4),
+                         round(t * 1e6 / n, 4)])
+            print(f"  D3 stack/bf16 n={n}: {t*1e3:.3f} ms")
     write_csv(
         f"{outdir}/dftd3_benchmark_{label}.csv", rows,
         ["method", "atoms", "time_ms", "us_per_atom"],
@@ -289,6 +305,19 @@ def bench_pme_batch(cfg, label, outdir, iters):
         print(f"  batched PME-windowed {B}x{npa} mesh={cfg['mesh']} "
               f"forces={forces}: {t*1e3:.3f} ms")
         rows.append(["pme-batch-windowed" + ("-forces" if forces else ""),
+                     B * npa, B, cfg["mesh"], round(t * 1e3, 4)])
+
+        def step_mm(p):
+            out = batch_pme_reciprocal(p, q_b, cell1, cfg["alpha"], m,
+                                       compute_forces=forces,
+                                       tile_capacity=tile_cap,
+                                       fft_mode="matmul")
+            return out[1] if forces else out
+
+        t = measure(step_mm, dep, (pos_b,), iters=max(iters // 2, 2))
+        print(f"  batched PME-matmulfft {B}x{npa} mesh={cfg['mesh']} "
+              f"forces={forces}: {t*1e3:.3f} ms")
+        rows.append(["pme-batch-matmulfft" + ("-forces" if forces else ""),
                      B * npa, B, cfg["mesh"], round(t * 1e3, 4)])
     for forces in (False,):
         def step(p):
