@@ -132,6 +132,12 @@ def _geom(own, cand, cutoff_sq):
 
 
 def coulomb_body(cutoff, alpha):
+    """Per-slot (damped-)Coulomb body for the fullspace stencil sweep.
+
+    Returns ``body(own, cand) -> (e_pair, fx, fy, fz)`` matching
+    ``stencil_sweep_fullspace``'s contract; same math as
+    ``grid._coulomb_impl`` (reference: electrostatics/coulomb.py kernels).
+    """
     from nvalchemiops_tpu.mathops.math import erfc_approx
 
     cutoff_sq = float(cutoff) ** 2
@@ -160,6 +166,8 @@ def coulomb_body(cutoff, alpha):
 
 
 def cn_body(cutoff, k1):
+    """D3 coordination-number body (logistic counting fn) for the
+    fullspace stencil sweep (reference: dispersion/dftd3.py:832-940)."""
     cutoff_sq = float(cutoff) ** 2
     k1 = float(k1)
 
@@ -173,6 +181,8 @@ def cn_body(cutoff, k1):
 
 
 def chain_body(cutoff, k1):
+    """D3 CN chain-rule force body for the fullspace stencil sweep
+    (reference: dispersion/dftd3.py:1133-1258)."""
     cutoff_sq = float(cutoff) ** 2
     k1 = float(k1)
 

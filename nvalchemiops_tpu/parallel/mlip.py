@@ -69,6 +69,7 @@ class D3Tables(NamedTuple):
 
 
 def init_mlip_params(zmax: int, dtype=jnp.float32) -> MLIPParams:
+    """Smooth, non-degenerate starting parameters for the toy MLIP."""
     z = jnp.arange(zmax + 1, dtype=dtype)
     return MLIPParams(
         charge=0.1 * jnp.sin(z),
@@ -185,6 +186,7 @@ def batched_energy_forces(params, tables, positions, numbers, cell, cutoff):
 
 
 def loss_fn(params, tables, batch, cutoff):
+    """Energy + force MSE of the batched MLIP against batch targets."""
     positions, numbers, cell, target_e, target_f = batch
     energies, forces = batched_energy_forces(
         params, tables, positions, numbers, cell, cutoff
