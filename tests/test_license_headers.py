@@ -30,3 +30,24 @@ def test_spdx_header(path):
     assert "SPDX-License-Identifier: Apache-2.0" in head, (
         f"{os.path.relpath(path, ROOT)} missing SPDX header"
     )
+
+
+def test_public_docstring_coverage():
+    """>= 95% of module-level public functions/classes carry docstrings
+    (counterpart of the reference's interrogate gate, pyproject:141-156)."""
+    import ast
+    import pathlib
+
+    tot = doc = 0
+    missing = []
+    for p in pathlib.Path(ROOT, "nvalchemiops_tpu").rglob("*.py"):
+        tree = ast.parse(p.read_text())
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.ClassDef)) and \
+                    not node.name.startswith("_"):
+                tot += 1
+                if ast.get_docstring(node):
+                    doc += 1
+                else:
+                    missing.append(f"{p}:{node.name}")
+    assert doc / tot >= 0.95, (doc, tot, missing)
