@@ -653,3 +653,55 @@ def test_grid_dftd3_coulomb_xla_engine_matches_separate():
     np.testing.assert_allclose(np.asarray(cn_f), np.asarray(cn_s), atol=1e-6)
     np.testing.assert_allclose(np.asarray(ec_f), np.asarray(ec_s), atol=1e-6)
     np.testing.assert_allclose(np.asarray(fc_f), np.asarray(fc_s), atol=1e-5)
+
+
+@pytest.mark.parametrize("pbc", [[True, False, True], [False] * 3])
+def test_grid_dftd3_mixed_pbc_matches_matrix_path(pbc):
+    """Grid D3 on slab/cluster boundary conditions == matrix-path dftd3."""
+    from nvalchemiops_tpu.interactions.dispersion import D3Parameters, dftd3
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import grid_dftd3
+    from nvalchemiops_tpu.neighborlist import naive_neighbor_list
+
+    rng = np.random.default_rng(41)
+    zmax = 4
+    rcov = np.concatenate([[0.0], rng.uniform(0.6, 1.4, zmax)])
+    r4r2 = np.concatenate([[0.0], rng.uniform(2.0, 6.0, zmax)])
+    cnA = np.concatenate(
+        [np.zeros((1, 5)), np.cumsum(rng.uniform(0.3, 1.0, (zmax, 5)), 1)])
+    c6 = rng.uniform(5.0, 40.0, (zmax + 1, zmax + 1, 5, 5))
+    c6[0] = 0.0
+    c6[:, 0] = 0.0
+    c6 = 0.5 * (c6 + np.swapaxes(np.swapaxes(c6, 0, 1), 2, 3))
+    cn_ref_full = np.broadcast_to(cnA[:, None, :, None], c6.shape).copy()
+
+    cell = np.eye(3) * 9.0
+    pos = rng.uniform(0.5, 8.5, (90, 3))
+    numbers = rng.integers(1, zmax + 1, 90).astype(np.int32)
+    pbc_arr = np.array(pbc)
+    cutoff = 3.0
+
+    g = make_grid(pos, cell, pbc_arr, cutoff, 90)
+    e_g, f_g, cn_g = grid_dftd3(
+        g, jnp.asarray(numbers), jnp.asarray(rcov, jnp.float32),
+        jnp.asarray(r4r2, jnp.float32), jnp.asarray(c6, jnp.float32),
+        jnp.asarray(cnA, jnp.float32), cutoff, 0.42, 4.1, 1.7)
+
+    params = D3Parameters(rcov=rcov, r4r2=r4r2, c6ab=c6,
+                          cn_ref=cn_ref_full)
+    if pbc_arr.any():
+        nm, _num, sh = naive_neighbor_list(
+            jnp.asarray(pos, jnp.float32), cutoff,
+            cell=jnp.asarray(cell, jnp.float32), pbc=pbc_arr)
+        e_m, f_m, cn_m = dftd3(
+            jnp.asarray(pos, jnp.float32), jnp.asarray(numbers),
+            0.42, 4.1, 1.7, d3_params=params,
+            cell=jnp.asarray(cell, jnp.float32),
+            neighbor_matrix=nm, neighbor_matrix_shifts=sh)
+    else:
+        nm, _num = naive_neighbor_list(jnp.asarray(pos, jnp.float32), cutoff)
+        e_m, f_m, cn_m = dftd3(
+            jnp.asarray(pos, jnp.float32), jnp.asarray(numbers),
+            0.42, 4.1, 1.7, d3_params=params, neighbor_matrix=nm)
+    np.testing.assert_allclose(float(e_g), float(jnp.sum(e_m)), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(cn_g), np.asarray(cn_m), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_g), np.asarray(f_m), atol=1e-4)
