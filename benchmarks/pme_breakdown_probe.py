@@ -82,3 +82,14 @@ for name, fn, it in [("spread obs-cap", spread_obs, 6),
                      ("full E+F obs-cap", full_obs, 4)]:
     t = measure(fn, dep, (pos,), iters=it)
     print(f"{name:16s}: {t*1e3:7.2f} ms", flush=True)
+
+# --- Mosaic gather engine (VMEM-resident windowed gather-grad) -----------
+def full_pallas_gather(p):
+    e, f, cg = _pme_reciprocal_impl(
+        p, q, cell.reshape(1, 3, 3), alpha, mesh_dims, 4, None, True, False,
+        None, None, tile_capacity=CAP_OBS, gather_engine="pallas")
+    return f
+
+t = measure(full_pallas_gather, dep, (pos,), iters=4)
+print(f"full E+F obs-cap pallas-gather: {t*1e3:7.2f} ms", flush=True)
+print("done2", flush=True)

@@ -120,6 +120,7 @@ def pme_green_structure_factor(k_squared, mesh_dimensions, alpha, cell, spline_o
         "compute_charge_gradients",
         "tile_capacity",
         "fft_mode",
+        "gather_engine",
     ),
 )
 def _pme_reciprocal_impl(
@@ -136,6 +137,7 @@ def _pme_reciprocal_impl(
     k_squared,
     tile_capacity=None,
     fft_mode: str = "xla",
+    gather_engine: str = "xla",
 ):
     """Core pipeline (reference: pme.py:1338-1479), compiled as one program."""
     dtype = positions.dtype
@@ -226,6 +228,13 @@ def _pme_reciprocal_impl(
     if use_win:
         def _win_gather(_):
             if compute_forces:
+                if gather_engine == "pallas":
+                    # VMEM-resident Mosaic gather (rule 8: memory-bound)
+                    from nvalchemiops_tpu.pallas.windowed_gather import (
+                        pallas_windowed_gather_grad,
+                    )
+
+                    return pallas_windowed_gather_grad(tiles, potential_mesh)
                 return sw.windowed_gather(tiles, potential_mesh, with_gradient=True)
             return sw.windowed_gather(tiles, potential_mesh), jnp.zeros((n, 3), dtype)
 

@@ -79,3 +79,43 @@ def test_overflow_falls_back_to_dense():
     v = spline_gather(pos, phi, cell, spline_order=4)
     assert v.shape == (n,)
     assert np.isfinite(np.asarray(v)).all()
+
+
+def test_pallas_windowed_gather_grad_matches_jnp():
+    from nvalchemiops_tpu.pallas.windowed_gather import (
+        pallas_windowed_gather_grad,
+    )
+    import nvalchemiops_tpu.spline_windowed as sw
+
+    rng = np.random.default_rng(7)
+    n, box = 400, 10.0
+    mesh_dims = (16, 16, 16)
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32)
+    cap = sw.mesh_tile_capacity(n, mesh_dims)
+    tiles = sw.build_mesh_tiles(pos, cell, mesh_dims, 4, cap, need_grad=True)
+    mesh = jnp.asarray(rng.normal(size=mesh_dims), jnp.float32)
+    v_ref, g_ref = sw.windowed_gather(tiles, mesh, with_gradient=True)
+    v_p, g_p = pallas_windowed_gather_grad(tiles, mesh)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_ref), atol=1e-4)
+
+
+def test_pme_gather_engine_pallas_matches_xla():
+    from nvalchemiops_tpu.interactions.electrostatics.pme import (
+        _pme_reciprocal_impl,
+    )
+
+    rng = np.random.default_rng(8)
+    n, box = 300, 9.0
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=n), jnp.float32)
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32).reshape(1, 3, 3)
+    alpha = jnp.asarray([0.8], jnp.float32)
+    e_x, f_x, _ = _pme_reciprocal_impl(
+        pos, q, cell, alpha, (16, 16, 16), 4, None, True, False, None, None)
+    e_p, f_p, _ = _pme_reciprocal_impl(
+        pos, q, cell, alpha, (16, 16, 16), 4, None, True, False, None, None,
+        gather_engine="pallas")
+    np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), atol=1e-4)
