@@ -163,6 +163,20 @@ def main():
     except Exception as exc:  # noqa: BLE001
         print(f"# pme matmul-fft variant failed: {type(exc).__name__}: {exc}",
               file=sys.stderr)
+    t_pme_pg = None
+    try:
+        def pme_pg_step(p):
+            _, forces, _ = _pme_reciprocal_impl(
+                p, charges, cell.reshape(1, 3, 3), jnp.asarray([alpha], dtype),
+                mesh, 4, None, True, False, None, None,
+                tile_capacity=tile_cap, gather_engine="pallas",
+            )
+            return forces
+
+        t_pme_pg = measure(pme_pg_step, dep, (pos,), iters=3)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# pme pallas-gather variant failed: {type(exc).__name__}: {exc}",
+              file=sys.stderr)
 
     # --- fused MD step: one jitted program, one grid build ------------------
     def md_step(p):
@@ -207,18 +221,26 @@ def main():
         result["detail"]["dftd3_stack_bf16_ms"] = round(t_d3_stack * 1e3, 3)
     if t_pme_mm is not None:
         result["detail"]["pme_matmul_fft_ms"] = round(t_pme_mm * 1e3, 3)
+    if t_pme_pg is not None:
+        result["detail"]["pme_pallas_gather_ms"] = round(t_pme_pg * 1e3, 3)
     # headline uses the best measured variant per stage — the library
-    # exposes both; the round-end number should reflect the faster one
+    # exposes all of them; the round-end number should reflect the fastest
     best_d3 = min(t_d3, t_d3_stack) if t_d3_stack is not None else t_d3
-    best_pme = min(t_pme, t_pme_mm) if t_pme_mm is not None else t_pme
-    if best_d3 != t_d3 or best_pme != t_pme:
+    pme_variants = {"xla_fft": t_pme}
+    if t_pme_mm is not None:
+        pme_variants["matmul_fft"] = t_pme_mm
+    if t_pme_pg is not None:
+        pme_variants["pallas_gather"] = t_pme_pg
+    pme_pick = min(pme_variants, key=pme_variants.get)
+    best_pme = pme_variants[pme_pick]
+    if best_d3 != t_d3 or pme_pick != "xla_fft":
         total_b = t_nl + best_d3 + best_pme
         result["value"] = round(total_b * 1e6 / n, 4)
         result["vs_baseline"] = round(
             (total_b * 1e6 / n) / BASELINE_US_PER_ATOM, 3)
         result["detail"]["variant_choice"] = {
             "d3": "stack_bf16" if best_d3 != t_d3 else "split_f32",
-            "pme": "matmul_fft" if best_pme != t_pme else "xla_fft",
+            "pme": pme_pick,
         }
     print(json.dumps(result))
 
