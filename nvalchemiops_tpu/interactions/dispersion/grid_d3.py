@@ -149,7 +149,7 @@ def compact_d3_elements(numbers, rcov, r4r2, c6ab, cn_ref):
 
 def make_d3_row_kernels(cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper,
                         precision=None, compute_virial=False,
-                        bilinear: str = "split"):
+                        bilinear: str = "stack"):
     """The three D3 pass bodies for [.., cap, W] row-window pair blocks.
 
     ``kern(carry, own, cand, home) -> (carry, j_deltas)`` matching the
@@ -161,6 +161,11 @@ def make_d3_row_kernels(cutoff_sq, a1, a2, s6, s8, k1, k3, zm, upper,
 
     ``bilinear`` selects how pass 2 evaluates its three bilinear forms:
 
+    - ``"stack"`` (default): zacc and z_di share the candidate ``rf``
+      window (the fattest read of the pass); stacking their two small
+      lhs operands on the row axis reads it once.  Bit-identical to
+      split and measured faster (d3_stack_probe, 110k atoms: 24.67 ms
+      vs 25.17 split).
     - ``"split"``: three einsums [.., cap, zm] x [.., W, zm] (M=cap).
     - ``"quad"``: one dot of the stacked operands ([l0; l1] on the cap
       axis x [rf | rfd] on the window axis) -> [.., 2 cap, 2 W]; the
@@ -1221,7 +1226,7 @@ def grid_dftd3(
     block_G: int | None = None,
     compute_virial: bool = False,
     stencil=None,
-    bilinear: str = "split",
+    bilinear: str = "stack",
     feature_dtype=None,
 ):
     """DFT-D3(BJ) energies/forces/CNs on the atom grid.
@@ -1237,10 +1242,11 @@ def grid_dftd3(
     100k atoms; pass ``jax.lax.Precision.HIGHEST`` for full-f32 matmuls
     (~2-3x slower interpolation) when tighter energies are required.
 
-    ``bilinear`` (XLA engine): ``"split"`` (three einsums, default),
-    ``"stack"`` (lhs-stacked: the two einsums sharing the candidate
-    ``rf`` window merge into one — same dot products, the fattest
-    window read once), or ``"quad"`` (documentation-only, rule 9).
+    ``bilinear`` (XLA engine): ``"stack"`` (default; lhs-stacked: the
+    two einsums sharing the candidate ``rf`` window merge into one —
+    same dot products, the fattest window read once; bit-identical to
+    split, measured 24.67 vs 25.17 ms at 110k), ``"split"`` (three
+    einsums), or ``"quad"`` (documentation-only, rule 9).
     ``feature_dtype=jnp.bfloat16`` stores the einsum feature planes in
     bf16 (the MXU casts f32 operands to bf16 per pass anyway, so this
     halves the windowed reads at no additional rounding).

@@ -516,11 +516,83 @@ def _batch_windowed_pme_impl(positions, charges, cells, alphas,
     )(positions, charges, cells, alphas)
 
 
+def _dense_pme_single(positions, charges, cell, alpha, mesh_dimensions,
+                      spline_order: int, compute_forces: bool,
+                      fft_mode: str = "xla",
+                      compute_charge_gradients: bool = False):
+    """One system through the dense separable-matmul PME pipeline (vmappable).
+
+    No mesh tiles at all: spread/gather are the chunked separable matmuls
+    (spline.py `_separable_spread`/`_separable_gather`, design rule 5).
+    For small per-system meshes the tile machinery's build (2.6 ms) and
+    capacity-padded windows dominate the windowed path
+    (benchmarks/pme_batch_probe.py); here the whole mesh is the "window".
+    """
+    dtype = positions.dtype
+    mesh = spline_spread(positions, charges, cell, mesh_dims=mesh_dimensions,
+                         spline_order=spline_order)
+    _, k_squared = generate_k_vectors_pme(cell, mesh_dimensions)
+    green, sf_sq = pme_green_structure_factor(
+        k_squared, mesh_dimensions, alpha, cell, spline_order)
+    if fft_mode == "matmul":
+        from nvalchemiops_tpu.mathops.matmul_dft import matmul_rfft_convolve
+
+        potential_mesh = matmul_rfft_convolve(mesh, green / sf_sq)
+    else:
+        mesh_fft = jnp.fft.rfftn(mesh, norm="backward")
+        potential_mesh = jnp.fft.irfftn(
+            mesh_fft / sf_sq * green, s=mesh_dimensions,
+            norm="forward").astype(dtype)
+
+    raw = spline_gather(positions, potential_mesh, cell,
+                        spline_order=spline_order)
+
+    alpha_t = jnp.asarray(alpha, dtype).reshape(())
+    volume = jnp.abs(jnp.linalg.det(jnp.asarray(cell, dtype).reshape(3, 3)))
+    q_total = jnp.sum(charges)
+    energies = (
+        charges * raw
+        - (alpha_t / SQRT_PI) * charges * charges
+        - (math.pi / (2.0 * alpha_t * alpha_t * volume)) * charges * q_total
+    )
+    charge_grads = None
+    if compute_charge_gradients:
+        charge_grads = (
+            2.0 * raw
+            - 2.0 * (alpha_t / SQRT_PI) * charges
+            - (math.pi / (alpha_t * alpha_t * volume)) * q_total
+        )
+    if not compute_forces:
+        return energies, None, charge_grads
+    forces = 2.0 * spline_gather_gradient(
+        positions, charges, potential_mesh, cell, spline_order=spline_order)
+    forces = forces - jnp.mean(forces, axis=0, keepdims=True)
+    return energies, forces, charge_grads
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh_dimensions", "spline_order", "compute_forces",
+                     "fft_mode", "compute_charge_gradients"),
+)
+def _batch_dense_pme_impl(positions, charges, cells, alphas,
+                          mesh_dimensions, spline_order,
+                          compute_forces, fft_mode="xla",
+                          compute_charge_gradients=False):
+    return jax.vmap(
+        lambda p, q, c, a: _dense_pme_single(
+            p, q, c, a, mesh_dimensions, spline_order, compute_forces,
+            fft_mode=fft_mode,
+            compute_charge_gradients=compute_charge_gradients)
+    )(positions, charges, cells, alphas)
+
+
 def batch_pme_reciprocal(positions, charges, cells, alpha, mesh_dimensions,
                          spline_order: int = 4, compute_forces: bool = False,
                          tile_capacity: int | None = None,
-                         fft_mode: str = "xla",
-                         compute_charge_gradients: bool = False):
+                         fft_mode: str = "auto",
+                         compute_charge_gradients: bool = False,
+                         engine: str = "windowed"):
     """Batched reciprocal-space PME on uniform [B, n, 3] system stacks.
 
     The concatenated ``batch_idx`` path of :func:`pme_reciprocal_space`
@@ -528,6 +600,18 @@ def batch_pme_reciprocal(positions, charges, cells, alpha, mesh_dimensions,
     config); uniform batches instead vmap the tile-windowed pipeline —
     measured 9.8 ms energies / 14.8 ms with forces at the same config
     (the reference's H100 number is 5.76 ms energies-only).
+
+    ``fft_mode="auto"`` (default) picks the MXU matmul-DFT convolution
+    for small per-system meshes (<= 32^3 points; measured 14.71 vs
+    15.23 ms E+F at 64x2000/32^3) and the XLA FFT for larger ones
+    (where the FFT wins: 10.70 vs 11.04 ms at 128^3 single-system) —
+    benchmarks/fft_mode_probe.py.
+
+    ``engine`` selects the per-system spread/gather implementation:
+    ``"windowed"`` (default; tile-windowed, shared tiles reused by the
+    force gather) or ``"dense"`` (tile-free chunked separable matmuls —
+    no tile build, no capacity padding; candidate for small meshes,
+    see benchmarks/pme_batch_probe.py).
 
     ``alpha`` scalar or [B]; ``cells`` [3, 3] shared or [B, 3, 3].
     Returns per-atom energies [B, n] (self/background corrected), plus
@@ -547,13 +631,23 @@ def batch_pme_reciprocal(positions, charges, cells, alpha, mesh_dimensions,
     if cells.ndim == 2:
         cells = jnp.broadcast_to(cells[None], (b, 3, 3))
     alphas = jnp.broadcast_to(jnp.asarray(alpha, dtype).reshape(-1), (b,))
-    if tile_capacity is None:
-        tile_capacity = sw.mesh_tile_capacity(n, mesh_dimensions)
-    energies, forces, charge_grads = _batch_windowed_pme_impl(
-        positions, jnp.asarray(charges, dtype), cells, alphas,
-        tuple(int(d) for d in mesh_dimensions), int(spline_order),
-        int(tile_capacity), bool(compute_forces), fft_mode=fft_mode,
-        compute_charge_gradients=bool(compute_charge_gradients))
+    if fft_mode == "auto":
+        npts = math.prod(int(d) for d in mesh_dimensions)
+        fft_mode = "matmul" if npts <= 32 * 32 * 32 else "xla"
+    if engine == "dense":
+        energies, forces, charge_grads = _batch_dense_pme_impl(
+            positions, jnp.asarray(charges, dtype), cells, alphas,
+            tuple(int(d) for d in mesh_dimensions), int(spline_order),
+            bool(compute_forces), fft_mode=fft_mode,
+            compute_charge_gradients=bool(compute_charge_gradients))
+    else:
+        if tile_capacity is None:
+            tile_capacity = sw.mesh_tile_capacity(n, mesh_dimensions)
+        energies, forces, charge_grads = _batch_windowed_pme_impl(
+            positions, jnp.asarray(charges, dtype), cells, alphas,
+            tuple(int(d) for d in mesh_dimensions), int(spline_order),
+            int(tile_capacity), bool(compute_forces), fft_mode=fft_mode,
+            compute_charge_gradients=bool(compute_charge_gradients))
     if compute_forces and compute_charge_gradients:
         return energies, forces, charge_grads
     if compute_forces:

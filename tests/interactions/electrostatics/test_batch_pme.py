@@ -49,11 +49,30 @@ def test_batch_pme_matmul_fft_mode_matches_xla():
     q = jnp.asarray(rng.normal(size=(B, npa)), jnp.float32)
     cell = jnp.asarray(np.eye(3) * box, jnp.float32)
     e_x, f_x = batch_pme_reciprocal(pos, q, cell, 0.8, (16, 16, 16),
-                                    compute_forces=True)
+                                    compute_forces=True, fft_mode="xla")
     e_m, f_m = batch_pme_reciprocal(pos, q, cell, 0.8, (16, 16, 16),
                                     compute_forces=True, fft_mode="matmul")
     np.testing.assert_allclose(np.asarray(e_m), np.asarray(e_x), atol=2e-4)
     np.testing.assert_allclose(np.asarray(f_m), np.asarray(f_x), atol=2e-4)
+
+
+def test_batch_pme_dense_engine_matches_windowed():
+    rng = np.random.default_rng(7)
+    B, npa, box = 3, 80, 10.0
+    pos = jnp.asarray(rng.uniform(0, box, (B, npa, 3)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, npa)), jnp.float32)
+    q = q - q.mean(axis=1, keepdims=True)
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32)
+    mesh = (16, 16, 16)
+    kw = dict(compute_forces=True, compute_charge_gradients=True)
+    e_w, f_w, g_w = batch_pme_reciprocal(pos, q, cell, 0.5, mesh,
+                                         engine="windowed", **kw)
+    e_d, f_d, g_d = batch_pme_reciprocal(pos, q, cell, 0.5, mesh,
+                                         engine="dense", **kw)
+    np.testing.assert_allclose(np.asarray(e_d), np.asarray(e_w),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(f_d), np.asarray(f_w), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_d), np.asarray(g_w), atol=2e-5)
 
 
 def test_batch_pme_charge_gradients_match_autodiff():
