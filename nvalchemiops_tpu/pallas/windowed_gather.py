@@ -29,15 +29,25 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _kernel(w_win: int, cap: int, chunk: int, smat_ref, win_ref,
-            val_ref, gx_ref, gy_ref, gz_ref):
+            ry_ref, rx_ref, val_ref, gx_ref, gy_ref, gz_ref):
     w = w_win
+    # One-hot expansion matrices (rule 6): Mosaic cannot shape-cast
+    # [cap, w, w] -> [cap, w*w] for non-lane-aligned w (measured on chip:
+    # "infer-vector-layout: unsupported shape cast" at w=12), so the
+    # broadcast+reshape is a matmul against a constant instead.
+    ry = ry_ref[...]                          # [W, W*W], ry[y, y*W+x] = 1
+    rx = rx_ref[...]                          # [W, W*W], rx[x, y*W+x] = 1
 
     def expand_y(a):
         # a [cap, W] -> [cap, W*W] with value at (c, y*W + x) = a[c, y]
-        return jnp.broadcast_to(a[:, :, None], (cap, w, w)).reshape(cap, w * w)
+        return jax.lax.dot_general(
+            a, ry, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)
 
     def expand_x(a):
-        return jnp.broadcast_to(a[:, None, :], (cap, w, w)).reshape(cap, w * w)
+        return jax.lax.dot_general(
+            a, rx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)
 
     for g in range(chunk):
         s = smat_ref[g]                       # [cap, 6W]
@@ -77,16 +87,24 @@ def _gather_grad_planes(smat, win, w_win: int, chunk: int = 8,
     grid = (t // chunk,)
     spec3 = lambda d1, d2: pl.BlockSpec(  # noqa: E731
         (chunk, d1, d2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec((w_win, w_win * w_win), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((chunk, cap), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    w = w_win
+    ys = jnp.arange(w)[:, None]
+    flat = jnp.arange(w * w)[None, :]
+    ry = (flat // w == ys).astype(smat.dtype)       # [W, W*W]
+    rx = (flat % w == ys).astype(smat.dtype)        # [W, W*W]
     outs = pl.pallas_call(
         partial(_kernel, w_win, cap, chunk),
         grid=grid,
-        in_specs=[spec3(cap, 6 * w_win), spec3(w_win, w_win * w_win)],
+        in_specs=[spec3(cap, 6 * w_win), spec3(w_win, w_win * w_win),
+                  const_spec, const_spec],
         out_specs=[out_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((t, cap), smat.dtype)] * 4,
         interpret=interpret,
-    )(smat, win.reshape(t, w_win, w_win * w_win))
+    )(smat, win.reshape(t, w_win, w_win * w_win), ry, rx)
     return outs
 
 
