@@ -1228,6 +1228,7 @@ def grid_dftd3(
     stencil=None,
     bilinear: str = "stack",
     feature_dtype=None,
+    hybrid_cn: str = "stencil",
 ):
     """DFT-D3(BJ) energies/forces/CNs on the atom grid.
 
@@ -1262,11 +1263,15 @@ def grid_dftd3(
       recompile per parameter set).
     - ``"pallas"``: first-generation per-cell Mosaic row sweep
       (pallas/row_sweep.py), kept as the banded-sweep substrate.
-    - ``"hybrid"`` (implied by passing ``stencil=``): the CN and
-      chain-rule passes run on the capacity-free voxel stencil
-      (stencil.py — requires a valid occupancy-1 ``StencilGrid`` built
-      for >= this cutoff) while the MXU C6-interpolation pass stays on
-      the row sweep.  ``compute_virial`` forces the XLA engine.
+    - ``"hybrid"`` (implied by passing ``stencil=``): the chain-rule
+      pass (and, with ``hybrid_cn="stencil"``, the CN pass) runs on the
+      capacity-free voxel stencil (stencil.py — requires a valid
+      occupancy-1 ``StencilGrid`` built for >= this cutoff) while the
+      MXU C6-interpolation pass stays on the row sweep.
+      ``hybrid_cn="row"`` keeps pass 1 on the row sweep too — measured
+      fastest split on chip (row CN 1.65 ms vs stencil CN 4.4; stencil
+      chain 5.7 ms vs row chain ~11 at 110k atoms; hybrid_probe).
+      ``compute_virial`` forces the XLA engine.
 
     ``precision`` applies to the XLA engine only.  Note the dC6/dCN chain
     is a near-cancellation: ~1e-6 CN rounding differences amplify to
@@ -1337,9 +1342,13 @@ def grid_dftd3(
         # rcov planes scattered once, shared by the CN and chain sweeps
         rcov_int = scatter_to_stencil(stencil, rcov_a)
         rcov_planes = (rcov_int, extend_stencil(stencil, rcov_int, 0.0))
-        cn_a = stencil_coordination_numbers(stencil, rcov_a, float(cutoff),
-                                            float(k1),
-                                            rcov_planes=rcov_planes)
+        if hybrid_cn == "stencil":
+            cn_a = stencil_coordination_numbers(
+                stencil, rcov_a, float(cutoff), float(k1),
+                rcov_planes=rcov_planes)
+            cn_override = cn_a
+        else:  # "row": pass 1 stays on the row sweep (measured faster)
+            cn_override = None
         e_pl, fx_pl, fy_pl, fz_pl, cn_pl, decn_pl = _grid_d3_impl(
             grid,
             z_plane, z_ext,
@@ -1352,7 +1361,8 @@ def grid_dftd3(
             jnp.asarray(k3, dtype),
             grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
             precision, compute_virial=False,
-            cn_a_override=cn_a, skip_chain=True, numbers_a=numbers,
+            cn_a_override=cn_override, skip_chain=True, numbers_a=numbers,
+            bilinear=bilinear, feature_dtype=feature_dtype,
         )
         decn_a = gather_from_grid(grid, decn_pl)
         chain_forces_a = stencil_cn_chain_forces(
