@@ -164,7 +164,7 @@ def _fold_z_ring(acc_ext, rz: int, axis: str):
 
 
 def _run_domain_sym(mesh: Mesh, kern, planes: dict, init, num_j: int,
-                    cell, dims, radius, cap, pbc_yx):
+                    cell, dims, radius, cap, pbc_zyx):
     """Run a ``grid_row_reduce_sym``-contract kernel on z-slab shards.
 
     ``planes``: dict name -> *interior* plane [cz, cy, cx, cap(, F)], must
@@ -178,7 +178,7 @@ def _run_domain_sym(mesh: Mesh, kern, planes: dict, init, num_j: int,
     """
     cz, cy, cx = dims
     rz, ry, rx = radius
-    pbc_y, pbc_x = pbc_yx
+    pbc_z, pbc_y, pbc_x = pbc_zyx
     comp_of = {"px": 0, "py": 1, "pz": 2}
     names = sorted(planes)
 
@@ -189,13 +189,15 @@ def _run_domain_sym(mesh: Mesh, kern, planes: dict, init, num_j: int,
         for name, p in local.items():
             if name in comp_of:
                 comp = comp_of[name]
-                e = _halo_exchange(p, rz, "z", cell_z_shift=cell[2, comp])
+                e = _halo_exchange(p, rz, "z", cell_z_shift=cell[2, comp],
+                                   periodic=pbc_z)
                 ext[name] = _wrap_pad_yx(e, ry, rx, pbc_y, pbc_x, DISPLACE,
                                          shift_y=cell[1, comp],
                                          shift_x=cell[0, comp])
             else:
-                ext[name] = _wrap_pad_yx(_halo_exchange(p, rz, "z"),
-                                         ry, rx, pbc_y, pbc_x, 0.0)
+                ext[name] = _wrap_pad_yx(
+                    _halo_exchange(p, rz, "z", periodic=pbc_z),
+                    ry, rx, pbc_y, pbc_x, 0.0)
 
         eacc = [jnp.zeros((lz + 2 * rz, cy + 2 * ry, cx + 2 * rx, cap),
                           local["px"].dtype) for _ in range(num_j)]
@@ -241,13 +243,13 @@ def _run_domain_sym(mesh: Mesh, kern, planes: dict, init, num_j: int,
 
 @partial(jax.jit, static_argnames=("mesh", "dims", "radius", "cap", "cutoff",
                                    "a1", "a2", "s6", "s8", "k1", "k3",
-                                   "mesh_pts", "zmax1", "pbc_yx",
+                                   "mesh_pts", "zmax1", "pbc_zyx",
                                    "calpha", "ccutoff"))
 def _domain_d3_impl(mesh: Mesh, grid: AtomGrid, z_plane, rcov_plane,
                     r4r2_plane, cna_a, mask_a, c6p_a, cell,
                     cutoff: float, a1: float, a2: float, s6: float,
                     s8: float, k1: float, k3: float,
-                    dims, radius, cap, mesh_pts: int, zmax1: int, pbc_yx,
+                    dims, radius, cap, mesh_pts: int, zmax1: int, pbc_zyx,
                     q_plane=None, calpha=None, ccutoff=None):
     """Full 3-pass DFT-D3 with the grid's z axis sharded over the mesh.
 
@@ -285,7 +287,7 @@ def _domain_d3_impl(mesh: Mesh, grid: AtomGrid, z_plane, rcov_plane,
     # pass 1: coordination numbers
     cn_carry, (cn_fold,) = _run_domain_sym(
         mesh, cn_kern, dict(pos, rcov=rcov_plane), zeros, 1,
-        cell, dims, radius, cap, pbc_yx)
+        cell, dims, radius, cap, pbc_zyx)
     cn_plane = cn_carry + cn_fold
 
     # per-atom features (replicated)
@@ -318,7 +320,7 @@ def _domain_d3_impl(mesh: Mesh, grid: AtomGrid, z_plane, rcov_plane,
         num_j2 = 8
     carry, deltas2 = _run_domain_sym(
         mesh, pass2_kern, planes2, init2, num_j2,
-        cell, dims, radius, cap, pbc_yx)
+        cell, dims, radius, cap, pbc_zyx)
     dfx, dfy, dfz, ddecn = deltas2[:4]
     e_pl, fx_pl, fy_pl, fz_pl, decn_pl = carry[:5]
     coul = None
@@ -335,7 +337,7 @@ def _domain_d3_impl(mesh: Mesh, grid: AtomGrid, z_plane, rcov_plane,
     (fx2, fy2, fz2), (dfx3, dfy3, dfz3) = _run_domain_sym(
         mesh, chain_kern, dict(pos, rcov=rcov_plane, decn=decn_pl),
         (fx_pl, fy_pl, fz_pl), 3,
-        cell, dims, radius, cap, pbc_yx)
+        cell, dims, radius, cap, pbc_zyx)
     out = (e_pl, fx2 + dfx3, fy2 + dfy3, fz2 + dfz3, cn_plane)
     return out + coul if with_coulomb else out
 
@@ -360,8 +362,6 @@ def domain_dftd3(mesh: Mesh, grid: AtomGrid, numbers, rcov, r4r2, c6ab,
         raise ValueError(
             f"cz={cz} must split into >={grid.radius[0]}-thick slabs "
             f"across {ndev} devices")
-    if not pbc[0]:
-        raise NotImplementedError("non-periodic z not yet wired")
 
     dtype = grid.ext_px.dtype
     numbers = jnp.asarray(numbers, INDEX_DTYPE)
@@ -385,7 +385,8 @@ def domain_dftd3(mesh: Mesh, grid: AtomGrid, numbers, rcov, r4r2, c6ab,
         mesh, grid, z_plane, rcov_plane, r4r2_plane, cna_a, mask_a, c6p_a,
         cellj, float(cutoff), float(a1), float(a2), float(s6), float(s8),
         float(k1), float(k3), grid.dims, grid.radius, grid.cap,
-        int(mesh_pts), int(zmax1), (bool(pbc[1]), bool(pbc[2])))
+        int(mesh_pts), int(zmax1),
+        (bool(pbc[0]), bool(pbc[1]), bool(pbc[2])))
     energy = jnp.sum(e_pl)
     f1, f2, f3, coord_num = gather_rows_from_grid(grid, (fx, fy, fz, cn_pl))
     return energy, jnp.stack([f1, f2, f3], axis=-1), coord_num
@@ -417,8 +418,6 @@ def domain_dftd3_coulomb(mesh: Mesh, grid: AtomGrid, numbers, charges,
         raise ValueError(
             f"cz={cz} must split into >={grid.radius[0]}-thick slabs "
             f"across {ndev} devices")
-    if not pbc[0]:
-        raise NotImplementedError("non-periodic z not yet wired")
     if coulomb_cutoff is None:
         coulomb_cutoff = cutoff
 
@@ -445,7 +444,8 @@ def domain_dftd3_coulomb(mesh: Mesh, grid: AtomGrid, numbers, charges,
         mesh, grid, z_plane, rcov_plane, r4r2_plane, cna_a, mask_a, c6p_a,
         cellj, float(cutoff), float(a1), float(a2), float(s6), float(s8),
         float(k1), float(k3), grid.dims, grid.radius, grid.cap,
-        int(mesh_pts), int(zmax1), (bool(pbc[1]), bool(pbc[2])),
+        int(mesh_pts), int(zmax1),
+        (bool(pbc[0]), bool(pbc[1]), bool(pbc[2])),
         q_plane=q_plane, calpha=float(alpha),
         ccutoff=float(coulomb_cutoff))
     energy = jnp.sum(e_pl)
@@ -456,17 +456,17 @@ def domain_dftd3_coulomb(mesh: Mesh, grid: AtomGrid, numbers, charges,
 
 
 @partial(jax.jit, static_argnames=("mesh", "dims", "radius", "cap", "cutoff",
-                                   "alpha", "pbc_yx"))
+                                   "alpha", "pbc_zyx"))
 def _domain_coulomb_impl(mesh: Mesh, grid: AtomGrid, q_plane, cell,
                          cutoff: float, alpha: float, dims, radius, cap,
-                         pbc_yx):
+                         pbc_zyx):
     """Sharded symmetric Coulomb sweep (z-slab domain decomposition)."""
     dtype = grid.ext_px.dtype
     cz, cy, cx = dims
     rz, ry, rx = radius
     cutoff_sq = float(cutoff) ** 2
     alpha_t = float(alpha)
-    pbc_y, pbc_x = pbc_yx
+    pbc_z, pbc_y, pbc_x = pbc_zyx
     two_over_sqrt_pi = 1.1283791670955126
     upper = row_home_mask(cap, rx)
     # lattice z shift per position component (cell row 2)
@@ -479,12 +479,13 @@ def _domain_coulomb_impl(mesh: Mesh, grid: AtomGrid, q_plane, cell,
         # px/py/pz/q: [cz/D, cy, cx, cap] local slabs
         exts = []
         for comp, p in enumerate((px, py, pz)):
-            e = _halo_exchange(p, rz, "z", cell_z_shift=cell[2, comp])
+            e = _halo_exchange(p, rz, "z", cell_z_shift=cell[2, comp],
+                               periodic=pbc_z)
             exts.append(_wrap_pad_yx(e, ry, rx, pbc_y, pbc_x, DISPLACE,
                                      shift_y=cell[1, comp],
                                      shift_x=cell[0, comp]))
-        qe = _wrap_pad_yx(_halo_exchange(q, rz, "z"), ry, rx, pbc_y, pbc_x,
-                          0.0)
+        qe = _wrap_pad_yx(_halo_exchange(q, rz, "z", periodic=pbc_z),
+                          ry, rx, pbc_y, pbc_x, 0.0)
         epx, epy, epz = exts
         lz = px.shape[0]
 
@@ -574,27 +575,26 @@ def domain_coulomb_energy_forces(mesh: Mesh, grid: AtomGrid, charges, cell,
         raise ValueError(
             f"cz={cz} must split into >={grid.radius[0]}-thick slabs "
             f"across {ndev} devices")
-    if not pbc[0]:
-        raise NotImplementedError("non-periodic z not yet wired")
     q_plane = scatter_to_grid(grid, jnp.asarray(charges))
     cellj = jnp.asarray(cell, grid.ext_px.dtype).reshape(3, 3)
     e, fx, fy, fz = _domain_coulomb_impl(
         mesh, grid, q_plane, cellj, float(cutoff), float(alpha),
-        grid.dims, grid.radius, grid.cap, (bool(pbc[1]), bool(pbc[2])),
+        grid.dims, grid.radius, grid.cap,
+        (bool(pbc[0]), bool(pbc[1]), bool(pbc[2])),
     )
     energies, f1, f2, f3 = gather_rows_from_grid(grid, (e, fx, fy, fz))
     return energies, jnp.stack([f1, f2, f3], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("mesh", "dims", "radius", "cap", "cutoff",
-                                   "k1", "pbc_yx"))
+                                   "k1", "pbc_zyx"))
 def _domain_cn_impl(mesh: Mesh, grid: AtomGrid, rcov_plane, cell,
-                    cutoff: float, k1: float, dims, radius, cap, pbc_yx):
+                    cutoff: float, k1: float, dims, radius, cap, pbc_zyx):
     dtype = grid.ext_px.dtype
     cz, cy, cx = dims
     rz, ry, rx = radius
     cutoff_sq = float(cutoff) ** 2
-    pbc_y, pbc_x = pbc_yx
+    pbc_z, pbc_y, pbc_x = pbc_zyx
     upper = row_home_mask(cap, rx)
 
     px_i = _interior(grid, grid.ext_px)
@@ -604,12 +604,13 @@ def _domain_cn_impl(mesh: Mesh, grid: AtomGrid, rcov_plane, cell,
     def slab(px, py, pz, rcov):
         exts = []
         for comp, p in enumerate((px, py, pz)):
-            e = _halo_exchange(p, rz, "z", cell_z_shift=cell[2, comp])
+            e = _halo_exchange(p, rz, "z", cell_z_shift=cell[2, comp],
+                               periodic=pbc_z)
             exts.append(_wrap_pad_yx(e, ry, rx, pbc_y, pbc_x, DISPLACE,
                                      shift_y=cell[1, comp],
                                      shift_x=cell[0, comp]))
-        rce = _wrap_pad_yx(_halo_exchange(rcov, rz, "z"), ry, rx,
-                           pbc_y, pbc_x, 0.0)
+        rce = _wrap_pad_yx(_halo_exchange(rcov, rz, "z", periodic=pbc_z),
+                           ry, rx, pbc_y, pbc_x, 0.0)
         epx, epy, epz = exts
         lz = px.shape[0]
         acc = jnp.zeros_like(rcov)
@@ -672,13 +673,11 @@ def domain_dftd3_cn(mesh: Mesh, grid: AtomGrid, rcov_per_atom, cell,
         raise ValueError(
             f"cz={cz} must split into >={grid.radius[0]}-thick slabs "
             f"across {ndev} devices")
-    if not pbc[0]:
-        raise NotImplementedError("non-periodic z not yet wired")
     rcov_plane = scatter_to_grid(grid, jnp.asarray(rcov_per_atom))
     cellj = jnp.asarray(cell, grid.ext_px.dtype).reshape(3, 3)
     cn = _domain_cn_impl(mesh, grid, rcov_plane, cellj, float(cutoff),
                          float(k1), grid.dims, grid.radius, grid.cap,
-                         (bool(pbc[1]), bool(pbc[2])))
+                         (bool(pbc[0]), bool(pbc[1]), bool(pbc[2])))
     return gather_from_grid(grid, cn)
 
 

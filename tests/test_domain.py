@@ -138,6 +138,60 @@ def test_domain_pme_matches_single_device(zmesh):
                                atol=2e-5)
 
 
+@pytest.mark.parametrize("pbc_tuple", [(False, True, True),
+                                       (False, False, False)])
+def test_domain_coulomb_nonperiodic_z(zmesh, pbc_tuple):
+    """Masked ring edge (pbc z False) == single-device mixed-pbc sweep."""
+    pos, q, cell = _system(seed=17)
+    pbc = np.array(pbc_tuple)
+    cutoff = 4.0
+    g = _grid(pos, cell, pbc, cutoff, len(pos))
+    assert g.dims[0] % zmesh.devices.size == 0
+    e_ref, f_ref = grid_coulomb_energy_forces(g, jnp.asarray(q), cutoff, 0.35)
+    e, f = domain_coulomb_energy_forces(zmesh, g, jnp.asarray(q),
+                                        jnp.asarray(cell, jnp.float32),
+                                        cutoff, 0.35, pbc=pbc_tuple)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), atol=2e-5)
+
+
+def test_domain_dftd3_nonperiodic_z(zmesh):
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import grid_dftd3
+    from nvalchemiops_tpu.parallel.domain import domain_dftd3
+
+    pos, _, cell = _system(seed=19)
+    pbc_tuple = (False, True, True)
+    pbc = np.array(pbc_tuple)
+    cutoff = 4.0
+    n = len(pos)
+    g = _grid(pos, cell, pbc, cutoff, n)
+
+    rng = np.random.default_rng(2)
+    zmax = 4
+    numbers = jnp.asarray(rng.integers(1, zmax + 1, n), jnp.int32)
+    rcov = jnp.asarray(np.r_[0.0, rng.uniform(0.6, 1.4, zmax)], jnp.float32)
+    r4r2 = jnp.asarray(np.r_[0.0, rng.uniform(2.0, 6.0, zmax)], jnp.float32)
+    cna = jnp.asarray(
+        np.vstack([np.zeros(5),
+                   np.cumsum(rng.uniform(0.3, 1.0, (zmax, 5)), 1)]),
+        jnp.float32)
+    c6_np = rng.uniform(5.0, 40.0, (zmax + 1, zmax + 1, 5, 5))
+    c6_np[0] = 0.0
+    c6_np[:, 0] = 0.0
+    c6_np = 0.5 * (c6_np + np.swapaxes(np.swapaxes(c6_np, 0, 1), 2, 3))
+    c6 = jnp.asarray(c6_np, jnp.float32)
+
+    e_ref, f_ref, cn_ref = grid_dftd3(g, numbers, rcov, r4r2, c6, cna,
+                                      cutoff, 0.42, 4.1, 1.7, engine="xla")
+    e, f, cn = domain_dftd3(zmesh, g, numbers, rcov, r4r2, c6, cna,
+                            cutoff, 0.42, 4.1, 1.7,
+                            jnp.asarray(cell, jnp.float32), pbc=pbc_tuple)
+    np.testing.assert_allclose(np.asarray(cn), np.asarray(cn_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(e), float(e_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), atol=2e-5)
+
+
 def test_domain_rejects_bad_slabs(zmesh):
     pos, q, cell = _system(n=100, box=9.0)
     pbc = np.array([True] * 3)
