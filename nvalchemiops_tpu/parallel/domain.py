@@ -386,7 +386,7 @@ def domain_dftd3(mesh: Mesh, grid: AtomGrid, numbers, rcov, r4r2, c6ab,
         cellj, float(cutoff), float(a1), float(a2), float(s6), float(s8),
         float(k1), float(k3), grid.dims, grid.radius, grid.cap,
         int(mesh_pts), int(zmax1),
-        (bool(pbc[0]), bool(pbc[1]), bool(pbc[2])))
+        (bool(pbc[2]), bool(pbc[1]), bool(pbc[0])))
     energy = jnp.sum(e_pl)
     f1, f2, f3, coord_num = gather_rows_from_grid(grid, (fx, fy, fz, cn_pl))
     return energy, jnp.stack([f1, f2, f3], axis=-1), coord_num
@@ -445,7 +445,7 @@ def domain_dftd3_coulomb(mesh: Mesh, grid: AtomGrid, numbers, charges,
         cellj, float(cutoff), float(a1), float(a2), float(s6), float(s8),
         float(k1), float(k3), grid.dims, grid.radius, grid.cap,
         int(mesh_pts), int(zmax1),
-        (bool(pbc[0]), bool(pbc[1]), bool(pbc[2])),
+        (bool(pbc[2]), bool(pbc[1]), bool(pbc[0])),
         q_plane=q_plane, calpha=float(alpha),
         ccutoff=float(coulomb_cutoff))
     energy = jnp.sum(e_pl)
@@ -580,7 +580,7 @@ def domain_coulomb_energy_forces(mesh: Mesh, grid: AtomGrid, charges, cell,
     e, fx, fy, fz = _domain_coulomb_impl(
         mesh, grid, q_plane, cellj, float(cutoff), float(alpha),
         grid.dims, grid.radius, grid.cap,
-        (bool(pbc[0]), bool(pbc[1]), bool(pbc[2])),
+        (bool(pbc[2]), bool(pbc[1]), bool(pbc[0])),
     )
     energies, f1, f2, f3 = gather_rows_from_grid(grid, (e, fx, fy, fz))
     return energies, jnp.stack([f1, f2, f3], axis=-1)
@@ -677,7 +677,7 @@ def domain_dftd3_cn(mesh: Mesh, grid: AtomGrid, rcov_per_atom, cell,
     cellj = jnp.asarray(cell, grid.ext_px.dtype).reshape(3, 3)
     cn = _domain_cn_impl(mesh, grid, rcov_plane, cellj, float(cutoff),
                          float(k1), grid.dims, grid.radius, grid.cap,
-                         (bool(pbc[0]), bool(pbc[1]), bool(pbc[2])))
+                         (bool(pbc[2]), bool(pbc[1]), bool(pbc[0])))
     return gather_from_grid(grid, cn)
 
 

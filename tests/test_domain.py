@@ -138,10 +138,16 @@ def test_domain_pme_matches_single_device(zmesh):
                                atol=2e-5)
 
 
-@pytest.mark.parametrize("pbc_tuple", [(False, True, True),
+@pytest.mark.parametrize("pbc_tuple", [(True, True, False),   # non-periodic z
+                                       (False, True, True),   # non-periodic x
                                        (False, False, False)])
-def test_domain_coulomb_nonperiodic_z(zmesh, pbc_tuple):
-    """Masked ring edge (pbc z False) == single-device mixed-pbc sweep."""
+def test_domain_coulomb_mixed_pbc(zmesh, pbc_tuple):
+    """Masked ring edge / parked yx pads == single-device mixed-pbc sweep.
+
+    pbc is (x, y, z) (grid.py convention): (True, True, False) exercises
+    the non-periodic *z* ring-edge masking; (False, True, True) the local
+    non-periodic-x pads.
+    """
     pos, q, cell = _system(seed=17)
     pbc = np.array(pbc_tuple)
     cutoff = 4.0
@@ -155,12 +161,13 @@ def test_domain_coulomb_nonperiodic_z(zmesh, pbc_tuple):
     np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), atol=2e-5)
 
 
-def test_domain_dftd3_nonperiodic_z(zmesh):
+@pytest.mark.parametrize("pbc_tuple", [(True, True, False),   # non-periodic z
+                                       (False, True, True)])  # non-periodic x
+def test_domain_dftd3_mixed_pbc(zmesh, pbc_tuple):
     from nvalchemiops_tpu.interactions.dispersion.grid_d3 import grid_dftd3
     from nvalchemiops_tpu.parallel.domain import domain_dftd3
 
     pos, _, cell = _system(seed=19)
-    pbc_tuple = (False, True, True)
     pbc = np.array(pbc_tuple)
     cutoff = 4.0
     n = len(pos)
@@ -207,7 +214,9 @@ def test_domain_rejects_bad_slabs(zmesh):
                                      jnp.asarray(cell, jnp.float32), 3.0)
 
 
-def test_domain_dftd3_coulomb_matches_separate(zmesh):
+@pytest.mark.parametrize("pbc_tuple", [(True, True, True),
+                                       (True, True, False)])  # non-periodic z
+def test_domain_dftd3_coulomb_matches_separate(zmesh, pbc_tuple):
     """Fused domain D3+Coulomb == domain_dftd3 + domain Coulomb."""
     from nvalchemiops_tpu.parallel.domain import (
         domain_coulomb_energy_forces,
@@ -216,7 +225,7 @@ def test_domain_dftd3_coulomb_matches_separate(zmesh):
     )
 
     pos, _, cell = _system(seed=13)
-    pbc = np.array([True] * 3)
+    pbc = np.array(pbc_tuple)
     cutoff = 4.0
     n = len(pos)
     g = _grid(pos, cell, pbc, cutoff, n)
@@ -240,11 +249,12 @@ def test_domain_dftd3_coulomb_matches_separate(zmesh):
 
     e_f, f_f, cn_f, ec_f, fc_f = domain_dftd3_coulomb(
         zmesh, g, numbers, q, rcov, r4r2, c6, cna,
-        cutoff, 0.42, 4.1, 1.7, cellj, alpha=0.4)
+        cutoff, 0.42, 4.1, 1.7, cellj, alpha=0.4, pbc=pbc_tuple)
     e_s, f_s, cn_s = domain_dftd3(zmesh, g, numbers, rcov, r4r2, c6, cna,
-                                  cutoff, 0.42, 4.1, 1.7, cellj)
+                                  cutoff, 0.42, 4.1, 1.7, cellj,
+                                  pbc=pbc_tuple)
     ec_s, fc_s = domain_coulomb_energy_forces(zmesh, g, q, cellj,
-                                              cutoff, 0.4)
+                                              cutoff, 0.4, pbc=pbc_tuple)
     np.testing.assert_allclose(float(e_f), float(e_s), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_s), atol=1e-6)
     np.testing.assert_allclose(np.asarray(cn_f), np.asarray(cn_s), atol=1e-6)
