@@ -38,7 +38,10 @@ import jax
 import jax.numpy as jnp
 
 from nvalchemiops_tpu.types import INDEX_DTYPE
-from nvalchemiops_tpu.interactions.dispersion._kernels import dftd3_matrix_kernel
+from nvalchemiops_tpu.interactions.dispersion._kernels import (
+    dftd3_list_kernel,
+    dftd3_matrix_kernel,
+)
 from nvalchemiops_tpu.neighborlist.neighbor_utils import shifts_from_aos
 
 __all__ = ["D3Parameters", "dftd3"]
@@ -251,11 +254,62 @@ def dftd3(
         return empty
 
     if use_list:
-        # view the COO list as an [P, 1] matrix batch rooted at idx_i rows:
-        # build a padded matrix on the fly via CSR expansion
-        neighbor_matrix, neighbor_matrix_shifts = _matrix_from_csr(
-            neighbor_list, neighbor_ptr, unit_shifts, num_atoms
+        # native pair-list pipeline: O(num_pairs) memory, no padded-matrix
+        # expansion (reference `_nl` kernels, dftd3.py:1261-1640).  Pair
+        # lists must be CSR-ordered (sorted idx_i) — the library's own COO
+        # conversion produces that ordering.
+        if periodic and unit_shifts is None:
+            raise ValueError("unit_shifts required with cell")
+        idx_i = jnp.asarray(neighbor_list)[0].astype(INDEX_DTYPE)
+        idx_j = jnp.asarray(neighbor_list)[1].astype(INDEX_DTYPE)
+        cell_b = (
+            jnp.asarray(cell, dtype=dtype).reshape(-1, 3, 3)
+            if periodic
+            else jnp.zeros((1, 3, 3), dtype=dtype)
         )
+        if periodic:
+            sh = jnp.asarray(unit_shifts)
+            if sh.ndim == 2:  # [P, 3] AoS unit shifts
+                shifts_xyz = (sh[:, 0], sh[:, 1], sh[:, 2])
+            else:  # bit-packed [P]
+                from nvalchemiops_tpu.neighborlist.neighbor_utils import (
+                    unpack_shifts,
+                )
+
+                shifts_xyz = unpack_shifts(sh.astype(INDEX_DTYPE))
+        else:
+            shifts_xyz = None
+        energy, forces, coord_num, virial = dftd3_list_kernel(
+            positions,
+            numbers,
+            idx_i,
+            idx_j,
+            shifts_xyz,
+            cell_b,
+            batch_idx,
+            rcov,
+            r4r2_t,
+            c6ab,
+            cn_ref,
+            jnp.asarray(a1, dtype=dtype),
+            jnp.asarray(a2, dtype=dtype),
+            jnp.asarray(s8, dtype=dtype),
+            jnp.asarray(k1, dtype=dtype),
+            jnp.asarray(k3, dtype=dtype),
+            jnp.asarray(s6, dtype=dtype),
+            jnp.asarray(s5_smoothing_on, dtype=dtype),
+            jnp.asarray(s5_smoothing_off, dtype=dtype),
+            periodic,
+            int(num_systems),
+            compute_virial,
+        )
+        cast = (
+            (lambda x: x) if output_dtype is None
+            else (lambda x: x.astype(output_dtype))
+        )
+        if compute_virial:
+            return cast(energy), cast(forces), cast(coord_num), cast(virial)
+        return cast(energy), cast(forces), cast(coord_num)
 
     if fill_value is None:
         fill_value = num_atoms
@@ -303,36 +357,3 @@ def dftd3(
     if compute_virial:
         return cast(energy), cast(forces), cast(coord_num), cast(virial)
     return cast(energy), cast(forces), cast(coord_num)
-
-
-def _matrix_from_csr(neighbor_list, neighbor_ptr, unit_shifts, num_atoms):
-    """Expand a CSR/COO pair list into a padded matrix (host-side capacity).
-
-    The list format's CSR rows become matrix rows; capacity is the max row
-    length (host sync — the list format itself is host-shaped already).
-    """
-    if neighbor_ptr is None:
-        raise ValueError("neighbor_ptr is required with neighbor_list")
-    ptr = np.asarray(jax.device_get(neighbor_ptr)).astype(np.int64)
-    counts = np.diff(ptr)
-    cap = int(counts.max()) if counts.size else 0
-    cap = max(cap, 1)
-    idx_j = jnp.asarray(neighbor_list)[1].astype(INDEX_DTYPE)
-    n_pairs = idx_j.shape[0]
-
-    slot = jnp.arange(cap, dtype=INDEX_DTYPE)
-    ptr_j = jnp.asarray(ptr[:-1], dtype=INDEX_DTYPE)
-    counts_j = jnp.asarray(counts, dtype=INDEX_DTYPE)
-    flat = ptr_j[:, None] + slot[None, :]
-    valid = slot[None, :] < counts_j[:, None]
-    flat_c = jnp.clip(flat, 0, max(n_pairs - 1, 0))
-    nm = jnp.where(valid, idx_j[flat_c], jnp.asarray(num_atoms, INDEX_DTYPE))
-    if unit_shifts is not None:
-        sh = jnp.where(
-            valid[..., None],
-            jnp.asarray(unit_shifts, dtype=INDEX_DTYPE)[flat_c],
-            0,
-        )
-    else:
-        sh = None
-    return nm, sh

@@ -58,18 +58,28 @@ __all__ = ["compact_d3_elements", "element_cn_ref", "element_c6_mask",
 def element_cn_ref(cn_ref, atol=0.0):
     """Extract the element-structured CN reference table [Zmax+1, mesh].
 
-    Real D3 data satisfies ``cn_ref[zi, zj, p, q] == cnA[zi, p]``; raises if
-    the provided table is not of that form (use the matrix-path ``dftd3``
-    for fully general tables).
+    Real D3 data satisfies ``cn_ref[zi, zj, p, q] == cnA[zi, p]`` for all
+    non-padding partners ``zj >= 1``; raises if the provided table is not of
+    that form (use the matrix-path ``dftd3`` for fully general tables).
+
+    The ``zj == 0`` padding column is excluded from the check: the reference
+    loader (reference examples/dispersion/utils.py:505-521 ``_build_arrays``)
+    fills ``cn_ref`` rows only for partners 1..94, leaving the partner-0
+    column at the -1.0 fill value.  Those entries are never used — every
+    unavailable (p, q) point is masked out of the interpolation by the C6
+    availability mask (:func:`element_c6_mask`), matching the reference
+    kernels' ``c6 != 0`` guard (reference dftd3.py C6 interpolation).
     """
     cn_ref = np.asarray(jax.device_get(cn_ref))
     zmax1, _, mesh, _ = cn_ref.shape
     cand = cn_ref[:, 0, :, 0] if zmax1 == 1 else cn_ref[:, min(1, zmax1 - 1), :, 0]
     full = np.broadcast_to(cand[:, None, :, None], cn_ref.shape)
-    if not np.allclose(full, cn_ref, atol=atol, rtol=0.0):
+    chk = slice(min(1, zmax1 - 1), None)  # skip the zj=0 padding column
+    if not np.allclose(full[:, chk], cn_ref[:, chk], atol=atol, rtol=0.0):
         raise ValueError(
             "cn_ref is not element-structured (cn_ref[zi, zj, p, q] must "
-            "depend only on (zi, p)); use the matrix-path dftd3 instead"
+            "depend only on (zi, p) for zj >= 1); use the matrix-path "
+            "dftd3 instead"
         )
     return jnp.asarray(cand)
 

@@ -211,16 +211,40 @@ def coulomb_charge_gradients(
     cell,
     cutoff: float,
     alpha: float = 0.0,
+    neighbor_list=None,
+    neighbor_ptr=None,
+    neighbor_shifts=None,
     neighbor_matrix=None,
     neighbor_matrix_shifts=None,
     fill_value: int | None = None,
     batch_idx=None,
 ):
-    """d(total energy)/d(charges) over the matrix format.
+    """d(total energy)/d(charges), both neighbor formats, single or batched.
 
-    (reference exposes this through the Ewald real-space charge-grad kernels,
-    ewald_kernels.py:232-263.)
+    For a full (double-counted) pair structure,
+    ``dE/dq_i = sum_j q_j erfc(a r_ij)/r_ij`` — the per-atom electrostatic
+    potential.  (Reference exposes this through the Ewald real-space
+    charge-grad kernels for all four format/batch combinations,
+    ewald_kernels.py:265-1494; here both formats share the pairwise core.)
     """
+    del neighbor_ptr
+    use_list = _validate_format(
+        neighbor_list, neighbor_shifts, neighbor_matrix, neighbor_matrix_shifts
+    )
+    if use_list:
+        n = positions.shape[0]
+        idx_i = neighbor_list[0].astype(INDEX_DTYPE)
+        idx_j = neighbor_list[1].astype(INDEX_DTYPE)
+        if neighbor_shifts is None:
+            neighbor_shifts = jnp.zeros((idx_i.shape[0], 3), dtype=INDEX_DTYPE)
+        _d, mask, phi, _ = _list_pair_terms(
+            positions, charges, cell, idx_i, idx_j, neighbor_shifts, cutoff,
+            alpha, batch_idx,
+        )
+        cg_pair = jnp.where(mask, charges[idx_j] * phi, 0.0)
+        return jax.ops.segment_sum(
+            cg_pair, idx_i, num_segments=n, indices_are_sorted=True
+        )
     if neighbor_matrix_shifts is None:
         neighbor_matrix_shifts = jnp.zeros(
             neighbor_matrix.shape + (3,), dtype=INDEX_DTYPE

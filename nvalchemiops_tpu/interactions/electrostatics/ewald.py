@@ -115,12 +115,10 @@ def ewald_real_space(
         )
         forces = None
     if compute_charge_gradients:
-        if neighbor_matrix is None:
-            raise ValueError(
-                "charge gradients currently require the neighbor_matrix format"
-            )
         cg = coulomb_charge_gradients(
             positions, charges, cell, cutoff, alpha_scalar,
+            neighbor_list=neighbor_list,
+            neighbor_shifts=neighbor_shifts,
             neighbor_matrix=neighbor_matrix,
             neighbor_matrix_shifts=neighbor_matrix_shifts,
             fill_value=mask_value,

@@ -52,18 +52,32 @@ def halfspace_miller_indices(max_hkl: np.ndarray) -> np.ndarray:
     return grid[hs]
 
 
-def generate_k_vectors_ewald_summation(cell, k_cutoff):
+def generate_k_vectors_ewald_summation(cell, k_cutoff, max_hkl=None):
     """Half-space k-vectors for classical Ewald summation.
 
     Returns shape (K, 3) for a single system or (B, K, 3) for a batch; the
     same Miller set is transformed by each system's reciprocal cell
     (reference: k_vectors.py:43-164).
+
+    The Miller *ranges* are resolved from concrete cell values on the host;
+    under a trace (e.g. ``jax.grad`` with respect to ``cell``) pass
+    ``max_hkl`` (int triple, e.g. from :func:`_miller_ranges` at the
+    unperturbed cell) so the k-vector *values* stay traced while the static
+    enumeration is fixed.
     """
     cell_arr = jnp.asarray(cell)
     squeeze = cell_arr.ndim == 2
     cell_b = cell_arr.reshape(-1, 3, 3)
+    if max_hkl is None:
+        if isinstance(cell_arr, jax.core.Tracer):
+            raise ValueError(
+                "generate_k_vectors_ewald_summation under a jax trace needs "
+                "an explicit max_hkl (the Miller ranges are host-resolved "
+                "from concrete cell values)"
+            )
+        max_hkl = _miller_ranges(cell_b, k_cutoff)
     millers = jnp.asarray(
-        halfspace_miller_indices(_miller_ranges(cell_b, k_cutoff)),
+        halfspace_miller_indices(np.asarray(max_hkl)),
         dtype=cell_b.dtype,
     )
     reciprocal = TWOPI * jnp.linalg.inv(jnp.swapaxes(cell_b, -1, -2))

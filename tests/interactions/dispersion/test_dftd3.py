@@ -241,6 +241,75 @@ def test_list_format_matches_matrix():
     np.testing.assert_allclose(np.asarray(cn_m), np.asarray(cn_l), rtol=1e-12)
 
 
+def test_list_format_periodic_batch_virial():
+    """Native pair-list pipeline: periodic, batched, virial — all vs matrix."""
+    params = element_tables()
+    rng = np.random.default_rng(21)
+    cell = np.eye(3) * 7.0
+    pos = rng.uniform(0, 7.0, (30, 3))
+    numbers = rng.integers(1, 5, 30).astype(np.int32)
+    cutoff = 4.5
+
+    nm, num, sh = naive_neighbor_list(
+        jnp.asarray(pos), cutoff, pbc=np.array([True] * 3),
+        cell=jnp.asarray(cell), max_neighbors=128,
+    )
+    nl, ptr, ush = naive_neighbor_list(
+        jnp.asarray(pos), cutoff, pbc=np.array([True] * 3),
+        cell=jnp.asarray(cell), max_neighbors=128, return_neighbor_list=True,
+    )
+    out_m = dftd3(
+        jnp.asarray(pos), jnp.asarray(numbers), A1, A2, S8,
+        d3_params=params, cell=jnp.asarray(cell),
+        neighbor_matrix=nm, neighbor_matrix_shifts=sh,
+        compute_virial=True, output_dtype=None,
+    )
+    out_l = dftd3(
+        jnp.asarray(pos), jnp.asarray(numbers), A1, A2, S8,
+        d3_params=params, cell=jnp.asarray(cell),
+        neighbor_list=nl, neighbor_ptr=ptr, unit_shifts=ush,
+        compute_virial=True, output_dtype=None,
+    )
+    for a, b in zip(out_m, out_l):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-13)
+
+    # batched: two systems through the list path vs the matrix path
+    from nvalchemiops_tpu.neighborlist import batch_naive_neighbor_list
+    from nvalchemiops_tpu.neighborlist.neighbor_utils import (
+        get_neighbor_list_from_neighbor_matrix,
+    )
+
+    pos_b = np.concatenate([pos, rng.uniform(0, 6.0, (22, 3))])
+    num_b = np.concatenate([numbers, rng.integers(1, 5, 22).astype(np.int32)])
+    cells = np.stack([cell, np.eye(3) * 6.0])
+    batch_idx = np.repeat([0, 1], [30, 22]).astype(np.int32)
+    nm_b, nn_b, sh_b = batch_naive_neighbor_list(
+        jnp.asarray(pos_b), cutoff, pbc=np.array([True] * 3),
+        cell=jnp.asarray(cells), batch_idx=jnp.asarray(batch_idx),
+        max_neighbors=128,
+    )
+    nl_b, ptr_b, ush_b = get_neighbor_list_from_neighbor_matrix(
+        nm_b, nn_b, neighbor_shift_matrix=sh_b, fill_value=52
+    )
+    e_m, f_m, cn_m = dftd3(
+        jnp.asarray(pos_b), jnp.asarray(num_b), A1, A2, S8,
+        d3_params=params, cell=jnp.asarray(cells),
+        neighbor_matrix=nm_b, neighbor_matrix_shifts=sh_b,
+        batch_idx=jnp.asarray(batch_idx), num_systems=2, output_dtype=None,
+    )
+    e_l, f_l, cn_l = dftd3(
+        jnp.asarray(pos_b), jnp.asarray(num_b), A1, A2, S8,
+        d3_params=params, cell=jnp.asarray(cells),
+        neighbor_list=nl_b, neighbor_ptr=ptr_b, unit_shifts=ush_b,
+        batch_idx=jnp.asarray(batch_idx), num_systems=2, output_dtype=None,
+    )
+    np.testing.assert_allclose(np.asarray(e_l), np.asarray(e_m), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(f_l), np.asarray(f_m),
+                               rtol=1e-9, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(cn_l), np.asarray(cn_m), rtol=1e-12)
+
+
 def test_batch_matches_per_system():
     params = element_tables()
     pos1, numbers1 = molecule(6, n=10)

@@ -1,0 +1,337 @@
+# SPDX-License-Identifier: Apache-2.0
+"""DFT-D3 on real-format Grimme tables (reference loader format).
+
+The synthetic tables elsewhere in the suite are dense and uniformly
+structured; the *real* reference loader output (reference
+examples/dispersion/utils.py:505-560) has structure the engines must
+survive: variable per-element reference counts (1-5), -1.0 cn_ref
+sentinels at unavailable grid points, the partner-0 padding column left at
+-1, and C6 availability (but not value) separability.  These tests run the
+committed realistic H/He/C/N/O slice (d3_data.realistic_test_tables)
+through every engine, cross-check them, verify forces by finite
+differences, and freeze regression energies.
+
+Reference counterparts: benchmarks/interactions/dispersion/
+validate_d3_energies.py:15-29 (real-table cross-validation) and
+test/interactions/dispersion/test_dftd3.py:418-451 (frozen regressions).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nvalchemiops_tpu.grid import build_atom_grid, estimate_grid_geometry
+from nvalchemiops_tpu.interactions.dispersion import D3Parameters, dftd3
+from nvalchemiops_tpu.interactions.dispersion.d3_data import (
+    _REF_CN,
+    build_d3_format_tables,
+    parse_dftd3_fortran,
+    realistic_test_tables,
+)
+from nvalchemiops_tpu.interactions.dispersion.dense_d3 import (
+    batch_dense_dftd3,
+    dense_dftd3,
+)
+from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
+    batch_grid_dftd3,
+    element_c6_mask,
+    element_cn_ref,
+    grid_dftd3,
+)
+from nvalchemiops_tpu.neighborlist import naive_neighbor_list
+
+from tests.interactions.dispersion.test_dftd3 import numpy_dftd3_energy
+
+# PBE-D3(BJ) damping parameters (published functional set)
+A1, A2, S8 = 0.4289, 4.4407, 0.7875
+
+TABLES = realistic_test_tables(np.float64)
+PARAMS = D3Parameters(**{k: jnp.asarray(v) for k, v in TABLES.items()})
+
+
+def _organic_box(n=64, box=12.0, seed=0):
+    """Random H/C/N/O/He packing in a periodic cube (f64)."""
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(0, box, (n, 3))
+    numbers = rng.choice([1, 1, 1, 2, 6, 6, 7, 8], size=n).astype(np.int32)
+    cell = np.eye(3) * box
+    return pos, numbers, cell
+
+
+# --------------------------------------------------------------------------
+# format structure
+# --------------------------------------------------------------------------
+
+def test_real_format_structure():
+    """The committed slice reproduces the reference loader's fill pattern."""
+    cn_ref, c6ab = TABLES["cn_ref"], TABLES["c6ab"]
+    # -1 fill at unavailable points and the whole partner-0 column
+    assert (cn_ref[:, 0] == -1.0).all()
+    assert (cn_ref[0] == -1.0).all()
+    # element structure holds for partners >= 1
+    for z, refs in _REF_CN.items():
+        n_ref = len(refs)
+        np.testing.assert_allclose(
+            cn_ref[z, 1:, :n_ref, :],
+            np.broadcast_to(np.asarray(refs)[None, :, None],
+                            cn_ref[z, 1:, :n_ref, :].shape),
+            atol=1e-6)
+        assert (cn_ref[z, 1:, n_ref:, :] == -1.0).all()
+    # C6 availability is the separable product of per-element counts
+    for zi, ri in _REF_CN.items():
+        for zj, rj in _REF_CN.items():
+            nz = TABLES["c6ab"][zi, zj] != 0
+            expect = np.zeros((5, 5), bool)
+            expect[: len(ri), : len(rj)] = True
+            assert (nz == expect).all(), (zi, zj)
+    # symmetry convention c6ab[zj, zi, q, p] == c6ab[zi, zj, p, q]
+    assert (c6ab == np.transpose(c6ab, (1, 0, 3, 2))).all()
+
+
+def test_validators_accept_real_format():
+    """element_cn_ref / element_c6_mask must accept reference-format data."""
+    cna = np.asarray(element_cn_ref(TABLES["cn_ref"]))
+    mask = np.asarray(element_c6_mask(TABLES["c6ab"]))
+    for z, refs in _REF_CN.items():
+        np.testing.assert_allclose(cna[z, : len(refs)], refs)
+        assert (mask[z, : len(refs)] == 1).all()
+        assert (mask[z, len(refs):] == 0).all()
+    # padding element: nothing available
+    assert (mask[0] == 0).all()
+
+
+def test_validators_reject_nonconforming():
+    bad_cn = TABLES["cn_ref"].copy()
+    bad_cn[6, 2, 0, 0] = 99.0  # depends on zj -> not element-structured
+    with pytest.raises(ValueError):
+        element_cn_ref(bad_cn)
+    bad_c6 = TABLES["c6ab"].copy()
+    bad_c6[6, 7, 4, 0] = 3.0  # C has 5 refs but N only 4 -> hole pattern
+    bad_c6[6, 7, 0, 3] = 0.0
+    with pytest.raises(ValueError):
+        element_c6_mask(bad_c6)
+
+
+def test_fortran_parser_roundtrip():
+    """parse_dftd3_fortran rebuilds the tables from pars.f-style sources."""
+    dftd3_f = """
+c covalent radii
+      data rcov /
+     . 0.32, 0.46, 1.20, 0.94, 0.77 /
+      data r2r4 /
+     . 8.0589, 3.4698, 29.0974, 14.8517, 11.8799 /
+"""
+    pars_f = """
+      real*8 pars(30)
+      pars(1:15)=(/
+     . 3.0267e+00, 1.0, 1.0, 0.9118, 0.9118, ! H(CN .91)-H(CN .91)
+     . 4.7379e+00, 1.0, 101.0, 0.9118, 0.0,
+     . 7.5916e+00, 101.0, 101.0, 0.0, 0.0 /)
+      pars(16:30)=(/
+     . 1.5583e+00, 2.0, 2.0, 0.0, 0.0,
+     . 2.1036e+00, 1.0, 2.0, 0.9118, 0.0,
+     . 3.0824e+00, 101.0, 2.0, 0.0, 0.0 /)
+"""
+    out = parse_dftd3_fortran(dftd3_f, pars_f)
+    assert out["c6ab"].shape == (95, 95, 5, 5)
+    np.testing.assert_allclose(out["c6ab"][1, 1, 0, 0], 3.0267, rtol=1e-6)
+    np.testing.assert_allclose(out["c6ab"][1, 1, 0, 1], 4.7379, rtol=1e-6)
+    np.testing.assert_allclose(out["c6ab"][1, 1, 1, 0], 4.7379, rtol=1e-6)
+    np.testing.assert_allclose(out["c6ab"][1, 1, 1, 1], 7.5916, rtol=1e-6)
+    np.testing.assert_allclose(out["c6ab"][1, 2, 0, 0], 2.1036, rtol=1e-6)
+    np.testing.assert_allclose(out["c6ab"][2, 1, 0, 1], 3.0824, rtol=1e-6)
+    np.testing.assert_allclose(out["cn_ref"][1, 1, 0, 0], 0.9118)
+    np.testing.assert_allclose(out["cn_ref"][1, 1, 1, 3], 0.0)
+    assert out["cn_ref"][1, 0, 0, 0] == -1.0  # partner-0 column
+    assert out["cn_ref"][2, 1, 1, 0] == -1.0  # He has one reference
+    # rcov scaling: 4/3 x Angstrom -> Bohr; r4r2 = sqrt(.5 r2r4 sqrt(z))
+    np.testing.assert_allclose(out["rcov"][1], (4 / 3) * 0.32 / 0.52917726,
+                               rtol=1e-6)
+    np.testing.assert_allclose(out["r4r2"][1], np.sqrt(0.5 * 8.0589),
+                               rtol=1e-6)
+    # validators accept the parsed format end-to-end
+    element_cn_ref(out["cn_ref"])
+    element_c6_mask(out["c6ab"])
+
+
+def test_build_tables_first_value_wins():
+    """Conflicting CN records keep the first value (reference semantics)."""
+    out = build_d3_format_tables(
+        [(1, 1, 0, 0, 3.0, 0.9, 0.9), (1, 2, 0, 0, 2.0, 0.7, 0.0)], zmax=2)
+    assert out["cn_ref"][1, 1, 0, 0] == np.float32(0.9)
+    assert out["cn_ref"][1, 2, 0, 0] == np.float32(0.9)
+
+
+# --------------------------------------------------------------------------
+# engine cross-checks on the real format
+# --------------------------------------------------------------------------
+
+def _matrix_path(pos, numbers, cell, cutoff, dtype=jnp.float64):
+    nm, num, sh = naive_neighbor_list(
+        jnp.asarray(pos, dtype), cutoff, cell=jnp.asarray(cell, dtype),
+        pbc=np.array([True] * 3), max_neighbors=192)
+    return dftd3(jnp.asarray(pos, dtype), jnp.asarray(numbers), A1, A2, S8,
+                 d3_params=PARAMS, cell=jnp.asarray(cell, dtype),
+                 neighbor_matrix=nm, neighbor_matrix_shifts=sh,
+                 output_dtype=None)
+
+
+def test_matrix_path_matches_numpy_oracle():
+    pos, numbers, cell = _organic_box(n=24, box=8.0, seed=3)
+    cutoff = 3.9
+    e, f, cn = _matrix_path(pos, numbers, cell, cutoff)
+    # oracle over explicit periodic images within the cutoff
+    shift_rows = []
+    n = len(numbers)
+    for a in range(n):
+        rows = []
+        for b in range(n):
+            for sx in (-1, 0, 1):
+                for sy in (-1, 0, 1):
+                    for sz in (-1, 0, 1):
+                        if b == a and sx == sy == sz == 0:
+                            continue
+                        d = pos[b] + np.array([sx, sy, sz]) @ cell - pos[a]
+                        if (d * d).sum() < cutoff**2:
+                            rows.append((b, sx, sy, sz))
+        shift_rows.append(rows)
+    e_np, cn_np = numpy_dftd3_energy(
+        pos, numbers, PARAMS, A1, A2, S8, cell=cell,
+        shift_rows=shift_rows, cutoff=cutoff)
+    np.testing.assert_allclose(np.asarray(cn), cn_np, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(float(jnp.sum(e)), e_np, rtol=1e-9)
+
+
+@pytest.mark.parametrize("engine", ["xla", "block"])
+def test_grid_matches_matrix_real_format(engine):
+    pos, numbers, cell = _organic_box(n=180, box=14.0, seed=5)
+    cutoff = 4.2
+    e_m, f_m, cn_m = _matrix_path(pos, numbers, cell, cutoff)
+    pbc = np.array([True] * 3)
+    dims, radius, cap = estimate_grid_geometry(cell, pbc, cutoff, len(pos),
+                                               target_occupancy=0.4)
+    g = build_atom_grid(jnp.asarray(pos, jnp.float64),
+                        jnp.asarray(cell, jnp.float64), pbc, dims, radius,
+                        cap)
+    cna = element_cn_ref(TABLES["cn_ref"])
+    e_g, f_g, cn_g = grid_dftd3(
+        g, jnp.asarray(numbers), jnp.asarray(TABLES["rcov"]),
+        jnp.asarray(TABLES["r4r2"]), jnp.asarray(TABLES["c6ab"]), cna,
+        cutoff, A1, A2, S8, engine=engine)
+    np.testing.assert_allclose(np.asarray(cn_g), np.asarray(cn_m),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(float(e_g), float(jnp.sum(e_m)), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(f_g), np.asarray(f_m), atol=1e-7)
+
+
+def test_dense_and_batch_match_matrix_real_format():
+    pos, numbers, cell = _organic_box(n=96, box=12.0, seed=7)
+    cutoff = 4.2
+    e_m, f_m, cn_m = _matrix_path(pos, numbers, cell, cutoff)
+    cna = element_cn_ref(TABLES["cn_ref"])
+    args = (jnp.asarray(TABLES["rcov"]), jnp.asarray(TABLES["r4r2"]),
+            jnp.asarray(TABLES["c6ab"]), cna, A1, A2, S8)
+    e_d, f_d, cn_d = dense_dftd3(jnp.asarray(pos), jnp.asarray(numbers),
+                                 jnp.asarray(cell), cutoff, *args)
+    np.testing.assert_allclose(np.asarray(cn_d), np.asarray(cn_m),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(float(e_d), float(jnp.sum(e_m)), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(f_d), np.asarray(f_m), atol=1e-7)
+
+    # batched dense: two replicas, one with padding atoms
+    pos2 = np.stack([pos, pos + 0.05])
+    num2 = np.stack([numbers, numbers])
+    num2[1, -8:] = 0
+    e_b, f_b, cn_b = batch_dense_dftd3(
+        jnp.asarray(pos2), jnp.asarray(num2), jnp.asarray(cell), cutoff,
+        *args)
+    np.testing.assert_allclose(float(e_b[0]), float(e_d), rtol=1e-12)
+    e_1, f_1, cn_1 = dense_dftd3(jnp.asarray(pos2[1]), jnp.asarray(num2[1]),
+                                 jnp.asarray(cell), cutoff, *args)
+    np.testing.assert_allclose(float(e_b[1]), float(e_1), rtol=1e-12)
+
+
+def test_batch_grid_real_format():
+    pos, numbers, cell = _organic_box(n=150, box=13.0, seed=9)
+    cutoff = 4.2
+    cna = element_cn_ref(TABLES["cn_ref"])
+    tbl = (jnp.asarray(TABLES["rcov"]), jnp.asarray(TABLES["r4r2"]),
+           jnp.asarray(TABLES["c6ab"]), cna)
+    pos2 = jnp.asarray(np.stack([pos, pos[::-1] + 0.1]))
+    num2 = jnp.asarray(np.stack([numbers, numbers[::-1]]))
+    cells = jnp.asarray(np.stack([cell, cell]))
+    e_b, f_b, cn_b = batch_grid_dftd3(
+        pos2, num2, cells, np.array([True] * 3), cutoff, *tbl, A1, A2, S8,
+        target_occupancy=0.4)
+    e_m, f_m, cn_m = _matrix_path(pos, numbers, cell, cutoff)
+    np.testing.assert_allclose(float(e_b[0]), float(jnp.sum(e_m)), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(f_b[0]), np.asarray(f_m),
+                               atol=1e-7)
+
+
+# --------------------------------------------------------------------------
+# forces and frozen regressions
+# --------------------------------------------------------------------------
+
+def test_fd_forces_real_format():
+    """Analytic forces == -dE/dx by central differences (f64)."""
+    pos, numbers, cell = _organic_box(n=20, box=8.0, seed=11)
+    cutoff = 3.8
+
+    def energy(p):
+        e, f, cn = _matrix_path(p, numbers, cell, cutoff)
+        return float(jnp.sum(e))
+
+    e0, f0, _ = _matrix_path(pos, numbers, cell, cutoff)
+    f0 = np.asarray(f0)
+    h = 1e-5
+    rng = np.random.default_rng(0)
+    for a in rng.choice(len(pos), 5, replace=False):
+        for c in range(3):
+            dp = np.zeros_like(pos)
+            dp[a, c] = h
+            fd = -(energy(pos + dp) - energy(pos - dp)) / (2 * h)
+            np.testing.assert_allclose(f0[a, c], fd, rtol=5e-6, atol=1e-9)
+
+
+# frozen f64 values, generated by this suite on the CPU backend (see
+# test_frozen_regression); guards against silent physics drift.
+_FROZEN = {
+    "molecule_e": -0.002204670668407139,
+    "crystal_e": -0.0036737072642641917,
+}
+
+
+def test_frozen_regression():
+    # molecule: non-periodic methane-like cluster + He
+    mol_pos = np.array([
+        [0.0, 0.0, 0.0],       # C
+        [1.19, 1.19, 1.19],    # H x4 (tetrahedral, ~2.06 Bohr)
+        [-1.19, -1.19, 1.19],
+        [-1.19, 1.19, -1.19],
+        [1.19, -1.19, -1.19],
+        [4.5, 0.0, 0.0],       # He probe
+    ])
+    mol_num = np.array([6, 1, 1, 1, 1, 2], np.int32)
+    nm, _ = naive_neighbor_list(jnp.asarray(mol_pos, jnp.float64), 1e3,
+                                max_neighbors=8)
+    e, f, cn = dftd3(jnp.asarray(mol_pos, jnp.float64), jnp.asarray(mol_num),
+                     A1, A2, S8, d3_params=PARAMS, neighbor_matrix=nm,
+                     output_dtype=None)
+    np.testing.assert_allclose(float(jnp.sum(e)), _FROZEN["molecule_e"],
+                               rtol=1e-10)
+
+    # crystal: diamond-like C8 cube, periodic
+    a0 = 6.74  # Bohr
+    frac = np.array([[0, 0, 0], [0, .5, .5], [.5, 0, .5], [.5, .5, 0],
+                     [.25, .25, .25], [.25, .75, .75], [.75, .25, .75],
+                     [.75, .75, .25]])
+    cry_pos = frac * a0
+    cry_num = np.full(8, 6, np.int32)
+    cell = np.eye(3) * a0
+    e, f, cn = _matrix_path(cry_pos, cry_num, cell, 3.3)
+    np.testing.assert_allclose(float(jnp.sum(e)), _FROZEN["crystal_e"],
+                               rtol=1e-10)
+    # CN of tetrahedral carbon should be near 4 with real-structured tables
+    assert 3.0 < float(jnp.max(cn)) < 5.0

@@ -178,6 +178,90 @@ def test_batch_reciprocal_matches_per_system():
         off += s
 
 
+def test_real_space_output_format_matrix():
+    """{E, +F, +Q-grad} x {list, matrix} x {single, batch} — full dispatch
+    matrix with no "currently require" branches (reference:
+    ewald_kernels.py:265-1494's 12-kernel grid)."""
+    from nvalchemiops_tpu.neighborlist import batch_naive_neighbor_list
+    from nvalchemiops_tpu.neighborlist.neighbor_utils import (
+        get_neighbor_list_from_neighbor_matrix,
+    )
+
+    rng = np.random.default_rng(11)
+    cell = np.eye(3) * 5.0
+    pos = rng.uniform(0, 5.0, (14, 3))
+    q = rng.normal(size=14)
+    alpha, cutoff = 0.8, 2.4
+
+    nm, num, sh = naive_neighbor_list(
+        jnp.asarray(pos), cutoff, pbc=np.array([True] * 3),
+        cell=jnp.asarray(cell), max_neighbors=64,
+    )
+    nl, nptr, ush = get_neighbor_list_from_neighbor_matrix(
+        nm, num, neighbor_shift_matrix=sh, fill_value=14
+    )
+
+    # autodiff oracle over the matrix-format energy
+    def e_total(p, qq):
+        return ewald_real_space(
+            p, qq, jnp.asarray(cell), alpha, neighbor_matrix=nm,
+            neighbor_matrix_shifts=sh, mask_value=14, cutoff=cutoff,
+        ).sum()
+
+    g_pos = jax.grad(e_total, argnums=0)(jnp.asarray(pos), jnp.asarray(q))
+    g_q = jax.grad(e_total, argnums=1)(jnp.asarray(pos), jnp.asarray(q))
+
+    for fmt_kwargs in (
+        dict(neighbor_matrix=nm, neighbor_matrix_shifts=sh, mask_value=14),
+        dict(neighbor_list=nl, neighbor_ptr=nptr, neighbor_shifts=ush),
+    ):
+        e, f, cg = ewald_real_space(
+            jnp.asarray(pos), jnp.asarray(q), jnp.asarray(cell), alpha,
+            compute_forces=True, compute_charge_gradients=True,
+            cutoff=cutoff, **fmt_kwargs,
+        )
+        np.testing.assert_allclose(np.asarray(f), -np.asarray(g_pos), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(cg), np.asarray(g_q), atol=1e-10)
+        e2, cg2 = ewald_real_space(
+            jnp.asarray(pos), jnp.asarray(q), jnp.asarray(cell), alpha,
+            compute_charge_gradients=True, cutoff=cutoff, **fmt_kwargs,
+        )
+        np.testing.assert_allclose(np.asarray(cg2), np.asarray(cg), rtol=1e-12)
+
+    # batched: two systems, per-system alpha, both formats
+    sizes = [14, 10]
+    pos_b = np.concatenate([pos, rng.uniform(0, 4.0, (10, 3))])
+    q_b = np.concatenate([q, rng.normal(size=10)])
+    cells = np.stack([cell, np.eye(3) * 4.0])
+    batch_idx = np.repeat([0, 1], sizes).astype(np.int32)
+    alphas = np.array([0.8, 1.1])
+
+    nm_b, num_b, sh_b = batch_naive_neighbor_list(
+        jnp.asarray(pos_b), cutoff, pbc=np.array([True] * 3),
+        cell=jnp.asarray(cells), batch_idx=jnp.asarray(batch_idx),
+        max_neighbors=64,
+    )
+    nl_b, nptr_b, ush_b = get_neighbor_list_from_neighbor_matrix(
+        nm_b, num_b, neighbor_shift_matrix=sh_b, fill_value=24
+    )
+    outs = []
+    for fmt_kwargs in (
+        dict(neighbor_matrix=nm_b, neighbor_matrix_shifts=sh_b, mask_value=24),
+        dict(neighbor_list=nl_b, neighbor_ptr=nptr_b, neighbor_shifts=ush_b),
+    ):
+        e, f, cg = ewald_real_space(
+            jnp.asarray(pos_b), jnp.asarray(q_b), jnp.asarray(cells),
+            jnp.asarray(alphas), batch_idx=jnp.asarray(batch_idx),
+            compute_forces=True, compute_charge_gradients=True,
+            cutoff=cutoff, **fmt_kwargs,
+        )
+        outs.append((np.asarray(e), np.asarray(f), np.asarray(cg)))
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
+    # batch slice 0 == single-system result (same alpha)
+    np.testing.assert_allclose(outs[0][2][:14], np.asarray(g_q), atol=1e-10)
+
+
 def test_real_space_charged_system_background():
     # non-neutral system: background correction keeps alpha-invariance
     pos, q, cell, _ = cscl()
