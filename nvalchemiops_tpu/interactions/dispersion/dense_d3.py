@@ -21,6 +21,7 @@ forces unhalved.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -35,37 +36,66 @@ __all__ = ["dense_dftd3", "batch_dense_dftd3"]
 
 
 def _dense_impl(positions, numbers, cell, cutoff, rcov, r4r2, cna_a, mask_a,
-                c6p_a, a1, a2, s6, s8, k1, k3):
+                c6p_a, a1, a2, s6, s8, k1, k3, images: bool = False):
     dtype = positions.dtype
     n = positions.shape[0]
     alive = numbers != 0
 
     # minimum-image displacements d[i, j] = r_j - r_i (nearest image),
     # kept as separate x/y/z [n, n] planes — a [n, n, 3] array would be
-    # tile-padded and blow HBM at batch scale (rule 1)
+    # tile-padded and blow HBM at batch scale (rule 1).
+    #
+    # images=True additionally visits the second-nearest image per axis
+    # (d1 = d0 - sign(d0)): the 8 (nearest|second)^3 combos cover every
+    # image within one box length, extending validity from
+    # cutoff <= width/2 to cutoff < width (the reference's 21.2 A batched
+    # CsCl boxes are ~41 A, so minimum image alone misses shell pairs).
+    # Per-pair quantities (C6 interpolation, dE/dCN weights) are computed
+    # once; only the cheap radial factors run per image combo.
     inv_cell = jnp.linalg.inv(cell)
     frac = apply_mat3(positions, inv_cell)  # exact f32 (no bf16 MXU)
-    df = []
+    df0, df1 = [], []
     for c in range(3):
         fc = frac[:, c]
         dc = fc[None, :] - fc[:, None]
-        df.append(dc - jnp.round(dc))
-    dx = df[0] * cell[0, 0] + df[1] * cell[1, 0] + df[2] * cell[2, 0]
-    dy = df[0] * cell[0, 1] + df[1] * cell[1, 1] + df[2] * cell[2, 1]
-    dz = df[0] * cell[0, 2] + df[1] * cell[1, 2] + df[2] * cell[2, 2]
-    r2 = dx * dx + dy * dy + dz * dz
-    ok = (
-        alive[:, None] & alive[None, :]
-        & (r2 < cutoff * cutoff) & (r2 > 1e-20)
+        d0 = dc - jnp.round(dc)
+        df0.append(d0)
+        if images:
+            # only the NEAR second image can fall inside cutoff < width
+            # (the far one sits at |d0| + 1 >= 1 box); for d0 == 0 both
+            # second images are exactly one width away, i.e. excluded
+            s = jnp.where(d0 >= 0, 1.0, -1.0)
+            df1.append(d0 - s)
+    combos = (
+        [(0, 0, 0)] if not images
+        else [(bx, by, bz) for bx in (0, 1) for by in (0, 1) for bz in (0, 1)]
     )
-    r2_safe = jnp.where(ok, r2, 1.0)
-    inv_r = jax.lax.rsqrt(r2_safe)
 
-    # ---- pass 1: coordination numbers ------------------------------------
+    def cart(bits):
+        fx_ = df1[0] if bits[0] else df0[0]
+        fy_ = df1[1] if bits[1] else df0[1]
+        fz_ = df1[2] if bits[2] else df0[2]
+        dx = fx_ * cell[0, 0] + fy_ * cell[1, 0] + fz_ * cell[2, 0]
+        dy = fx_ * cell[0, 1] + fy_ * cell[1, 1] + fz_ * cell[2, 1]
+        dz = fx_ * cell[0, 2] + fy_ * cell[1, 2] + fz_ * cell[2, 2]
+        return dx, dy, dz
+
+    alive_pair = alive[:, None] & alive[None, :]
+    cut2 = cutoff * cutoff
+
     rcov_a = rcov.astype(dtype)[numbers]
     rc = rcov_a[:, None] + rcov_a[None, :]
-    f_cn = jnp.where(ok, 1.0 / (1.0 + jnp.exp(-k1 * (rc * inv_r - 1.0))), 0.0)
-    cn = jnp.sum(f_cn, axis=1)
+
+    # ---- pass 1: coordination numbers (image-summed) ----------------------
+    cn = jnp.zeros((n,), dtype)
+    for bits in combos:
+        dx, dy, dz = cart(bits)
+        r2 = dx * dx + dy * dy + dz * dz
+        ok = alive_pair & (r2 < cut2) & (r2 > 1e-20)
+        inv_r = jax.lax.rsqrt(jnp.where(ok, r2, 1.0))
+        f_cn = jnp.where(
+            ok, 1.0 / (1.0 + jnp.exp(-k1 * (rc * inv_r - 1.0))), 0.0)
+        cn = cn + jnp.sum(f_cn, axis=1)
 
     # ---- per-atom features (COMPENSATED l1c/rfdc derivative features:
     # z_di = z_di_naive - c6 w_di comes straight out of the dot — the
@@ -88,61 +118,120 @@ def _dense_impl(positions, numbers, cell, cutoff, rcov, r4r2, cna_a, mask_a,
     good = w > 1e-12
     w_inv = 1.0 / jnp.where(good, w, 1.0)
     c6 = jnp.where(good, zacc * w_inv, 0.0)
+    c6_ok = alive_pair & (c6 >= 1e-12)
 
-    pair_ok = ok & (c6 >= 1e-12)
     si = jnp.sqrt(r4r2.astype(dtype) * 1.7320508075688772)[numbers]
     t = si[:, None] * si[None, :]
     rr = t * t
     r0 = a1 * t + a2
-    r4 = r2_safe * r2_safe
-    r6 = r4 * r2_safe
-    r8 = r4 * r4
     r0_2 = r0 * r0
     r0_6 = r0_2 * r0_2 * r0_2
     r0_8 = r0_6 * r0_2
-    den6 = r6 + r0_6
-    den8 = r8 + r0_8
-    rec = 1.0 / (den6 * den8)
-    den6_inv = rec * den8
-    den8_inv = rec * den6
-    damp_sum = s6 * den6_inv + s8 * rr * den8_inv
 
-    e_ij = jnp.where(pair_ok, -c6 * damp_sum, 0.0)
-    energy = 0.5 * jnp.sum(e_ij)
+    acc_damp = jnp.zeros((n, n), dtype)  # sum_s damp_sum(r_s), masked
+    fx = jnp.zeros((n,), dtype)
+    fy = jnp.zeros((n,), dtype)
+    fz = jnp.zeros((n,), dtype)
+    for bits in combos:
+        dx, dy, dz = cart(bits)
+        r2 = dx * dx + dy * dy + dz * dz
+        ok = c6_ok & (r2 < cut2) & (r2 > 1e-20)
+        r2_safe = jnp.where(ok, r2, 1.0)
+        r4 = r2_safe * r2_safe
+        r6 = r4 * r2_safe
+        r8 = r4 * r4
+        den6 = r6 + r0_6
+        den8 = r8 + r0_8
+        rec = 1.0 / (den6 * den8)
+        den6_inv = rec * den8
+        den8_inv = rec * den6
+        damp_sum = s6 * den6_inv + s8 * rr * den8_inv
+        acc_damp = acc_damp + jnp.where(ok, damp_sum, 0.0)
 
-    dd6 = -6.0 * s6 * r4 * den6_inv * den6_inv
-    dd8 = -8.0 * s8 * rr * r6 * den8_inv * den8_inv
-    coef = jnp.where(pair_ok, -c6 * (dd6 + dd8), 0.0)
-    fx = jnp.sum(coef * dx, axis=1)
-    fy = jnp.sum(coef * dy, axis=1)
-    fz = jnp.sum(coef * dz, axis=1)
+        dd6 = -6.0 * s6 * r4 * den6_inv * den6_inv
+        dd8 = -8.0 * s8 * rr * r6 * den8_inv * den8_inv
+        coef = jnp.where(ok, -c6 * (dd6 + dd8), 0.0)
+        fx = fx + jnp.sum(coef * dx, axis=1)
+        fy = fy + jnp.sum(coef * dy, axis=1)
+        fz = fz + jnp.sum(coef * dz, axis=1)
 
-    m = jnp.where(pair_ok, (-2.0 * k3) * damp_sum * w_inv, 0.0)
+    energy = 0.5 * jnp.sum(jnp.where(c6_ok, -c6 * acc_damp, 0.0))
+    m = jnp.where(c6_ok, (-2.0 * k3) * acc_damp * w_inv, 0.0)
     de_dcn = jnp.sum(m * z_di, axis=1)
 
-    # ---- pass 3: CN chain-rule forces ------------------------------------
-    rrq = rc * inv_r
-    f3 = 1.0 / (1.0 + jnp.exp(-k1 * (rrq - 1.0)))
-    dcn_dr_r = -f3 * (1.0 - f3) * k1 * rrq * inv_r * inv_r
-    de_chain = (de_dcn[:, None] + de_dcn[None, :]) * dcn_dr_r
-    coef3 = jnp.where(ok, de_chain, 0.0)
-    fx = fx + jnp.sum(coef3 * dx, axis=1)
-    fy = fy + jnp.sum(coef3 * dy, axis=1)
-    fz = fz + jnp.sum(coef3 * dz, axis=1)
+    # ---- pass 3: CN chain-rule forces (image-summed) -----------------------
+    de_pair = de_dcn[:, None] + de_dcn[None, :]
+    for bits in combos:
+        dx, dy, dz = cart(bits)
+        r2 = dx * dx + dy * dy + dz * dz
+        ok = alive_pair & (r2 < cut2) & (r2 > 1e-20)
+        inv_r = jax.lax.rsqrt(jnp.where(ok, r2, 1.0))
+        rrq = rc * inv_r
+        f3 = 1.0 / (1.0 + jnp.exp(-k1 * (rrq - 1.0)))
+        dcn_dr_r = -f3 * (1.0 - f3) * k1 * rrq * inv_r * inv_r
+        coef3 = jnp.where(ok, de_pair * dcn_dr_r, 0.0)
+        fx = fx + jnp.sum(coef3 * dx, axis=1)
+        fy = fy + jnp.sum(coef3 * dy, axis=1)
+        fz = fz + jnp.sum(coef3 * dz, axis=1)
 
     forces = jnp.stack([fx, fy, fz], axis=-1)
     return energy, forces, cn
 
 
+def min_perpendicular_width(cell) -> float:
+    """Smallest perpendicular cell width (host-side, concrete cell).
+
+    ``V / max_face_area`` — the minimum-image bound is ``cutoff <= w/2``;
+    the two-candidate image sweep (``images=True``) is valid for
+    ``cutoff < w``.
+    """
+    cell_np = np.asarray(jax.device_get(cell), dtype=np.float64).reshape(3, 3)
+    vol = abs(np.linalg.det(cell_np))
+    widths = [
+        vol / np.linalg.norm(np.cross(cell_np[j], cell_np[k]))
+        for j, k in ((1, 2), (2, 0), (0, 1))
+    ]
+    return float(min(widths))
+
+
+def _resolve_images(images, cell, cutoff):
+    """Auto-select the image mode from a concrete cell; validate bounds."""
+    if images is not None:
+        return bool(images)
+    if isinstance(jnp.asarray(cell), jax.core.Tracer):
+        raise ValueError(
+            "dense_dftd3 under a jax trace needs an explicit images= flag "
+            "(the minimum-image validity check reads concrete cell values)"
+        )
+    w = min_perpendicular_width(cell)
+    cut = float(np.asarray(jax.device_get(cutoff)))
+    if cut <= 0.5 * w:
+        return False
+    if cut < w:
+        return True
+    raise ValueError(
+        f"dense D3 requires cutoff < min cell width ({cut} >= {w}); "
+        "use the grid or neighbor-matrix paths"
+    )
+
+
 def dense_dftd3(positions, numbers, cell, cutoff, rcov, r4r2, c6ab,
-                cn_ref_elem, a1, a2, s8, s6=1.0, k1=16.0, k3=-4.0):
-    """DFT-D3(BJ) via dense minimum-image pairs (cutoff <= box/2).
+                cn_ref_elem, a1, a2, s8, s6=1.0, k1=16.0, k3=-4.0,
+                images: bool | None = None):
+    """DFT-D3(BJ) via dense pair planes.
 
     Same physics contract as :func:`grid_d3.grid_dftd3`; ``numbers == 0``
     marks padding atoms.  Returns ``(energy, forces [n, 3], cn [n])``.
+
+    ``images=None`` (default) picks minimum-image when
+    ``cutoff <= width/2`` and the two-candidate-per-axis image sweep when
+    ``width/2 < cutoff < width`` (e.g. the reference's 21.2 A batched
+    benchmark on ~41 A CsCl boxes); pass the flag explicitly when ``cell``
+    is traced (vmap/grad).
     """
     dtype = positions.dtype
     numbers = jnp.asarray(numbers, INDEX_DTYPE)
+    images = _resolve_images(images, cell, cutoff)
     zmax1 = rcov.shape[0]
     mesh = cn_ref_elem.shape[1]
     mask_elem = element_c6_mask(c6ab)
@@ -157,28 +246,40 @@ def dense_dftd3(positions, numbers, cell, cutoff, rcov, r4r2, c6ab,
         jnp.asarray(rcov), jnp.asarray(r4r2), cna_a, mask_a, c6p_a,
         jnp.asarray(a1, dtype), jnp.asarray(a2, dtype),
         jnp.asarray(s6, dtype), jnp.asarray(s8, dtype),
-        jnp.asarray(k1, dtype), jnp.asarray(k3, dtype))
+        jnp.asarray(k1, dtype), jnp.asarray(k3, dtype), images=images)
 
 
 def batch_dense_dftd3(positions, numbers, cells, cutoff, rcov, r4r2, c6ab,
                       cn_ref_elem, a1, a2, s8, s6=1.0, k1=16.0, k3=-4.0,
-                      system_chunk: int | None = None):
+                      system_chunk: int | None = None,
+                      images: bool | None = None):
     """Batched dense D3: vmap of :func:`dense_dftd3` over the system axis.
 
     ``positions`` [B, n, 3], ``numbers`` [B, n], ``cells`` [3, 3] shared
     or [B, 3, 3].  Returns ``(energy [B], forces [B, n, 3], cn [B, n])``.
 
-    The live [n, n] pair planes cost ~6 n^2 floats per in-flight system;
-    ``system_chunk`` (default: sized so chunks stay under ~2 GB) runs the
-    batch as ``lax.map`` over vmapped chunks so HBM stays bounded at any
-    batch size.  Requires ``B % system_chunk == 0``.
+    The live [n, n] pair planes cost ~6 n^2 floats per in-flight system
+    (~9 with ``images``); ``system_chunk`` (default: sized so chunks stay
+    under ~2 GB) runs the batch as ``lax.map`` over vmapped chunks so HBM
+    stays bounded at any batch size.  Requires ``B % system_chunk == 0``.
+
+    ``images`` is resolved on the host from the *worst-case* cell of the
+    batch (cells are concrete here, pre-vmap) and applied uniformly.
     """
     positions = jnp.asarray(positions)
     b, n = positions.shape[0], positions.shape[1]
     cells = jnp.asarray(cells, positions.dtype)
     shared = cells.ndim == 2
+    if images is None:
+        if shared:
+            images = _resolve_images(None, cells, cutoff)
+        else:
+            widths = [min_perpendicular_width(cells[i]) for i in range(b)]
+            images = _resolve_images(
+                None, np.eye(3) * min(widths), cutoff)
     if system_chunk is None:
-        budget = int((2 << 30) / (6 * 4 * n * n))
+        planes = 9 if images else 6
+        budget = int((2 << 30) / (planes * 4 * n * n))
         system_chunk = max(1, min(b, budget))
         while b % system_chunk:
             system_chunk -= 1
@@ -188,7 +289,7 @@ def batch_dense_dftd3(positions, numbers, cells, cutoff, rcov, r4r2, c6ab,
     if shared:
         fn = lambda p, z: dense_dftd3(  # noqa: E731
             p, z, cells, cutoff, rcov, r4r2, c6ab, cn_ref_elem,
-            a1, a2, s8, s6=s6, k1=k1, k3=k3)
+            a1, a2, s8, s6=s6, k1=k1, k3=k3, images=images)
         vfn = jax.vmap(fn)
         if system_chunk == b:
             return vfn(positions, numbers)
@@ -200,7 +301,7 @@ def batch_dense_dftd3(positions, numbers, cells, cutoff, rcov, r4r2, c6ab,
 
     fn = lambda p, z, c: dense_dftd3(  # noqa: E731
         p, z, c, cutoff, rcov, r4r2, c6ab, cn_ref_elem,
-        a1, a2, s8, s6=s6, k1=k1, k3=k3)
+        a1, a2, s8, s6=s6, k1=k1, k3=k3, images=images)
     vfn = jax.vmap(fn)
     if system_chunk == b:
         return vfn(positions, numbers, cells)

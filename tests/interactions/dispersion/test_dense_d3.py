@@ -53,6 +53,59 @@ def test_dense_matches_grid_with_padding():
     assert np.abs(np.asarray(f_d)[-12:]).max() == 0.0
 
 
+def test_dense_images_beyond_minimum_image():
+    """cutoff in (width/2, width): the 8-combo image sweep vs the matrix
+    path (full shift enumeration) — the reference's 21.2 A batched config
+    shape, where minimum image alone misses boundary-shell pairs."""
+    import pytest
+
+    from nvalchemiops_tpu.interactions.dispersion import dftd3
+    from nvalchemiops_tpu.neighborlist import naive_neighbor_list
+
+    rng = np.random.default_rng(3)
+    npa, box, cutoff = 60, 8.0, 6.3  # cutoff/width = 0.79
+    pos64 = rng.uniform(0, box, (npa, 3))
+    cell64 = np.eye(3) * box
+    zmax = 4
+    numbers = jnp.asarray(rng.integers(1, zmax + 1, npa), jnp.int32)
+    rcov, r4r2, c6, cna = _tables(rng, zmax)
+
+    pos = jnp.asarray(pos64, jnp.float64)
+    cell = jnp.asarray(cell64, jnp.float64)
+    e_d, f_d, cn_d = dense_dftd3(pos, numbers, cell, cutoff,
+                                 rcov, r4r2, c6, cna, 0.42, 4.1, 1.7)
+
+    # oracle: matrix path with full periodic-shift enumeration
+    nm, num, sh = naive_neighbor_list(pos, cutoff, pbc=np.array([True] * 3),
+                                      cell=cell, max_neighbors=512)
+    # build element-shaped cn_ref from the element table for the oracle
+    cn_ref = jnp.broadcast_to(
+        jnp.asarray(cna)[:, None, :, None],
+        (zmax + 1, zmax + 1, 5, 5)).astype(jnp.float64)
+    e_m, f_m, cn_m = dftd3(
+        pos, numbers, 0.42, 4.1, 1.7,
+        covalent_radii=jnp.asarray(rcov, jnp.float64),
+        r4r2=jnp.asarray(r4r2, jnp.float64),
+        c6_reference=jnp.asarray(c6, jnp.float64), coord_num_ref=cn_ref,
+        cell=cell, neighbor_matrix=nm, neighbor_matrix_shifts=sh,
+        output_dtype=None)
+    np.testing.assert_allclose(np.asarray(cn_d), np.asarray(cn_m),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(float(e_d), float(jnp.sum(e_m)), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(f_d), np.asarray(f_m), atol=1e-9)
+
+    # minimum image alone must NOT match (shell pairs exist) — guards the
+    # auto-switch from silently being a no-op in this regime
+    e_mi, _, _ = dense_dftd3(pos, numbers, cell, cutoff, rcov, r4r2, c6,
+                             cna, 0.42, 4.1, 1.7, images=False)
+    assert abs(float(e_mi) - float(jnp.sum(e_m))) > 1e-9
+
+    # cutoff >= width is rejected
+    with pytest.raises(ValueError, match="min cell width"):
+        dense_dftd3(pos, numbers, cell, 8.5, rcov, r4r2, c6, cna,
+                    0.42, 4.1, 1.7)
+
+
 def test_batch_dense_matches_per_system():
     rng = np.random.default_rng(1)
     B, npa, box, cutoff = 3, 150, 12.0, 4.0
