@@ -4,11 +4,17 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "us/atom", "vs_baseline": N}
 
-Pipeline (BASELINE.json config #5 shape): a 97,336-atom periodic crystal,
-f32; one halo-grid build at the 9 A interaction cutoff; DFT-D3(BJ) energies
-+ analytical forces + CNs on the grid; erfc-damped real-space Coulomb
-energies + forces on the same grid; PME reciprocal space (128^3 mesh,
-separable-matmul spread/gather) energies + ik-space forces.
+Pipeline (BASELINE.json config #5 shape): a 109,744-atom CsCl (B2)
+supercell — the reference's own benchmark crystal for D3 and PME — f32;
+one halo-grid build at the 9 A interaction cutoff; DFT-D3(BJ) energies
++ analytical forces + CNs on the grid (tables compacted to the present
+elements, zm = 15); erfc-damped real-space Coulomb energies + forces on
+the same grid; PME reciprocal space (128^3 mesh, tile-windowed
+spread/gather) energies + spline-derivative forces.  Cutoff note: the
+reference's published D3 number was measured at 21.2 A (docs/benchmarks.md
+carries the matched-cutoff batched comparison); this composite uses the
+MD-typical 9 A for the real-space stages, per the BASELINE.json MLIP-step
+framing.
 
 Baseline (H100, from BASELINE.md): cell-list NL 0.051 us/atom (131k),
 DFT-D3 0.19 us/atom (85.7k), PME reciprocal 0.045 us/atom (128k batched)
@@ -49,16 +55,19 @@ BASELINE_US_PER_ATOM = 0.286  # H100 components: 0.051 (NL) + 0.19 (D3) + 0.045 
 
 
 def main():
-    # box 144 A: bins commensurate with the 9 A cutoff.  BENCH_NREP
-    # overrides for smoke-testing the script itself at small sizes.
-    n_rep, a = int(os.environ.get("BENCH_NREP", "48")), 3.0
-    rng = np.random.default_rng(0)
-    grid_pts = np.stack(
-        np.meshgrid(*([np.arange(n_rep)] * 3), indexing="ij"), -1
-    ).reshape(-1, 3) * a
-    pos_np = grid_pts + rng.uniform(-0.2, 0.2, grid_pts.shape)
+    from benchmarks.composite_accuracy import build_system
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
+        compact_d3_elements,
+    )
+
+    # CsCl (B2) supercell — the reference's own benchmark crystal (see
+    # composite_accuracy.build_system).  n_rep=38 -> 109,744 atoms, box
+    # 156.7 A.  BENCH_NREP overrides for smoke-testing at small sizes.
+    n_rep = int(os.environ.get("BENCH_NREP", "38"))
+    pos_np, cell_np, numbers_np, charges_np, rcov_np, r4r2_np, cna_np, c6_np = (
+        build_system(n_rep=n_rep)
+    )
     n = pos_np.shape[0]
-    cell_np = np.eye(3) * (n_rep * a)
 
     dtype = jnp.float32
     pos = jnp.asarray(pos_np, dtype)
@@ -66,23 +75,15 @@ def main():
     pbc = np.array([True] * 3)
     cutoff = 9.0
     alpha = 0.35
-    mesh = (128, 128, 128) if n_rep >= 32 else (32, 32, 32)
+    mesh = (128, 128, 128) if n_rep >= 24 else (32, 32, 32)
 
-    zmax = 16
-    numbers = jnp.asarray(rng.integers(1, zmax + 1, n), jnp.int32)
-    charges = jnp.asarray(rng.normal(size=n), dtype)
-    charges = charges - charges.mean()
-    rcov = jnp.asarray(np.r_[0.0, rng.uniform(0.6, 1.2, zmax)], dtype)
-    r4r2 = jnp.asarray(np.r_[0.0, rng.uniform(2.0, 5.0, zmax)], dtype)
-    cna = jnp.asarray(
-        np.vstack([np.zeros(5), np.cumsum(rng.uniform(0.3, 1.0, (zmax, 5)), 1)]),
-        dtype,
+    charges = jnp.asarray(charges_np, dtype)
+    # compact the Z<=94 tables to the present-element set (zm 475 -> 15) —
+    # host-side, once per composition, exactly as an MD caller would
+    numbers, rcov, r4r2, c6, cna = compact_d3_elements(
+        numbers_np, rcov_np, r4r2_np, c6_np, cna_np
     )
-    c6_np = rng.uniform(5.0, 40.0, (zmax + 1, zmax + 1, 5, 5))
-    c6_np[0] = 0.0
-    c6_np[:, 0] = 0.0
-    c6_np = 0.5 * (c6_np + np.swapaxes(np.swapaxes(c6_np, 0, 1), 2, 3))
-    c6 = jnp.asarray(c6_np, dtype)
+    rcov, r4r2, c6, cna = (a.astype(dtype) for a in (rcov, r4r2, c6, cna))
 
     dims, radius, cap = estimate_grid_geometry(cell, pbc, cutoff, n, target_occupancy=0.75)
     # origin search + observed-occupancy capacity (sweep cost ~ cap^2)
@@ -95,17 +96,16 @@ def main():
 
     # --- stage 1: neighbor structure build ---------------------------------
     t_nl = measure(
-        lambda p: build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin).ext_px,
+        lambda p: build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin),
         dep, (pos,), iters=8,
     )
 
     # --- stage 2: DFT-D3 energies + forces + CN (incl. its grid reuse) ------
     def d3_step(p):
         gg = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
-        _, forces, _ = grid_dftd3(
+        return grid_dftd3(
             gg, numbers, rcov, r4r2, c6, cna, cutoff, 0.4, 4.2, 1.8
         )
-        return forces
 
     t_d3_total = measure(d3_step, dep, (pos,), iters=3)
     t_d3 = max(t_d3_total - t_nl, 0.0)
@@ -113,8 +113,7 @@ def main():
     # --- stage 3: real-space Coulomb on the same grid -----------------------
     def coul_step(p):
         gg = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
-        e, f = grid_coulomb_energy_forces(gg, charges, cutoff, alpha)
-        return f
+        return grid_coulomb_energy_forces(gg, charges, cutoff, alpha)
 
     t_coul_total = measure(coul_step, dep, (pos,), iters=3)
     t_coul = max(t_coul_total - t_nl, 0.0)
@@ -125,11 +124,11 @@ def main():
     tile_cap = observed_tile_capacity(pos, cell, mesh)
 
     def pme_step(p):
-        _, forces, _ = _pme_reciprocal_impl(
+        e, forces, _ = _pme_reciprocal_impl(
             p, charges, cell.reshape(1, 3, 3), jnp.asarray([alpha], dtype),
             mesh, 4, None, True, False, None, None, tile_capacity=tile_cap,
         )
-        return forces
+        return e, forces
 
     t_pme = measure(pme_step, dep, (pos,), iters=3)
 
@@ -153,11 +152,10 @@ def main():
             gg = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
             sg = build_stencil_grid(p, cell, pbc, sdims, sradius,
                                     origin=sorigin_j)
-            _, forces, _ = grid_dftd3(
+            return grid_dftd3(
                 gg, numbers, rcov, r4r2, c6, cna, cutoff, 0.4, 4.2, 1.8,
                 engine="hybrid", stencil=sg, hybrid_cn="row",
             )
-            return forces
 
         # includes BOTH builds; comparable to t_d3_total, so subtract t_nl
         # (the grid build) the same way the default stage does
@@ -170,11 +168,10 @@ def main():
     try:
         def d3_stack_step(p):
             gg = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
-            _, forces, _ = grid_dftd3(
+            return grid_dftd3(
                 gg, numbers, rcov, r4r2, c6, cna, cutoff, 0.4, 4.2, 1.8,
                 bilinear="stack", feature_dtype=jnp.bfloat16,
             )
-            return forces
 
         t_d3_stack = max(measure(d3_stack_step, dep, (pos,), iters=3) - t_nl, 0.0)
     except Exception as exc:  # noqa: BLE001 - variant must never break the bench
@@ -182,12 +179,12 @@ def main():
               file=sys.stderr)
     try:
         def pme_mm_step(p):
-            _, forces, _ = _pme_reciprocal_impl(
+            e, forces, _ = _pme_reciprocal_impl(
                 p, charges, cell.reshape(1, 3, 3), jnp.asarray([alpha], dtype),
                 mesh, 4, None, True, False, None, None,
                 tile_capacity=tile_cap, fft_mode="matmul",
             )
-            return forces
+            return e, forces
 
         t_pme_mm = measure(pme_mm_step, dep, (pos,), iters=3)
     except Exception as exc:  # noqa: BLE001
@@ -196,12 +193,12 @@ def main():
     t_pme_pg = None
     try:
         def pme_pg_step(p):
-            _, forces, _ = _pme_reciprocal_impl(
+            e, forces, _ = _pme_reciprocal_impl(
                 p, charges, cell.reshape(1, 3, 3), jnp.asarray([alpha], dtype),
                 mesh, 4, None, True, False, None, None,
                 tile_capacity=tile_cap, gather_engine="pallas",
             )
-            return forces
+            return e, forces
 
         t_pme_pg = measure(pme_pg_step, dep, (pos,), iters=3)
     except Exception as exc:  # noqa: BLE001
@@ -211,15 +208,15 @@ def main():
     # --- fused MD step: one jitted program, one grid build ------------------
     def md_step(p):
         gg = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
-        _, f_d3, _ = grid_dftd3(
+        e_d3, f_d3, _ = grid_dftd3(
             gg, numbers, rcov, r4r2, c6, cna, cutoff, 0.4, 4.2, 1.8
         )
-        _, f_c = grid_coulomb_energy_forces(gg, charges, cutoff, alpha)
-        _, f_p, _ = _pme_reciprocal_impl(
+        e_c, f_c = grid_coulomb_energy_forces(gg, charges, cutoff, alpha)
+        e_p, f_p, _ = _pme_reciprocal_impl(
             p, charges, cell.reshape(1, 3, 3), jnp.asarray([alpha], dtype),
             mesh, 4, None, True, False, None, None, tile_capacity=tile_cap,
         )
-        return f_d3 + f_c + f_p
+        return e_d3 + jnp.sum(e_p) + e_c, f_d3 + f_c + f_p
 
     t_fused = measure(md_step, dep, (pos,), iters=3)
 
@@ -232,7 +229,7 @@ def main():
     us_per_atom = total * 1e6 / n
     with_coul = (total + t_coul) * 1e6 / n
     result = {
-        "metric": "NL+D3+PME end-to-end (110,592 atoms, f32, energies+forces, TPU chip)",
+        "metric": "NL+D3+PME end-to-end (109,744-atom CsCl, f32, energies+forces, TPU chip)",
         "value": round(us_per_atom, 4),
         "unit": "us/atom",
         "vs_baseline": round(us_per_atom / BASELINE_US_PER_ATOM, 3),

@@ -18,26 +18,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-N_REP = 8  # 4,096 atoms — big enough to exercise every engine branch
-A_LAT = 3.0
+N_REP = 8  # 1,024 atoms — big enough to exercise every engine branch
+A_LAT = 4.123  # CsCl conventional lattice constant, Angstrom
 CUTOFF = 9.0
 ALPHA = 0.35
 MESH = (32, 32, 32)
-ZMAX = 16
+ZMAX = 94
 REF_PATH = "/tmp/bench_acc_ref.npz"
 
 
-def build_system():
-    rng = np.random.default_rng(0)
+def build_system(n_rep=N_REP, seed=0):
+    """CsCl (B2) supercell + full-periodic-table synthetic D3 tables.
+
+    CsCl supercells are the reference's own benchmark crystal for both D3
+    and PME (reference benchmarks/interactions/dispersion/
+    benchmark_config.yaml `system_type: cscl`; electrostatics config
+    likewise), so the composite measures the same workload shape: two
+    species (Cs 55 / Cl 17) on interpenetrating simple-cubic lattices with
+    alternating +-1 formal charges.  Tables span Z <= 94 like the real
+    Grimme data; the engines compact them to the present-element set
+    (grid_d3.compact_d3_elements), exactly as an MD caller would.
+    """
+    rng = np.random.default_rng(seed)
     gpts = np.stack(
-        np.meshgrid(*([np.arange(N_REP)] * 3), indexing="ij"), -1
+        np.meshgrid(*([np.arange(n_rep)] * 3), indexing="ij"), -1
     ).reshape(-1, 3) * A_LAT
-    pos = gpts + rng.uniform(-0.2, 0.2, gpts.shape)
+    pos = np.concatenate([gpts, gpts + 0.5 * A_LAT], axis=0)
+    pos = pos + rng.uniform(-0.1, 0.1, pos.shape)
     n = pos.shape[0]
-    cell = np.eye(3) * (N_REP * A_LAT)
-    numbers = rng.integers(1, ZMAX + 1, n).astype(np.int32)
-    charges = rng.normal(size=n)
-    charges -= charges.mean()
+    cell = np.eye(3) * (n_rep * A_LAT)
+    numbers = np.r_[np.full(n // 2, 55), np.full(n // 2, 17)].astype(np.int32)
+    charges = np.r_[np.ones(n // 2), -np.ones(n // 2)]
     rcov = np.r_[0.0, rng.uniform(0.6, 1.2, ZMAX)]
     r4r2 = np.r_[0.0, rng.uniform(2.0, 5.0, ZMAX)]
     cna = np.vstack([np.zeros(5), np.cumsum(rng.uniform(0.3, 1.0, (ZMAX, 5)), 1)])
@@ -56,13 +67,18 @@ def compute_forces(dtype, d3_kwargs=None):
         build_atom_grid, choose_grid_origin, estimate_grid_geometry,
         grid_coulomb_energy_forces,
     )
-    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import grid_dftd3
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
+        compact_d3_elements, grid_dftd3,
+    )
     from nvalchemiops_tpu.interactions.electrostatics.pme import (
         pme_reciprocal_space,
     )
     from nvalchemiops_tpu.spline_windowed import observed_tile_capacity
 
     pos_np, cell_np, numbers, charges, rcov, r4r2, cna, c6 = build_system()
+    numbers, rcov, r4r2, c6, cna = (
+        np.asarray(a) for a in compact_d3_elements(numbers, rcov, r4r2, c6, cna)
+    )
     pbc = np.array([True] * 3)
     pos = jnp.asarray(pos_np, dtype)
     cell = jnp.asarray(cell_np, dtype)

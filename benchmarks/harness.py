@@ -31,7 +31,8 @@ def chain_loop(step_fn, dep_fn, iters: int):
             return dep_fn(a, out)
 
         final = jax.lax.fori_loop(0, iters, body, args)
-        return jnp.sum(jax.tree_util.tree_leaves(final)[0].astype(jnp.float32))
+        leaves = jax.tree_util.tree_leaves(final)
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
 
     return run
 
@@ -55,8 +56,12 @@ def perturb_positions(scale=1e-30):
     """dep_fn factory: nudge args[0] by a data-dependent epsilon."""
 
     def dep(args, out):
+        # data-depend on EVERY output leaf: anything the hash does not
+        # touch is dead code XLA will eliminate, silently turning an
+        # "energies+forces" measurement into forces-only (measured: 8 ms
+        # of D3 pass-2 work vanishes when only forces are consumed)
         leaves = jax.tree_util.tree_leaves(out)
-        h = jnp.sum(leaves[0].astype(jnp.float32).ravel()[:8])
+        h = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
         eps = (jnp.abs(h) % 2.0) * scale
         new0 = args[0] + eps.astype(args[0].dtype)
         return (new0,) + tuple(args[1:])
