@@ -35,67 +35,109 @@ from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
 __all__ = ["dense_dftd3", "batch_dense_dftd3"]
 
 
+def _image_combos(images: bool, cell_np=None, cutoff: float | None = None):
+    """Static (second-image bit per axis) combo list, distance-pruned.
+
+    A combo whose bit set S puts the second image on every axis in S has
+    pair distance at least
+
+    - orthogonal cells:  r^2 >= sum_{a in S} (w_a / 2)^2  (axes independent)
+    - general cells:     r   >= max_{a in S}  w_a / 2     (per-axis normal
+      component alone)
+
+    because the second-image fractional offset satisfies |d1| = 1 - |d0|
+    >= 1/2.  Combos whose bound exceeds the cutoff can never contribute
+    and are dropped at trace time — e.g. the reference's batched config
+    (cutoff 21.2 A, 41.2 A boxes) keeps only the 4 single-axis combos out
+    of 8.  With no concrete cell (traced), all 8 are kept (still correct).
+    """
+    if not images:
+        return [(0, 0, 0)]
+    combos = [(bx, by, bz)
+              for bx in (0, 1) for by in (0, 1) for bz in (0, 1)]
+    if cell_np is None or cutoff is None:
+        return combos
+    cell_np = np.asarray(cell_np, dtype=np.float64).reshape(3, 3)
+    vol = abs(np.linalg.det(cell_np))
+    widths = np.array([
+        vol / np.linalg.norm(np.cross(cell_np[j], cell_np[k]))
+        for j, k in ((1, 2), (2, 0), (0, 1))
+    ])
+    off = cell_np @ cell_np.T - np.diag(np.sum(cell_np * cell_np, axis=1))
+    orthogonal = np.all(np.abs(off) < 1e-9 * np.max(np.abs(cell_np)) ** 2)
+    kept = []
+    for bits in combos:
+        sel = (widths * 0.5)[np.array(bits, dtype=bool)]
+        if sel.size == 0:
+            kept.append(bits)
+            continue
+        bound = np.sqrt(np.sum(sel ** 2)) if orthogonal else np.max(sel)
+        if bound < float(cutoff):
+            kept.append(bits)
+    return kept
+
+
 def _dense_impl(positions, numbers, cell, cutoff, rcov, r4r2, cna_a, mask_a,
-                c6p_a, a1, a2, s6, s8, k1, k3, images: bool = False):
+                c6p_a, a1, a2, s6, s8, k1, k3, images: bool = False,
+                combos=None):
     dtype = positions.dtype
     n = positions.shape[0]
-    alive = numbers != 0
+    alive_f = (numbers != 0).astype(dtype)
 
-    # minimum-image displacements d[i, j] = r_j - r_i (nearest image),
-    # kept as separate x/y/z [n, n] planes — a [n, n, 3] array would be
-    # tile-padded and blow HBM at batch scale (rule 1).
-    #
     # images=True additionally visits the second-nearest image per axis
-    # (d1 = d0 - sign(d0)): the 8 (nearest|second)^3 combos cover every
+    # (d1 = d0 - sign(d0)): the (nearest|second)^3 combos cover every
     # image within one box length, extending validity from
     # cutoff <= width/2 to cutoff < width (the reference's 21.2 A batched
     # CsCl boxes are ~41 A, so minimum image alone misses shell pairs).
     # Per-pair quantities (C6 interpolation, dE/dCN weights) are computed
-    # once; only the cheap radial factors run per image combo.
+    # once; only the radial factors run per image combo.
+    #
+    # Memory discipline (the measured bottleneck is HBM, not flops): every
+    # per-combo [n, n] plane — fractional diffs, distances, masks, vdW
+    # radii polynomials — is expressed as a fused elementwise DAG over
+    # [n] vectors with an immediate row reduction, so nothing but the two
+    # C6 matmul products ever round-trips HBM per combo.  The image sum
+    # for energy/dE_dCN is accumulated per combo (scalars / [n] rows),
+    # NOT as a [n, n] acc_damp plane: at 128 x 2000 the plane accumulator
+    # alone cost ~8 read+write GB per image combo.
     inv_cell = jnp.linalg.inv(cell)
     frac = apply_mat3(positions, inv_cell)  # exact f32 (no bf16 MXU)
-    df0, df1 = [], []
-    for c in range(3):
-        fc = frac[:, c]
-        dc = fc[None, :] - fc[:, None]
-        d0 = dc - jnp.round(dc)
-        df0.append(d0)
-        if images:
-            # only the NEAR second image can fall inside cutoff < width
-            # (the far one sits at |d0| + 1 >= 1 box); for d0 == 0 both
-            # second images are exactly one width away, i.e. excluded
-            s = jnp.where(d0 >= 0, 1.0, -1.0)
-            df1.append(d0 - s)
-    combos = (
-        [(0, 0, 0)] if not images
-        else [(bx, by, bz) for bx in (0, 1) for by in (0, 1) for bz in (0, 1)]
-    )
+    fcols = [frac[:, c] for c in range(3)]
+    if combos is None:
+        combos = _image_combos(images)
 
     def cart(bits):
-        fx_ = df1[0] if bits[0] else df0[0]
-        fy_ = df1[1] if bits[1] else df0[1]
-        fz_ = df1[2] if bits[2] else df0[2]
-        dx = fx_ * cell[0, 0] + fy_ * cell[1, 0] + fz_ * cell[2, 0]
-        dy = fx_ * cell[0, 1] + fy_ * cell[1, 1] + fz_ * cell[2, 1]
-        dz = fx_ * cell[0, 2] + fy_ * cell[1, 2] + fz_ * cell[2, 2]
+        ds = []
+        for c in range(3):
+            dc = fcols[c][None, :] - fcols[c][:, None]
+            d0 = dc - jnp.round(dc)
+            if bits[c]:
+                # only the NEAR second image can fall inside cutoff <
+                # width (the far one sits at |d0| + 1 >= 1 box); for
+                # d0 == 0 both second images are one width away: excluded
+                d0 = d0 - jnp.where(d0 >= 0, 1.0, -1.0)
+            ds.append(d0)
+        dx = ds[0] * cell[0, 0] + ds[1] * cell[1, 0] + ds[2] * cell[2, 0]
+        dy = ds[0] * cell[0, 1] + ds[1] * cell[1, 1] + ds[2] * cell[2, 1]
+        dz = ds[0] * cell[0, 2] + ds[1] * cell[1, 2] + ds[2] * cell[2, 2]
         return dx, dy, dz
 
-    alive_pair = alive[:, None] & alive[None, :]
     cut2 = cutoff * cutoff
-
-    rcov_a = rcov.astype(dtype)[numbers]
-    rc = rcov_a[:, None] + rcov_a[None, :]
+    rcov_a = rcov.astype(dtype)[numbers] * alive_f  # dead rows -> rc = 0
 
     # ---- pass 1: coordination numbers (image-summed) ----------------------
     cn = jnp.zeros((n,), dtype)
     for bits in combos:
         dx, dy, dz = cart(bits)
         r2 = dx * dx + dy * dy + dz * dz
-        ok = alive_pair & (r2 < cut2) & (r2 > 1e-20)
+        ok = (r2 < cut2) & (r2 > 1e-20)
         inv_r = jax.lax.rsqrt(jnp.where(ok, r2, 1.0))
+        rc = rcov_a[:, None] + rcov_a[None, :]
         f_cn = jnp.where(
             ok, 1.0 / (1.0 + jnp.exp(-k1 * (rc * inv_r - 1.0))), 0.0)
-        cn = cn + jnp.sum(f_cn, axis=1)
+        # rc == 0 pairs (either end padding) give f_cn = sigmoid(-k1) ~
+        # 1e-7 spread over <= n slots — mask via the alive row product
+        cn = cn + jnp.sum(f_cn * alive_f[None, :], axis=1) * alive_f
 
     # ---- per-atom features (COMPENSATED l1c/rfdc derivative features:
     # z_di = z_di_naive - c6 w_di comes straight out of the dot — the
@@ -115,61 +157,69 @@ def _dense_impl(positions, numbers, cell, cutoff, rcov, r4r2, cna_a, mask_a,
     # j-side dE/dCN term is i's z_di when the roles swap
     w = w_a[:, None] * w_a[None, :]
 
-    good = w > 1e-12
+    good = (w > 1e-12) & (alive_f[:, None] * alive_f[None, :] > 0.0)
     w_inv = 1.0 / jnp.where(good, w, 1.0)
-    c6 = jnp.where(good, zacc * w_inv, 0.0)
-    c6_ok = alive_pair & (c6 >= 1e-12)
+    c6_raw = jnp.where(good, zacc * w_inv, 0.0)
+    # masked planes: c6m carries the pair mask (c6 >= 1e-12 covers
+    # padding, since dead rows have w_a = mask-sum = 0 -> good = False);
+    # zdw folds mask, w_inv and the -2 k3 constant so each image combo
+    # reads exactly these two planes from HBM
+    c6m = jnp.where(c6_raw >= 1e-12, c6_raw, 0.0)
+    zdw = jnp.where(c6_raw >= 1e-12, (-2.0 * k3) * w_inv * z_di, 0.0)
 
     si = jnp.sqrt(r4r2.astype(dtype) * 1.7320508075688772)[numbers]
-    t = si[:, None] * si[None, :]
-    rr = t * t
-    r0 = a1 * t + a2
-    r0_2 = r0 * r0
-    r0_6 = r0_2 * r0_2 * r0_2
-    r0_8 = r0_6 * r0_2
 
-    acc_damp = jnp.zeros((n, n), dtype)  # sum_s damp_sum(r_s), masked
+    energy = jnp.zeros((), dtype)
+    de_dcn = jnp.zeros((n,), dtype)
     fx = jnp.zeros((n,), dtype)
     fy = jnp.zeros((n,), dtype)
     fz = jnp.zeros((n,), dtype)
     for bits in combos:
         dx, dy, dz = cart(bits)
         r2 = dx * dx + dy * dy + dz * dz
-        ok = c6_ok & (r2 < cut2) & (r2 > 1e-20)
+        ok = (r2 < cut2) & (r2 > 1e-20)
         r2_safe = jnp.where(ok, r2, 1.0)
         r4 = r2_safe * r2_safe
         r6 = r4 * r2_safe
         r8 = r4 * r4
+        t = si[:, None] * si[None, :]
+        rr = t * t
+        r0 = a1 * t + a2
+        r0_2 = r0 * r0
+        r0_6 = r0_2 * r0_2 * r0_2
+        r0_8 = r0_6 * r0_2
         den6 = r6 + r0_6
         den8 = r8 + r0_8
         rec = 1.0 / (den6 * den8)
         den6_inv = rec * den8
         den8_inv = rec * den6
-        damp_sum = s6 * den6_inv + s8 * rr * den8_inv
-        acc_damp = acc_damp + jnp.where(ok, damp_sum, 0.0)
+        damp_sum = jnp.where(ok, s6 * den6_inv + s8 * rr * den8_inv, 0.0)
+        energy = energy - 0.5 * jnp.sum(c6m * damp_sum)
+        de_dcn = de_dcn + jnp.sum(damp_sum * zdw, axis=1)
 
         dd6 = -6.0 * s6 * r4 * den6_inv * den6_inv
         dd8 = -8.0 * s8 * rr * r6 * den8_inv * den8_inv
-        coef = jnp.where(ok, -c6 * (dd6 + dd8), 0.0)
+        coef = jnp.where(ok, -c6m * (dd6 + dd8), 0.0)
         fx = fx + jnp.sum(coef * dx, axis=1)
         fy = fy + jnp.sum(coef * dy, axis=1)
         fz = fz + jnp.sum(coef * dz, axis=1)
 
-    energy = 0.5 * jnp.sum(jnp.where(c6_ok, -c6 * acc_damp, 0.0))
-    m = jnp.where(c6_ok, (-2.0 * k3) * acc_damp * w_inv, 0.0)
-    de_dcn = jnp.sum(m * z_di, axis=1)
-
     # ---- pass 3: CN chain-rule forces (image-summed) -----------------------
-    de_pair = de_dcn[:, None] + de_dcn[None, :]
+    # dead rows have de_dcn = 0 AND dcn_dr masked by rc = 0 -> sigmoid'
+    # tail ~1e-7 * de_pair; kill it exactly with the alive product
+    de_i = de_dcn * alive_f
     for bits in combos:
         dx, dy, dz = cart(bits)
         r2 = dx * dx + dy * dy + dz * dz
-        ok = alive_pair & (r2 < cut2) & (r2 > 1e-20)
+        ok = (r2 < cut2) & (r2 > 1e-20)
         inv_r = jax.lax.rsqrt(jnp.where(ok, r2, 1.0))
+        rc = rcov_a[:, None] + rcov_a[None, :]
         rrq = rc * inv_r
         f3 = 1.0 / (1.0 + jnp.exp(-k1 * (rrq - 1.0)))
         dcn_dr_r = -f3 * (1.0 - f3) * k1 * rrq * inv_r * inv_r
-        coef3 = jnp.where(ok, de_pair * dcn_dr_r, 0.0)
+        de_pair = de_i[:, None] + de_i[None, :]
+        alive_pair_f = alive_f[:, None] * alive_f[None, :]
+        coef3 = jnp.where(ok, de_pair * dcn_dr_r * alive_pair_f, 0.0)
         fx = fx + jnp.sum(coef3 * dx, axis=1)
         fy = fy + jnp.sum(coef3 * dy, axis=1)
         fz = fz + jnp.sum(coef3 * dz, axis=1)
@@ -217,7 +267,7 @@ def _resolve_images(images, cell, cutoff):
 
 def dense_dftd3(positions, numbers, cell, cutoff, rcov, r4r2, c6ab,
                 cn_ref_elem, a1, a2, s8, s6=1.0, k1=16.0, k3=-4.0,
-                images: bool | None = None):
+                images: bool | None = None, combos=None):
     """DFT-D3(BJ) via dense pair planes.
 
     Same physics contract as :func:`grid_d3.grid_dftd3`; ``numbers == 0``
@@ -232,6 +282,14 @@ def dense_dftd3(positions, numbers, cell, cutoff, rcov, r4r2, c6ab,
     dtype = positions.dtype
     numbers = jnp.asarray(numbers, INDEX_DTYPE)
     images = _resolve_images(images, cell, cutoff)
+    if combos is None:
+        cell_concrete = not isinstance(jnp.asarray(cell), jax.core.Tracer)
+        cut_concrete = not isinstance(jnp.asarray(cutoff), jax.core.Tracer)
+        if images and cell_concrete and cut_concrete:
+            combos = _image_combos(
+                True, jax.device_get(cell), float(jax.device_get(cutoff)))
+        else:
+            combos = _image_combos(images)
     zmax1 = rcov.shape[0]
     mesh = cn_ref_elem.shape[1]
     mask_elem = element_c6_mask(c6ab)
@@ -246,7 +304,8 @@ def dense_dftd3(positions, numbers, cell, cutoff, rcov, r4r2, c6ab,
         jnp.asarray(rcov), jnp.asarray(r4r2), cna_a, mask_a, c6p_a,
         jnp.asarray(a1, dtype), jnp.asarray(a2, dtype),
         jnp.asarray(s6, dtype), jnp.asarray(s8, dtype),
-        jnp.asarray(k1, dtype), jnp.asarray(k3, dtype), images=images)
+        jnp.asarray(k1, dtype), jnp.asarray(k3, dtype), images=images,
+        combos=combos)
 
 
 def batch_dense_dftd3(positions, numbers, cells, cutoff, rcov, r4r2, c6ab,
@@ -270,13 +329,27 @@ def batch_dense_dftd3(positions, numbers, cells, cutoff, rcov, r4r2, c6ab,
     b, n = positions.shape[0], positions.shape[1]
     cells = jnp.asarray(cells, positions.dtype)
     shared = cells.ndim == 2
+    combos = None
     if images is None:
         if shared:
             images = _resolve_images(None, cells, cutoff)
+            if images:
+                combos = _image_combos(
+                    True, jax.device_get(cells),
+                    float(jax.device_get(jnp.asarray(cutoff))))
         else:
             widths = [min_perpendicular_width(cells[i]) for i in range(b)]
             images = _resolve_images(
                 None, np.eye(3) * min(widths), cutoff)
+            if images:
+                # conservative across the batch: a combo is dropped only
+                # when every system's bound excludes it (union of combos)
+                cut = float(jax.device_get(jnp.asarray(cutoff)))
+                cells_np = jax.device_get(cells)
+                union = set()
+                for i in range(b):
+                    union.update(_image_combos(True, cells_np[i], cut))
+                combos = sorted(union)
     if system_chunk is None:
         planes = 9 if images else 6
         budget = int((2 << 30) / (planes * 4 * n * n))
@@ -289,7 +362,7 @@ def batch_dense_dftd3(positions, numbers, cells, cutoff, rcov, r4r2, c6ab,
     if shared:
         fn = lambda p, z: dense_dftd3(  # noqa: E731
             p, z, cells, cutoff, rcov, r4r2, c6ab, cn_ref_elem,
-            a1, a2, s8, s6=s6, k1=k1, k3=k3, images=images)
+            a1, a2, s8, s6=s6, k1=k1, k3=k3, images=images, combos=combos)
         vfn = jax.vmap(fn)
         if system_chunk == b:
             return vfn(positions, numbers)
@@ -301,7 +374,7 @@ def batch_dense_dftd3(positions, numbers, cells, cutoff, rcov, r4r2, c6ab,
 
     fn = lambda p, z, c: dense_dftd3(  # noqa: E731
         p, z, c, cutoff, rcov, r4r2, c6ab, cn_ref_elem,
-        a1, a2, s8, s6=s6, k1=k1, k3=k3, images=images)
+        a1, a2, s8, s6=s6, k1=k1, k3=k3, images=images, combos=combos)
     vfn = jax.vmap(fn)
     if system_chunk == b:
         return vfn(positions, numbers, cells)

@@ -106,6 +106,78 @@ def test_dense_images_beyond_minimum_image():
                     0.42, 4.1, 1.7)
 
 
+def test_image_combo_pruning():
+    """Distance-pruned combo list: only combos whose minimal image
+    distance can beat the cutoff survive (exact for orthogonal cells)."""
+    from nvalchemiops_tpu.interactions.dispersion.dense_d3 import (
+        _image_combos,
+    )
+
+    cell = np.eye(3) * 41.2
+    # reference batched config: cutoff/width = 0.514 -> sqrt(2)*20.6 > 21.2
+    # kills every multi-axis combo; 4 survive
+    combos = _image_combos(True, cell, 21.2)
+    assert sorted(combos) == [(0, 0, 0), (0, 0, 1), (0, 1, 0), (1, 0, 0)]
+    # cutoff/width = 0.79 -> two-axis combos live, the corner dies
+    combos = _image_combos(True, np.eye(3) * 8.0, 6.3)
+    assert (1, 1, 1) not in combos and len(combos) == 7
+    # near the width bound everything survives
+    assert len(_image_combos(True, np.eye(3) * 8.0, 7.9)) == 8
+    # no concrete cell: conservative full set
+    assert len(_image_combos(True)) == 8
+    # triclinic falls back to the per-axis max bound (conservative):
+    # a 45-degree sheared cell keeps multi-axis combos that the orthogonal
+    # sum rule would kill
+    tric = np.array([[8.0, 0, 0], [4.0, 8.0, 0], [0, 0, 8.0]])
+    combos_t = _image_combos(True, tric, 6.3)
+    assert (0, 0, 0) in combos_t
+    for bits in combos_t:
+        assert all(b in (0, 1) for b in bits)
+
+
+def test_dense_images_shell_regime_pruned_combos():
+    """cutoff just over width/2 (the benchmark's 0.514 ratio): the pruned
+    4-combo sweep still matches the full-shift matrix oracle."""
+    from nvalchemiops_tpu.interactions.dispersion import dftd3
+    from nvalchemiops_tpu.neighborlist import naive_neighbor_list
+
+    rng = np.random.default_rng(7)
+    npa, box = 70, 9.0
+    cutoff = 4.63  # ratio 0.514, the reference batched-benchmark shape
+    pos64 = rng.uniform(0, box, (npa, 3))
+    cell64 = np.eye(3) * box
+    zmax = 4
+    numbers = jnp.asarray(rng.integers(1, zmax + 1, npa), jnp.int32)
+    rcov, r4r2, c6, cna = _tables(rng, zmax)
+
+    from nvalchemiops_tpu.interactions.dispersion.dense_d3 import (
+        _image_combos,
+    )
+    assert len(_image_combos(True, cell64, cutoff)) == 4
+
+    pos = jnp.asarray(pos64, jnp.float64)
+    cell = jnp.asarray(cell64, jnp.float64)
+    e_d, f_d, cn_d = dense_dftd3(pos, numbers, cell, cutoff,
+                                 rcov, r4r2, c6, cna, 0.42, 4.1, 1.7)
+
+    nm, num, sh = naive_neighbor_list(pos, cutoff, pbc=np.array([True] * 3),
+                                      cell=cell, max_neighbors=256)
+    cn_ref = jnp.broadcast_to(
+        jnp.asarray(cna)[:, None, :, None],
+        (zmax + 1, zmax + 1, 5, 5)).astype(jnp.float64)
+    e_m, f_m, cn_m = dftd3(
+        pos, numbers, 0.42, 4.1, 1.7,
+        covalent_radii=jnp.asarray(rcov, jnp.float64),
+        r4r2=jnp.asarray(r4r2, jnp.float64),
+        c6_reference=jnp.asarray(c6, jnp.float64), coord_num_ref=cn_ref,
+        cell=cell, neighbor_matrix=nm, neighbor_matrix_shifts=sh,
+        output_dtype=None)
+    np.testing.assert_allclose(np.asarray(cn_d), np.asarray(cn_m),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(float(e_d), float(jnp.sum(e_m)), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(f_d), np.asarray(f_m), atol=1e-9)
+
+
 def test_batch_dense_matches_per_system():
     rng = np.random.default_rng(1)
     B, npa, box, cutoff = 3, 150, 12.0, 4.0
