@@ -12,9 +12,12 @@ elements, zm = 15); erfc-damped real-space Coulomb energies + forces on
 the same grid; PME reciprocal space (128^3 mesh, tile-windowed
 spread/gather) energies + spline-derivative forces.  Cutoff note: the
 reference's published D3 number was measured at 21.2 A (docs/benchmarks.md
-carries the matched-cutoff batched comparison); this composite uses the
-MD-typical 9 A for the real-space stages, per the BASELINE.json MLIP-step
-framing.
+carries the matched-cutoff batched comparison); this composite uses an
+MD-typical 9.6 A for the real-space stages, per the BASELINE.json MLIP-step
+framing.  9.6 (not 9.0) keeps the cutoff inside a gap of the CsCl shell
+structure so the f32-vs-f64 force-accuracy gate measures engine fidelity
+rather than boundary pairs flipping across the sharp cutoff (see
+benchmarks/composite_accuracy.py); the grid geometry is identical.
 
 Baseline (H100, from BASELINE.md): cell-list NL 0.051 us/atom (131k),
 DFT-D3 0.19 us/atom (85.7k), PME reciprocal 0.045 us/atom (128k batched)
@@ -42,8 +45,7 @@ import jax.numpy as jnp  # noqa: E402
 from benchmarks.harness import measure, perturb_positions  # noqa: E402
 from nvalchemiops_tpu.grid import (  # noqa: E402
     build_atom_grid,
-    choose_grid_origin,
-    estimate_grid_geometry,
+    choose_grid_geometry,
     grid_coulomb_energy_forces,
 )
 from nvalchemiops_tpu.interactions.dispersion.grid_d3 import grid_dftd3  # noqa: E402
@@ -73,7 +75,7 @@ def main():
     pos = jnp.asarray(pos_np, dtype)
     cell = jnp.asarray(cell_np, dtype)
     pbc = np.array([True] * 3)
-    cutoff = 9.0
+    cutoff = 9.6
     alpha = 0.35
     mesh = (128, 128, 128) if n_rep >= 24 else (32, 32, 32)
 
@@ -85,12 +87,12 @@ def main():
     )
     rcov, r4r2, c6, cna = (a.astype(dtype) for a in (rcov, r4r2, c6, cna))
 
-    dims, radius, cap = estimate_grid_geometry(cell, pbc, cutoff, n, target_occupancy=0.75)
-    # origin search + observed-occupancy capacity (sweep cost ~ cap^2)
-    origin_np, observed = choose_grid_origin(pos, cell, pbc, dims)
-    origin = jnp.asarray(origin_np, dtype) if origin_np.any() else None
-    cap = max(int(np.ceil((observed + 1) / 8)) * 8,
-              int(np.ceil(observed * 1.02 / 8)) * 8)
+    # exact-score geometry search (dims x origin x capacity): for the CsCl
+    # supercell the {floor-1} 16^3 binning beats the naive 17^3 by ~17% in
+    # swept slots (occ 35 either way, but 1.2x fewer cells at 9.79 A bins)
+    dims, radius, cap, origin_np = choose_grid_geometry(pos, cell, pbc, cutoff)
+    origin = (jnp.asarray(origin_np, dtype)
+              if origin_np is not None and np.asarray(origin_np).any() else None)
 
     dep = perturb_positions()
 

@@ -20,7 +20,7 @@ import numpy as np
 
 N_REP = 8  # 1,024 atoms — big enough to exercise every engine branch
 A_LAT = 4.123  # CsCl conventional lattice constant, Angstrom
-CUTOFF = 9.0
+CUTOFF = 9.6
 ALPHA = 0.35
 MESH = (32, 32, 32)
 ZMAX = 94
@@ -49,13 +49,41 @@ def build_system(n_rep=N_REP, seed=0):
     cell = np.eye(3) * (n_rep * A_LAT)
     numbers = np.r_[np.full(n // 2, 55), np.full(n // 2, 17)].astype(np.int32)
     charges = np.r_[np.ones(n // 2), -np.ones(n // 2)]
-    rcov = np.r_[0.0, rng.uniform(0.6, 1.2, ZMAX)]
-    r4r2 = np.r_[0.0, rng.uniform(2.0, 5.0, ZMAX)]
-    cna = np.vstack([np.zeros(5), np.cumsum(rng.uniform(0.3, 1.0, (ZMAX, 5)), 1)])
-    c6 = rng.uniform(5.0, 40.0, (ZMAX + 1, ZMAX + 1, 5, 5))
+    # Physically-scaled synthetic tables (real-magnitude, not real-element):
+    # rcov must put the logistic CN of the 3.57 A nearest-neighbor shell at
+    # O(1) and *inside* the cn_ref span — an earlier rng.uniform(0.6, 1.2)
+    # per-PAIR-SUM rcov drove CN to ~40, far outside the reference grid, so
+    # the Gaussian interpolant's k3 (CN - cn_ref)^2 exponent was so steep
+    # that f32 CN rounding alone produced a deterministic 1e-2
+    # scale-relative force error (measured identical on CPU f32 and chip,
+    # and bit-equal to the bf16 variant — i.e. NOT an engine or MXU issue).
+    # Real covalent radii keep CN ~ 2-8, matching real Grimme tables.
+    rcov = np.r_[0.0, rng.uniform(1.2, 2.4, ZMAX)]
+    r4r2 = np.r_[0.0, rng.uniform(2.0, 8.0, ZMAX)]
+    cna = np.vstack([np.zeros(5),
+                     np.cumsum(rng.uniform(0.4, 2.2, (ZMAX, 5)), 1)])
+    # The cutoff must sit in a gap of the (jittered) CsCl shell structure:
+    # 9.0 A lands mid-shell (2,359 pairs within +-0.02 A at n_rep=8), so
+    # f32-vs-f64 rounding FLIPS boundary pairs in or out of the sharp
+    # cutoff and each flip contributes a full ~1e-2 pair force to the
+    # error metric; 9.6 A is shell-free for +-0.12 A (same grid geometry,
+    # 9.79 A bins), so the metric measures engine fidelity, not cutoff-
+    # discontinuity sampling.  The c6 must vary SMOOTHLY along the reference-CN grid like real Grimme
+    # tables (c6 decreases gently with CN): with i.i.d.-random c6[p, q] the
+    # Gaussian interpolant wiggles with dC6/dCN ~ the full table spread, and
+    # a benign ~4e-5 f32 CN rounding error amplifies to ~1e-2 relative force
+    # error — measured identical in the grid AND matrix engines at f32 while
+    # the two agree to 5e-8 at f64, i.e. pure input conditioning, not an
+    # engine defect.  Separable per-element profiles keep the required
+    # c6[i,j,p,q] == c6[j,i,q,p] symmetry.
+    base = rng.uniform(100.0, 1500.0, (ZMAX + 1, ZMAX + 1))
+    base = 0.5 * (base + base.T)
+    prof = (np.linspace(1.25, 0.75, 5)[None, :]
+            * rng.uniform(0.95, 1.05, (ZMAX + 1, 5)))
+    c6 = (base[:, :, None, None] * prof[:, None, :, None]
+          * prof[None, :, None, :])
     c6[0] = 0.0
     c6[:, 0] = 0.0
-    c6 = 0.5 * (c6 + np.swapaxes(np.swapaxes(c6, 0, 1), 2, 3))
     return pos, cell, numbers, charges, rcov, r4r2, cna, c6
 
 
@@ -120,9 +148,23 @@ def relative_errors(forces, ref):
     return out
 
 
+REF_VERSION = f"cscl-v4:n_rep={N_REP}:cutoff={CUTOFF}:alpha={ALPHA}:mesh={MESH}"
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "ref"
     if mode == "ref":
+        # The f64 CPU reference is deterministic (fixed seed/params) but
+        # expensive to rebuild (the CPU compile of the grid sweep alone is
+        # ~13 min), so cache it keyed by the build parameters.
+        if os.path.exists(REF_PATH):
+            try:
+                cached = np.load(REF_PATH)
+                if str(cached.get("version")) == REF_VERSION:
+                    print(f"cached {REF_PATH}", flush=True)
+                    sys.exit(0)
+            except Exception:  # noqa: BLE001 - any unreadable cache: rebuild
+                pass
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -130,7 +172,7 @@ if __name__ == "__main__":
         import jax.numpy as jnp
 
         forces = compute_forces(jnp.float64)
-        np.savez(REF_PATH, **forces)
+        np.savez(REF_PATH, version=REF_VERSION, **forces)
         print(f"wrote {REF_PATH}", flush=True)
     else:
         import jax.numpy as jnp
