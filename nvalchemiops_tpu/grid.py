@@ -606,18 +606,99 @@ def _coulomb_block_impl(grid: AtomGrid, q_plane, q_ext, cutoff: float,
     return e + e2, fx + fx2, fy + fy2, fz + fz2
 
 
+@partial(jax.jit, static_argnames=("cutoff", "alpha", "dims", "radius", "cap",
+                                   "interpret"))
+def _coulomb_window_impl(grid: AtomGrid, q_plane, q_ext, cutoff: float,
+                         alpha: float, dims, radius, cap, interpret=False):
+    """Coulomb sweep on the pre-windowed per-cell Pallas engine.
+
+    Same math as ``_coulomb_impl`` on minimal lane-aligned candidate
+    windows (pallas/window_sweep.py); ``cutoff``/``alpha`` are static.
+    """
+    from nvalchemiops_tpu.mathops.math import erfc_approx
+    from nvalchemiops_tpu.pallas.block_sweep import pack_columns
+    from nvalchemiops_tpu.pallas.window_sweep import (
+        WINDOW_PARK, window_lane_width, window_rows, window_sweep,
+    )
+
+    dtype = grid.ext_px.dtype
+    cutoff_sq = float(cutoff) ** 2
+    alpha_t = float(alpha)
+    two_over_sqrt_pi = 1.1283791670955126
+    rx = radius[2]
+    lane_w = window_lane_width(cap, rx)
+
+    own_cols = {
+        "s": pack_columns(
+            _interior(grid, grid.ext_px), _interior(grid, grid.ext_py),
+            _interior(grid, grid.ext_pz), q_plane,
+        )
+    }
+    wrows = {
+        "px": window_rows(grid.ext_px, rx, cap, lane_w, park=WINDOW_PARK),
+        "py": window_rows(grid.ext_py, rx, cap, lane_w),
+        "pz": window_rows(grid.ext_pz, rx, cap, lane_w),
+        "q": window_rows(q_ext, rx, cap, lane_w),
+    }
+
+    def body(own, crow, ccolt, home):
+        s = own["s"]
+        dx = crow["px"] - s[:, 0:1][None]
+        dy = crow["py"] - s[:, 1:2][None]
+        dz = crow["pz"] - s[:, 2:3][None]
+        d2 = dx * dx + dy * dy + dz * dz
+        ok = (d2 < cutoff_sq) & (d2 > 1e-20)
+        ok = jnp.concatenate([ok[0:1] & home[None], ok[1:]], axis=0)
+        inv_r = jax.lax.rsqrt(jnp.where(ok, d2, 1.0))
+        qq = s[:, 3:4][None] * crow["q"]
+        if alpha_t > 0:
+            r = jnp.where(ok, d2, 1.0) * inv_r
+            ar = alpha_t * r
+            erfc_ar = erfc_approx(ar)
+            phi = erfc_ar * inv_r
+            mag = (
+                erfc_ar * inv_r
+                + two_over_sqrt_pi * alpha_t * jnp.exp(-ar * ar)
+            ) * inv_r * inv_r
+        else:
+            phi = inv_r
+            mag = inv_r * inv_r * inv_r
+        e_pair = jnp.where(ok, 0.5 * qq * phi, 0.0)
+        ncoef = jnp.where(ok, -(qq * mag), 0.0)
+        mfx = ncoef * dx     # own-side force contribution (already negated)
+        mfy = ncoef * dy
+        mfz = ncoef * dz
+        return ((e_pair, mfx, mfy, mfz),
+                (e_pair, ("neg", mfx), ("neg", mfy), ("neg", mfz)))
+
+    (e, fx, fy, fz), (e2, fx2, fy2, fz2) = window_sweep(
+        dims, radius, cap, own_cols, wrows, {}, body, 4, 4,
+        lane_w=lane_w, dtype=dtype, interpret=interpret,
+    )
+    e2, fx2, fy2, fz2 = (fold_halo(grid, a) for a in (e2, fx2, fy2, fz2))
+    return e + e2, fx + fx2, fy + fy2, fz + fz2
+
+
 def grid_coulomb_energy_forces(grid: AtomGrid, charges, cutoff, alpha=0.0,
                                engine: str | None = None):
     """(Damped-)Coulomb per-atom energies and forces via the grid sweep.
 
     Same physics contract as coulomb.pair_energies_forces; self-image pairs
     (r -> 0) are excluded by the r^2 > 0 guard like the reference kernels'
-    distance floor.  ``engine``: ``"xla"`` (default, pure-jnp row sweep) or
-    ``"block"`` (fused super-chunk Mosaic kernel, pallas/block_sweep.py).
+    distance floor.  ``engine``: ``"xla"`` (default, pure-jnp row sweep),
+    ``"window"`` (pre-windowed per-cell Mosaic kernel,
+    pallas/window_sweep.py — minimal candidate slots), or ``"block"``
+    (fused super-chunk Mosaic kernel, pallas/block_sweep.py).
     """
     q_plane = scatter_to_grid(grid, charges)
     q_ext = _extend_like(grid, q_plane, 0.0)
-    if engine == "block":
+    if engine == "window":
+        e, fx, fy, fz = _coulomb_window_impl(
+            grid, q_plane, q_ext, float(cutoff), float(alpha),
+            grid.dims, grid.radius, grid.cap,
+            jax.default_backend() != "tpu",
+        )
+    elif engine == "block":
         e, fx, fy, fz = _coulomb_block_impl(
             grid, q_plane, q_ext, float(cutoff), float(alpha),
             grid.dims, grid.radius, grid.cap,

@@ -254,7 +254,7 @@ def test_element_cn_ref_rejects_general_tables():
         element_cn_ref(jnp.asarray(bad))
 
 
-@pytest.mark.parametrize("engine", ["pallas", "block"])
+@pytest.mark.parametrize("engine", ["pallas", "block", "window"])
 def test_grid_dftd3_mosaic_engines_match_xla(engine):
     """The fused Mosaic engines must reproduce the jnp sweep."""
     from nvalchemiops_tpu.interactions.dispersion.grid_d3 import grid_dftd3
@@ -320,7 +320,8 @@ def test_grid_origin_shift_preserves_results():
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=1e-5)
 
 
-def test_grid_dftd3_coulomb_fused_matches_separate():
+@pytest.mark.parametrize("fused_engine", ["block", "window"])
+def test_grid_dftd3_coulomb_fused_matches_separate(fused_engine):
     """The fused D3+Coulomb sweep must equal the two separate calls."""
     from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
         grid_dftd3, grid_dftd3_coulomb,
@@ -349,10 +350,10 @@ def test_grid_dftd3_coulomb_fused_matches_separate():
     for alpha, ccut in ((0.0, cutoff), (0.35, 2.8)):
         e_d, f_d, cn_d, e_c, f_c = grid_dftd3_coulomb(
             g, tables[0], jnp.asarray(q), *tables[1:], cutoff, 0.42, 4.1, 1.7,
-            coulomb_cutoff=ccut, alpha=alpha,
+            coulomb_cutoff=ccut, alpha=alpha, engine=fused_engine,
         )
         e_ref, f_ref, cn_ref = grid_dftd3(g, *tables, cutoff, 0.42, 4.1, 1.7,
-                                          engine="block")
+                                          engine=fused_engine)
         ec_ref, fc_ref = grid_coulomb_energy_forces(g, jnp.asarray(q), ccut, alpha)
         np.testing.assert_allclose(float(e_d), float(e_ref), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(f_d), np.asarray(f_ref), atol=1e-6)
@@ -361,8 +362,9 @@ def test_grid_dftd3_coulomb_fused_matches_separate():
         np.testing.assert_allclose(np.asarray(f_c), np.asarray(fc_ref), atol=1e-5)
 
 
-def test_grid_coulomb_block_engine_matches_xla():
-    """The super-chunk Mosaic Coulomb engine must reproduce the jnp sweep."""
+@pytest.mark.parametrize("engine", ["block", "window"])
+def test_grid_coulomb_mosaic_engines_match_xla(engine):
+    """The Mosaic Coulomb engines must reproduce the jnp sweep."""
     from nvalchemiops_tpu.grid import grid_coulomb_energy_forces
 
     rng = np.random.default_rng(5)
@@ -374,7 +376,7 @@ def test_grid_coulomb_block_engine_matches_xla():
     for alpha in (0.0, 0.4):
         e_x, f_x = grid_coulomb_energy_forces(g, jnp.asarray(q), 3.5, alpha)
         e_b, f_b = grid_coulomb_energy_forces(g, jnp.asarray(q), 3.5, alpha,
-                                              engine="block")
+                                              engine=engine)
         np.testing.assert_allclose(np.asarray(e_b), np.asarray(e_x), atol=1e-5)
         np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_x), atol=1e-5)
 
