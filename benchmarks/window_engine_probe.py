@@ -103,3 +103,43 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def pme_variants():
+    """Timing for the PME spread/gather engine variants (composite config)."""
+    from nvalchemiops_tpu.interactions.electrostatics.pme import (
+        _pme_reciprocal_impl,
+    )
+    from nvalchemiops_tpu.spline_windowed import observed_tile_capacity
+
+    dtype = jnp.float32
+    pos_np, cell_np, _numbers, charges_np, *_ = build_system(n_rep=N_REP)
+    pos = jnp.asarray(pos_np, dtype)
+    cell = jnp.asarray(cell_np, dtype)
+    charges = jnp.asarray(charges_np, dtype)
+    mesh = (128, 128, 128) if N_REP >= 24 else (32, 32, 32)
+    tile_cap = observed_tile_capacity(pos, cell, mesh)
+    dep = perturb_positions()
+
+    for label, kw in (
+        ("pme xla spread/gather   ", {}),
+        ("pme pallas spread       ", dict(spread_engine="pallas")),
+        ("pme pallas spread+gather", dict(spread_engine="pallas",
+                                          gather_engine="pallas")),
+    ):
+        def f(p, kw=kw):
+            e, forces, _ = _pme_reciprocal_impl(
+                p, charges, cell.reshape(1, 3, 3),
+                jnp.asarray([0.35], dtype), mesh, 4, None, True, False,
+                None, None, tile_capacity=tile_cap, **kw)
+            return e, forces
+
+        try:
+            t = measure(f, dep, (pos,), iters=3)
+            print(f"{label}: {t*1e3:8.2f} ms", flush=True)
+        except Exception as exc:  # noqa: BLE001
+            print(f"{label}: FAILED {type(exc).__name__}: {exc}", flush=True)
+
+
+if os.environ.get("PROBE_PME"):
+    pme_variants()

@@ -192,15 +192,21 @@ def build_atom_grid(positions, cell, pbc, dims, radius, cap,
 
     flat = jnp.where(overflow, ncells * cap, lin * cap + rank)  # trash slot at end
 
-    def scat(vals, fill=0.0):
-        buf = jnp.full((ncells * cap + 1,), fill, dtype=vals.dtype)
-        return buf.at[flat].set(vals)[:-1].reshape(cz, cy, cx, cap)
-
-    g_px = scat(wpx)
-    g_py = scat(wpy)
-    g_pz = scat(wpz)
-    g_valid = scat(jnp.ones((n,), dtype=bool), fill=False)
-    g_aid = scat(jnp.arange(n, dtype=INDEX_DTYPE), fill=n)
+    # ONE stacked row scatter for all five per-atom planes (each separate
+    # 110k-element scatter costs ~0.7 ms on chip — rule 7; rows cost the
+    # same as scalars).  aid rides as float (exact below 2^24); per-column
+    # fill values come from broadcasting the fill row before the scatter.
+    vals = jnp.stack(
+        [wpx, wpy, wpz, jnp.ones((n,), dtype),
+         jnp.arange(n, dtype=dtype)], axis=-1)
+    fill_row = jnp.asarray([0.0, 0.0, 0.0, 0.0, float(n)], dtype)
+    buf = jnp.broadcast_to(fill_row, (ncells * cap + 1, 5))
+    planes = buf.at[flat].set(vals)[:-1].reshape(cz, cy, cx, cap, 5)
+    g_px = planes[..., 0]
+    g_py = planes[..., 1]
+    g_pz = planes[..., 2]
+    g_valid = planes[..., 3] > 0.5
+    g_aid = planes[..., 4].astype(INDEX_DTYPE)
 
     # Displacement-based validity: park every empty slot at a unique far-away
     # x so the d2 < cutoff^2 test alone excludes it from every pair sweep —

@@ -432,7 +432,7 @@ def fuse_direct_kernels(direct_kern, coulomb_kern):
 
 
 def _d3_atom_features(numbers_a, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
-                      precision=None):
+                      precision=None, extras: bool = False):
     """Per-atom C6-interpolation features (flat layouts).
 
     Returns ``(l0 [N, zm], l1c, rf [N, zm], rfdc, w [N], wd [N])``:
@@ -492,6 +492,14 @@ def _d3_atom_features(numbers_a, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
     a_cn = jnp.where(w_a > 0.0, wd_a / jnp.where(w_a > 0.0, w_a, 1.0), 0.0)
     l1c_a = l1_a - a_cn[..., None] * l0_a
     rfdc_a = rfd_a - a_cn[..., None] * rf_a
+    if extras:
+        # compact factorized right features for engines that rebuild
+        # rf/rfdc in-kernel from [.., mesh] windows + the element id:
+        # rf[(z, q)] = [z == z_j] e[q] and rfdc[(z, q)] = [z == z_j] edc[q]
+        # with edc = ed - a e (the compensation factorizes through the
+        # one-hot z mask)
+        edc_a = ed_a - a_cn[..., None] * e_a
+        return l0_a, l1c_a, rf_a, rfdc_a, w_a, wd_a, e_a, edc_a
     return l0_a, l1c_a, rf_a, rfdc_a, w_a, wd_a
 
 
@@ -1223,17 +1231,16 @@ def _grid_d3_block_impl(
 
 def _grid_d3_window_impl(
     grid: AtomGrid,
-    z_ext,
+    z_plane, z_ext,
     rcov_plane, rcov_ext,
     r4r2_plane, r4r2_ext,
-    cna_a, mask_a, c6p_a,
+    cna_elem, mask_elem, c6p_elem,
     cutoff: float, a1: float, a2: float, s6: float, s8: float,
     k1: float, k3: float,
     dims, radius, cap, mesh: int, zmax1: int, interpret: bool,
-    numbers_a=None,
     q_plane=None, q_ext=None, with_coulomb: bool = False,
     calpha: float = 0.0, ccutoff: float = 0.0,
-    feature_dtype=None,
+    feature_dtype=None, skip_chain: bool = False,
 ):
     """D3 on the pre-windowed per-cell Pallas engine (pallas/window_sweep.py).
 
@@ -1323,29 +1330,63 @@ def _grid_d3_window_impl(
         cn_body, 1, 1, lane_w=lane_w, dtype=dtype, interpret=interpret,
     )
     cn_plane = cn_own + fold_halo(grid, cn_ext_acc)
-    cn_a = gather_from_grid(grid, cn_plane)
 
-    # ---- per-atom interpolation features (same as the XLA engine) --------
-    l0_a, l1c_a, rf_a, rfdc_a, w_a, _wd_a = _d3_atom_features(
-        numbers_a, cn_a, cna_a, mask_a, c6p_a, k3, dtype)
+    # ---- interpolation features, computed IN PLANE SPACE -----------------
+    #
+    # Same math as _d3_atom_features, evaluated directly on the interior
+    # planes from cn_plane + z_plane and the tiny element tables — zero
+    # atom-major round trips (each 110k-atom gather/scatter costs ~1 ms,
+    # rule 7).  The candidate-side rf/rfdc features are NOT materialized
+    # as [.., zm] planes either — the kernel rebuilds them per window from
+    # the [.., mesh] e/edc windows and the element-id row, so the windowed
+    # feature traffic is (2 mesh + 1) columns regardless of element count.
+    # per-slot table rows via VPU where-selects, NOT one-hot matmuls: on
+    # TPU a 0/1 selection matmul still rounds the selected VALUES to bf16
+    # on the MXU (design rule 16 — measured 2e-3 energy corruption here)
+    ohz = (z_plane[..., None]
+           == jnp.arange(zmax1, dtype=z_plane.dtype)).astype(dtype)
+    cna_t = cna_elem.astype(dtype)
+    maskel_t = mask_elem.astype(dtype)
+    cna_pl = jnp.zeros(z_plane.shape + (mesh,), dtype)
+    mask_pl = jnp.zeros_like(cna_pl)
+    for z in range(zmax1):
+        sel = ohz[..., z:z + 1]
+        cna_pl = cna_pl + sel * cna_t[z]
+        mask_pl = mask_pl + sel * maskel_t[z]
+    d_pl = cn_plane[..., None] - cna_pl                 # [.., cap, mesh]
+    arg = k3 * d_pl * d_pl
+    arg_m = jnp.where(mask_pl > 0, arg, -jnp.inf)
+    arg_max = jnp.maximum(jnp.max(arg_m, axis=-1, keepdims=True), -1e30)
+    e_pl = jnp.where(mask_pl > 0, jnp.exp(arg - arg_max), 0.0)
+    ed_pl = e_pl * d_pl
+    w_plane = jnp.sum(e_pl, axis=-1)
+    wd_plane = jnp.sum(ed_pl, axis=-1)
+    # HIGHEST: these left features feed the compensated dC6/dCN bilinears;
+    # a default single-bf16-pass contraction here measured 6e-2 force /
+    # 2e-3 energy corruption on chip (the mesh-axis dot carries real f32
+    # values, unlike the pair-sweep dots whose operands are bf16-safe)
+    hi = jax.lax.Precision.HIGHEST
+    c6p_t = c6p_elem.astype(dtype)                      # [Z, mesh, zm]
+    l0_pl = jnp.zeros(e_pl.shape[:-1] + (zm,), dtype)
+    l1_pl = jnp.zeros_like(l0_pl)
+    for z in range(zmax1):
+        sel = ohz[..., z:z + 1]
+        l0_pl = l0_pl + sel * jnp.einsum("...p,pz->...z", e_pl, c6p_t[z],
+                                         precision=hi)
+        l1_pl = l1_pl + sel * jnp.einsum("...p,pz->...z", ed_pl, c6p_t[z],
+                                         precision=hi)
+    a_cn = jnp.where(w_plane > 0.0,
+                     wd_plane / jnp.where(w_plane > 0.0, w_plane, 1.0), 0.0)
+    l1c_pl = l1_pl - a_cn[..., None] * l0_pl
+    edc_pl = ed_pl - a_cn[..., None] * e_pl
 
-    def feat_plane(vals):
-        nslots = cz * cy * cx * cap
-        buf = jnp.zeros((nslots + 1, vals.shape[-1]), vals.dtype)
-        return buf.at[grid.flat_slot].set(vals)[:-1].reshape(
-            cz, cy, cx, cap, vals.shape[-1]
-        )
-
-    lf_cols = feat_plane(
-        jnp.concatenate([l0_a, l1c_a], axis=-1).astype(fdt)
-    ).reshape(cz, cy, cx * cap, 2 * zm)
-    rfT_w = window_colsT(
-        _extend_like(grid, feat_plane(rf_a.astype(fdt)), 0.0),
-        rx, cap, lane_w)
-    rfdcT_w = window_colsT(
-        _extend_like(grid, feat_plane(rfdc_a.astype(fdt)), 0.0),
-        rx, cap, lane_w)
-    w_plane = scatter_to_grid(grid, w_a)
+    lf_cols = jnp.concatenate([l0_pl, l1c_pl], axis=-1).astype(fdt).reshape(
+        cz, cy, cx * cap, 2 * zm)
+    eT_w = window_colsT(_extend_like(grid, e_pl.astype(fdt), 0.0),
+                        rx, cap, lane_w)
+    edcT_w = window_colsT(_extend_like(grid, edc_pl.astype(fdt), 0.0),
+                          rx, cap, lane_w)
+    zf_w = wrow(z_ext.astype(dtype), park=-1.0)
     w_ext = _extend_like(grid, w_plane, 0.0)
 
     # ---- pass 2: energy, direct forces, dE/dCN ---------------------------
@@ -1357,22 +1398,30 @@ def _grid_d3_window_impl(
         l0 = lf[:, :zm]
         l1c = lf[:, zm:]
         dn = (((1,), (0,)), ((), ()))
-        # per-offset [cap, zm] x [zm, L] MXU dots, stacked to [n_off, ..]
-        # (split bilinears: inside the kernel the rf window is already
-        # VMEM-resident, so the XLA engine's read-merging "stack" trick
-        # buys nothing here)
-        zacc = jnp.stack([
-            jax.lax.dot_general(l0, rfT, dn,
-                                preferred_element_type=dtype)
-            for rfT in ccolt["rfT"]], axis=0)
-        z_di = jnp.stack([
-            jax.lax.dot_general(l1c, rfT, dn,
-                                preferred_element_type=dtype)
-            for rfT in ccolt["rfT"]], axis=0)
-        z_dj = jnp.stack([
-            jax.lax.dot_general(l0, rfdcT, dn,
-                                preferred_element_type=dtype)
-            for rfdcT in ccolt["rfdcT"]], axis=0)
+        # candidate rf/rfdc rebuilt per window from the [mesh, L] e/edc
+        # windows + the element-id row: rf[(z', q), l] = [z_l == z'] e_l[q]
+        # — a sublane tile + compare + select instead of a zm-wide
+        # windowed read (the fattest HBM traffic of the pass)
+        lane_n = crow["px"].shape[-1]
+        zrow = (jax.lax.broadcasted_iota(jnp.int32, (zm, lane_n), 0)
+                // mesh).astype(dtype)
+        n_off = len(ccolt["e"])
+        zaccs, z_dis, z_djs = [], [], []
+        for o in range(n_off):
+            zmask = crow["zf"][o] == zrow          # [zm, L]
+            rfT = jnp.where(zmask, jnp.concatenate(
+                [ccolt["e"][o]] * zmax1, axis=0), 0.0).astype(lf.dtype)
+            rfdcT = jnp.where(zmask, jnp.concatenate(
+                [ccolt["edc"][o]] * zmax1, axis=0), 0.0).astype(lf.dtype)
+            zaccs.append(jax.lax.dot_general(
+                l0, rfT, dn, preferred_element_type=dtype))
+            z_dis.append(jax.lax.dot_general(
+                l1c, rfT, dn, preferred_element_type=dtype))
+            z_djs.append(jax.lax.dot_general(
+                l0, rfdcT, dn, preferred_element_type=dtype))
+        zacc = jnp.stack(zaccs, axis=0)
+        z_di = jnp.stack(z_dis, axis=0)
+        z_dj = jnp.stack(z_djs, axis=0)
         w = s[:, 4:5][None] * crow["w"]
 
         good = w > 1e-12
@@ -1440,7 +1489,7 @@ def _grid_d3_window_impl(
     own2_cols = list(geom_own) + [si_plane, w_plane]
     wrows2 = {
         "px": pxw, "py": pyw, "pz": pzw,
-        "si": wrow(si_ext), "w": wrow(w_ext),
+        "si": wrow(si_ext), "w": wrow(w_ext), "zf": zf_w,
     }
     if with_coulomb:
         own2_cols.append(q_plane)
@@ -1450,7 +1499,7 @@ def _grid_d3_window_impl(
     n_j2 = 8 if with_coulomb else 4
     acc2, j2 = window_sweep(
         dims, radius, cap, own2, wrows2,
-        {"rfT": rfT_w, "rfdcT": rfdcT_w},
+        {"e": eT_w, "edc": edcT_w},
         direct_body, n_own2, n_j2, lane_w=lane_w, dtype=dtype,
         interpret=interpret,
     )
@@ -1464,6 +1513,10 @@ def _grid_d3_window_impl(
         fcx_pl = acc2[6] + fold_halo(grid, j2[5])
         fcy_pl = acc2[7] + fold_halo(grid, j2[6])
         fcz_pl = acc2[8] + fold_halo(grid, j2[7])
+
+    if skip_chain:
+        # debug/hybrid hook: passes 1-2 only, exposing the dE/dCN plane
+        return e_pl, fx_pl, fy_pl, fz_pl, cn_plane, decn_pl
 
     # ---- pass 3: CN chain-rule forces ------------------------------------
     def chain_body(own, crow, ccolt, home):
@@ -1667,15 +1720,15 @@ def grid_dftd3(
     elif engine == "window":
         e_pl, fx_pl, fy_pl, fz_pl, cn_pl = _grid_d3_window_impl(
             grid,
-            z_ext,
+            z_plane, z_ext,
             rcov_plane, rcov_ext,
             r4r2_plane, r4r2_ext,
-            cna_a, mask_a, c6p_a,
+            cn_ref_elem, mask_elem, c6p,
             float(cutoff), float(a1), float(a2), float(s6), float(s8),
             float(k1), float(k3),
             grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
             jax.default_backend() != "tpu",
-            numbers_a=numbers, feature_dtype=feature_dtype,
+            feature_dtype=feature_dtype,
         )
     elif engine == "block":
         e_pl, fx_pl, fy_pl, fz_pl, cn_pl = _grid_d3_block_impl(
@@ -1812,15 +1865,14 @@ def grid_dftd3_coulomb(
         (e_pl, fx_pl, fy_pl, fz_pl, cn_pl,
          ec_pl, fcx_pl, fcy_pl, fcz_pl) = _grid_d3_window_impl(
             grid,
-            z_ext,
+            z_plane, z_ext,
             rcov_plane, rcov_ext,
             r4r2_plane, r4r2_ext,
-            cna_a, mask_a, c6p_a,
+            cn_ref_elem, mask_elem, c6p,
             float(cutoff), float(a1), float(a2), float(s6), float(s8),
             float(k1), float(k3),
             grid.dims, grid.radius, grid.cap, int(mesh), int(zmax1),
             jax.default_backend() != "tpu",
-            numbers_a=numbers,
             q_plane=q_plane, q_ext=q_ext, with_coulomb=True,
             calpha=float(alpha), ccutoff=float(coulomb_cutoff),
         )

@@ -121,6 +121,7 @@ def pme_green_structure_factor(k_squared, mesh_dimensions, alpha, cell, spline_o
         "tile_capacity",
         "fft_mode",
         "gather_engine",
+        "spread_engine",
     ),
 )
 def _pme_reciprocal_impl(
@@ -138,6 +139,7 @@ def _pme_reciprocal_impl(
     tile_capacity=None,
     fft_mode: str = "xla",
     gather_engine: str = "xla",
+    spread_engine: str = "xla",
 ):
     """Core pipeline (reference: pme.py:1338-1479), compiled as one program."""
     dtype = positions.dtype
@@ -180,7 +182,9 @@ def _pme_reciprocal_impl(
 
         with jax.named_scope("pme.spread"):
             mesh = jax.lax.cond(
-                tiles_ok, lambda _: sw.windowed_spread(tiles, charges),
+                tiles_ok,
+                lambda _: sw.windowed_spread(tiles, charges,
+                                             engine=spread_engine),
                 _dense_spread, None,
             )
     else:
@@ -329,6 +333,8 @@ def pme_reciprocal_space(
     accuracy: float = 1e-6,
     tile_capacity: int | None = None,
     fft_mode: str = "xla",
+    gather_engine: str = "xla",
+    spread_engine: str = "xla",
 ):
     """FFT-based reciprocal-space PME (reference: pme.py:1482-1665).
 
@@ -342,6 +348,8 @@ def pme_reciprocal_space(
 
     ``fft_mode="matmul"`` runs the whole FFT-convolve-inverse as MXU
     matmuls (``mathops.matmul_dft``) — the small-batched-mesh fast path.
+    ``spread_engine``/``gather_engine`` = ``"pallas"`` run the windowed
+    spread/force-gather per-tile contractions in fused Mosaic kernels.
     """
     dtype = positions.dtype
     cell_b = jnp.asarray(cell, dtype=dtype).reshape(-1, 3, 3)
@@ -356,6 +364,7 @@ def pme_reciprocal_space(
         positions, charges, cell_b, alpha_arr, tuple(mesh_dimensions), spline_order,
         batch_idx, compute_forces, compute_charge_gradients, k_vectors, k_squared,
         tile_capacity=tile_capacity, fft_mode=fft_mode,
+        gather_engine=gather_engine, spread_engine=spread_engine,
     )
     if forces is not None and cg is not None:
         return energies, forces, cg
@@ -437,7 +446,9 @@ def particle_mesh_ewald(
 def _windowed_pme_single(positions, charges, cell, alpha, mesh_dimensions,
                          spline_order: int, cap: int, compute_forces: bool,
                          fft_mode: str = "xla",
-                         compute_charge_gradients: bool = False):
+                         compute_charge_gradients: bool = False,
+                         spread_engine: str = "xla",
+                         gather_engine: str = "xla"):
     """One system through the tile-windowed PME pipeline (vmappable).
 
     Lean straight-line version of :func:`_pme_reciprocal_impl`'s windowed
@@ -451,7 +462,7 @@ def _windowed_pme_single(positions, charges, cell, alpha, mesh_dimensions,
     tiles = sw.build_mesh_tiles(positions, cell, mesh_dimensions,
                                 spline_order, cap,
                                 need_grad=compute_forces)
-    mesh = sw.windowed_spread(tiles, charges)
+    mesh = sw.windowed_spread(tiles, charges, engine=spread_engine)
     _, k_squared = generate_k_vectors_pme(cell, mesh_dimensions)
     green, sf_sq = pme_green_structure_factor(
         k_squared, mesh_dimensions, alpha, cell, spline_order)
@@ -468,8 +479,16 @@ def _windowed_pme_single(positions, charges, cell, alpha, mesh_dimensions,
             norm="forward").astype(dtype)
 
     if compute_forces:
-        raw, grad_frac = sw.windowed_gather(tiles, potential_mesh,
-                                            with_gradient=True)
+        if gather_engine == "pallas":
+            from nvalchemiops_tpu.pallas.windowed_gather import (
+                pallas_windowed_gather_grad,
+            )
+
+            raw, grad_frac = pallas_windowed_gather_grad(tiles,
+                                                         potential_mesh)
+        else:
+            raw, grad_frac = sw.windowed_gather(tiles, potential_mesh,
+                                                with_gradient=True)
     else:
         raw = sw.windowed_gather(tiles, potential_mesh)
         grad_frac = None
@@ -502,17 +521,20 @@ def _windowed_pme_single(positions, charges, cell, alpha, mesh_dimensions,
     jax.jit,
     static_argnames=("mesh_dimensions", "spline_order", "cap",
                      "compute_forces", "fft_mode",
-                     "compute_charge_gradients"),
+                     "compute_charge_gradients", "spread_engine",
+                     "gather_engine"),
 )
 def _batch_windowed_pme_impl(positions, charges, cells, alphas,
                              mesh_dimensions, spline_order, cap,
                              compute_forces, fft_mode="xla",
-                             compute_charge_gradients=False):
+                             compute_charge_gradients=False,
+                             spread_engine="xla", gather_engine="xla"):
     return jax.vmap(
         lambda p, q, c, a: _windowed_pme_single(
             p, q, c, a, mesh_dimensions, spline_order, cap, compute_forces,
             fft_mode=fft_mode,
-            compute_charge_gradients=compute_charge_gradients)
+            compute_charge_gradients=compute_charge_gradients,
+            spread_engine=spread_engine, gather_engine=gather_engine)
     )(positions, charges, cells, alphas)
 
 
@@ -592,7 +614,9 @@ def batch_pme_reciprocal(positions, charges, cells, alpha, mesh_dimensions,
                          tile_capacity: int | None = None,
                          fft_mode: str = "auto",
                          compute_charge_gradients: bool = False,
-                         engine: str = "windowed"):
+                         engine: str = "windowed",
+                         spread_engine: str = "xla",
+                         gather_engine: str = "xla"):
     """Batched reciprocal-space PME on uniform [B, n, 3] system stacks.
 
     The concatenated ``batch_idx`` path of :func:`pme_reciprocal_space`
@@ -611,7 +635,9 @@ def batch_pme_reciprocal(positions, charges, cells, alpha, mesh_dimensions,
     ``"windowed"`` (default; tile-windowed, shared tiles reused by the
     force gather) or ``"dense"`` (tile-free chunked separable matmuls —
     no tile build, no capacity padding; candidate for small meshes,
-    see benchmarks/pme_batch_probe.py).
+    see benchmarks/pme_batch_probe.py).  On the windowed engine,
+    ``spread_engine``/``gather_engine`` = ``"pallas"`` run the per-tile
+    contractions in fused Mosaic kernels (vmapped over systems).
 
     ``alpha`` scalar or [B]; ``cells`` [3, 3] shared or [B, 3, 3].
     Returns per-atom energies [B, n] (self/background corrected), plus
@@ -647,7 +673,8 @@ def batch_pme_reciprocal(positions, charges, cells, alpha, mesh_dimensions,
             positions, jnp.asarray(charges, dtype), cells, alphas,
             tuple(int(d) for d in mesh_dimensions), int(spline_order),
             int(tile_capacity), bool(compute_forces), fft_mode=fft_mode,
-            compute_charge_gradients=bool(compute_charge_gradients))
+            compute_charge_gradients=bool(compute_charge_gradients),
+            spread_engine=spread_engine, gather_engine=gather_engine)
     if compute_forces and compute_charge_gradients:
         return energies, forces, charge_grads
     if compute_forces:

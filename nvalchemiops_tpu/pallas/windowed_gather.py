@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_windowed_gather_grad"]
+__all__ = ["pallas_windowed_gather_grad", "pallas_spread_windows"]
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -106,6 +106,73 @@ def _gather_grad_planes(smat, win, w_win: int, chunk: int = 8,
         interpret=interpret,
     )(smat, win.reshape(t, w_win, w_win * w_win), ry, rx)
     return outs
+
+
+def _spread_kernel(w_win: int, cap: int, chunk: int, smat_ref, qszt_ref,
+                   ry_ref, rx_ref, win_ref):
+    w = w_win
+    ry = ry_ref[...]                          # [W, W*W], ry[y, y*W+x] = 1
+    rx = rx_ref[...]                          # [W, W*W], rx[x, y*W+x] = 1
+    for g in range(chunk):
+        s = smat_ref[g]                       # [cap, kW]
+        sx = s[:, 0 * w:1 * w]
+        sy = s[:, 1 * w:2 * w]
+        ys = jax.lax.dot_general(
+            sy, ry, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)
+        xs = jax.lax.dot_general(
+            sx, rx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)
+        tyx = ys * xs                         # [cap, W*W]
+        # [W, cap] x [cap, W*W] -> [W, W*W]: the per-tile window
+        win_ref[g] = jax.lax.dot_general(
+            qszt_ref[g], tyx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)
+
+
+@partial(jax.jit, static_argnames=("w_win", "k_blocks", "chunk", "interpret"))
+def _spread_windows(smat, qszt, w_win: int, k_blocks: int, chunk: int = 16,
+                    interpret: bool = False):
+    """[t, cap, kW] x [t, W, cap] -> per-tile windows [t, W, W*W]."""
+    t, cap, kw = smat.shape
+    assert kw == k_blocks * w_win, (kw, k_blocks, w_win)
+    while t % chunk:
+        chunk //= 2
+    grid = (t // chunk,)
+    spec3 = lambda d1, d2: pl.BlockSpec(  # noqa: E731
+        (chunk, d1, d2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec((w_win, w_win * w_win), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    w = w_win
+    ys = jnp.arange(w)[:, None]
+    flat = jnp.arange(w * w)[None, :]
+    ry = (flat // w == ys).astype(smat.dtype)
+    rx = (flat % w == ys).astype(smat.dtype)
+    return pl.pallas_call(
+        partial(_spread_kernel, w_win, cap, chunk),
+        grid=grid,
+        in_specs=[spec3(cap, kw), spec3(w_win, cap), const_spec, const_spec],
+        out_specs=spec3(w_win, w_win * w_win),
+        out_shape=jax.ShapeDtypeStruct((t, w_win, w_win * w_win),
+                                       smat.dtype),
+        interpret=interpret,
+    )(smat, qszt, ry, rx)
+
+
+def pallas_spread_windows(tiles, q_t, interpret: bool | None = None):
+    """Per-tile spread windows [ntiles, W, W*W] in one fused Mosaic kernel.
+
+    Drop-in for the jnp contraction inside ``windowed_spread`` (the fold
+    chain stays in XLA): per tile chunk the axis-matrix block loads once,
+    the (y (x) x) product and the [W, cap] x [cap, W*W] contraction stay
+    in VMEM, and only the [ntiles, W, W*W] windows are written.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    qszt = jnp.swapaxes(q_t[..., None] * tiles.axis_mat(2), 1, 2)
+    k_blocks = tiles.smat.shape[-1] // tiles.w_win
+    return _spread_windows(tiles.smat, qszt, tiles.w_win, k_blocks,
+                           interpret=bool(interpret))
 
 
 def pallas_windowed_gather_grad(tiles, mesh, interpret: bool | None = None):

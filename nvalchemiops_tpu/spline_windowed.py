@@ -306,8 +306,14 @@ def _tyx(tiles: MeshTiles, iy: int, ix: int):
     return _axis_expanded(tiles, iy, ry) * _axis_expanded(tiles, ix, rx)
 
 
-def windowed_spread(tiles: MeshTiles, values):
-    """mesh[x,y,z] = sum_n values[n] S_x S_y S_z via per-tile contraction."""
+def windowed_spread(tiles: MeshTiles, values, engine: str = "xla"):
+    """mesh[x,y,z] = sum_n values[n] S_x S_y S_z via per-tile contraction.
+
+    ``engine="pallas"`` runs the per-tile contraction in a fused Mosaic
+    kernel (pallas/windowed_gather.py:pallas_spread_windows): the
+    [ntiles, cap, W*W] tensor-product intermediate (~113 MB at 128^3/110k)
+    never reaches HBM.
+    """
     nx, ny, nz = tiles.mesh_dims
     tile, cap, w_win = tiles.tile, tiles.cap, tiles.w_win
     ntx, nty, ntz = nx // tile, ny // tile, nz // tile
@@ -316,14 +322,21 @@ def windowed_spread(tiles: MeshTiles, values):
     qbuf = jnp.zeros((ntiles * cap + 1,), values.dtype)
     q_t = qbuf.at[tiles.flat_slot].set(values)[:-1].reshape(ntiles, cap)
 
-    qsz = q_t[..., None] * tiles.axis_mat(2)
-    tyx = _tyx(tiles, 1, 0)
-    # full f32: a bf16-pass contraction of the spline weights costs ~4e-3
-    # relative mesh error (measured 3e-3 end-to-end PME energy error)
-    # HIGHEST: measured only 0.6 ms over HIGH at 128^3/110k for 10x
-    # tighter end accuracy (PME E 4e-6 vs 2e-5 relative)
-    windows = jnp.einsum("tcz,tcm->tzm", qsz, tyx,
-                         precision=jax.lax.Precision.HIGHEST)  # [t, W, W*W]
+    if engine == "pallas":
+        from nvalchemiops_tpu.pallas.windowed_gather import (
+            pallas_spread_windows,
+        )
+
+        windows = pallas_spread_windows(tiles, q_t)
+    else:
+        qsz = q_t[..., None] * tiles.axis_mat(2)
+        tyx = _tyx(tiles, 1, 0)
+        # full f32: a bf16-pass contraction of the spline weights costs
+        # ~4e-3 relative mesh error (measured 3e-3 end-to-end PME energy
+        # error).  HIGHEST: measured only 0.6 ms over HIGH at 128^3/110k
+        # for 10x tighter end accuracy (PME E 4e-6 vs 2e-5 relative)
+        windows = jnp.einsum("tcz,tcm->tzm", qsz, tyx,
+                             precision=jax.lax.Precision.HIGHEST)
 
     # fold chain ordered z -> y -> x; every relayout keeps fat trailing dims
     a = windows.reshape(ntx, nty, ntz, w_win, w_win * w_win)

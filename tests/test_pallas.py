@@ -32,3 +32,47 @@ def test_pallas_gather_matches_xla():
     g_p = pallas_separable_gather(mesh, sx, sy, sz, interpret=True)
     g_x = _separable_gather(mesh, sx, sy, sz)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=1e-4)
+
+
+def test_pallas_spread_windows_matches_xla():
+    """Fused Mosaic spread windows == the jnp windowed spread (interpret)."""
+    import jax
+
+    from nvalchemiops_tpu.spline_windowed import (
+        build_mesh_tiles, mesh_tile_capacity, windowed_spread,
+    )
+
+    rng = np.random.default_rng(7)
+    n, mesh_dims = 500, (16, 16, 16)
+    cell = jnp.eye(3, dtype=jnp.float32) * 20.0
+    pos = jnp.asarray(rng.uniform(0, 20.0, (n, 3)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=n), jnp.float32)
+    cap = mesh_tile_capacity(n, mesh_dims)
+    for need_grad in (True, False):
+        tiles = build_mesh_tiles(pos, cell, mesh_dims, 4, cap,
+                                 need_grad=need_grad)
+        m_x = windowed_spread(tiles, q)
+        m_p = windowed_spread(tiles, q, engine="pallas")
+        np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_x),
+                                   atol=1e-6)
+
+
+def test_pme_spread_engine_pallas_matches_xla():
+    """PME reciprocal E+F with spread_engine='pallas' == the xla spread."""
+    from nvalchemiops_tpu.interactions.electrostatics.pme import (
+        _pme_reciprocal_impl,
+    )
+
+    rng = np.random.default_rng(8)
+    n = 300
+    cell = jnp.eye(3, dtype=jnp.float32) * 14.0
+    pos = jnp.asarray(rng.uniform(0, 14.0, (n, 3)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=n), jnp.float32)
+    q = q - q.mean()
+    alpha = jnp.asarray([0.4], jnp.float32)
+    args = (pos, q, cell.reshape(1, 3, 3), alpha, (16, 16, 16), 4, None,
+            True, False, None, None)
+    e_x, f_x, _ = _pme_reciprocal_impl(*args)
+    e_p, f_p, _ = _pme_reciprocal_impl(*args, spread_engine="pallas")
+    np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), atol=1e-5)
