@@ -6,11 +6,12 @@ Prints ONE JSON line:
 
 Pipeline (BASELINE.json config #5 shape): a 109,744-atom CsCl (B2)
 supercell — the reference's own benchmark crystal for D3 and PME — f32;
-one halo-grid build at the 9 A interaction cutoff; DFT-D3(BJ) energies
-+ analytical forces + CNs on the grid (tables compacted to the present
-elements, zm = 15); erfc-damped real-space Coulomb energies + forces on
-the same grid; PME reciprocal space (128^3 mesh, tile-windowed
-spread/gather) energies + spline-derivative forces.  Cutoff note: the
+one halo-grid build at the 9.6 A interaction cutoff; DFT-D3(BJ) energies
++ analytical forces + CNs on the pre-windowed per-cell Mosaic sweep
+(engine="window", tables compacted to the present elements, zm = 15);
+erfc-damped real-space Coulomb energies + forces on the same grid; PME
+reciprocal space (128^3 mesh, tile-windowed spread/gather) energies +
+spline-derivative forces.  Cutoff note: the
 reference's published D3 number was measured at 21.2 A (docs/benchmarks.md
 carries the matched-cutoff batched comparison); this composite uses an
 MD-typical 9.6 A for the real-space stages, per the BASELINE.json MLIP-step
