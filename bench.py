@@ -177,18 +177,19 @@ def main():
         print(f"# pme pallas-spread variant failed: {type(exc).__name__}: {exc}",
               file=sys.stderr)
 
-    # --- fused MD step: one jitted program, one grid build, one real-space
-    # sweep (D3 + Coulomb ride the same candidate windows) -------------------
-    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
-        grid_dftd3_coulomb,
-    )
-
+    # --- fused MD step: one jitted program, one grid build ------------------
+    # (separate window sweeps for D3 and Coulomb: the FUSED window pass-2
+    # kernel's 9-output body exceeds the 16 MB scoped-VMEM limit at this
+    # cap/lane geometry — measured 17.7 MB at 16^3/cap40; the fused
+    # grid_dftd3_coulomb(engine="window") stays valid at smaller caps)
     def md_step(p):
         gg = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
-        e_d3, f_d3, _, e_c, f_c = grid_dftd3_coulomb(
-            gg, numbers, charges, rcov, r4r2, c6, cna, cutoff, 0.4, 4.2, 1.8,
-            coulomb_cutoff=cutoff, alpha=alpha, engine="window",
+        e_d3, f_d3, _ = grid_dftd3(
+            gg, numbers, rcov, r4r2, c6, cna, cutoff, 0.4, 4.2, 1.8,
+            engine="window",
         )
+        e_c, f_c = grid_coulomb_energy_forces(gg, charges, cutoff, alpha,
+                                              engine="window")
         e_p, f_p, _ = _pme_reciprocal_impl(
             p, charges, cell.reshape(1, 3, 3), jnp.asarray([alpha], dtype),
             mesh, 4, None, True, False, None, None, tile_capacity=tile_cap,

@@ -1813,6 +1813,12 @@ def grid_dftd3_coulomb(
     pairs (the separate-call path costs one extra grid traversal).  Both
     cutoffs must be <= the cutoff the grid was built for.
 
+    VMEM note: the fused window pass-2 body carries 9 own + 8 j-side
+    accumulators; at large geometries (measured: 16^3 cells, cap 40,
+    lane 128) it exceeds the 16 MB scoped-VMEM limit on chip — use
+    separate ``grid_dftd3``/``grid_coulomb_energy_forces`` window calls
+    there (one extra candidate sweep), or ``engine="xla"``.
+
     Returns ``(e_d3_total, f_d3 [N,3], coord_num [N],
     e_coulomb [N], f_coulomb [N,3])``.  Energy/force channels are kept
     separate so callers can scale them independently.
