@@ -698,6 +698,15 @@ def grid_coulomb_energy_forces(grid: AtomGrid, charges, cutoff, alpha=0.0,
     """
     q_plane = scatter_to_grid(grid, charges)
     q_ext = _extend_like(grid, q_plane, 0.0)
+    if engine is None:
+        # auto-select (same policy as grid_dftd3): the window Mosaic sweep
+        # measured 4.0-4.7 ms vs 4.9-6.1 (xla) at 110k atoms; TPU-only and
+        # only in the VMEM-proven one-register-window regime
+        from nvalchemiops_tpu.pallas.window_sweep import window_lane_width
+
+        if (jax.default_backend() == "tpu"
+                and window_lane_width(grid.cap, grid.radius[2]) == 128):
+            engine = "window"
     if engine == "window":
         e, fx, fy, fz = _coulomb_window_impl(
             grid, q_plane, q_ext, float(cutoff), float(alpha),

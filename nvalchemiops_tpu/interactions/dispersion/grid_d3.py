@@ -1665,13 +1665,20 @@ def grid_dftd3(
     if engine == "hybrid" and stencil is None:
         raise ValueError("engine='hybrid' requires a StencilGrid (stencil=...)")
     if engine is None:
-        # measured on chip at 110k atoms (tuned geometry): xla 28.4 ms vs
-        # block 30.4 ms, within run noise of each other — default to the
-        # jnp sweep everywhere: traced parameters (no recompile per D3
-        # parameter set), precision/virial support, and no Mosaic
-        # alignment sensitivity at awkward grid dims.  The super-chunk
-        # engine stays selectable (engine="block").
-        engine = "xla"
+        # auto-select: the pre-windowed per-cell Mosaic sweep measured
+        # 12.8 ms vs 21-22 (xla) / 30 (block) at 110k atoms — default to
+        # it on TPU whenever the window fits one 128-lane register
+        # ((2Rx+1)*cap <= 128, the VMEM-proven regime); otherwise the jnp
+        # row sweep (traced parameters, no recompile per D3 parameter
+        # set, no Mosaic alignment sensitivity at awkward geometries).
+        from nvalchemiops_tpu.pallas.window_sweep import window_lane_width
+
+        if (jax.default_backend() == "tpu"
+                and precision is None
+                and window_lane_width(grid.cap, grid.radius[2]) == 128):
+            engine = "window"
+        else:
+            engine = "xla"
     if block_G is not None:
         # snap the hint to a divisor of the grid's x extent
         cx = grid.dims[2]
