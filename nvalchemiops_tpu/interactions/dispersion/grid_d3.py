@@ -1426,9 +1426,12 @@ def _grid_d3_window_impl(
 
         good = w > 1e-12
         w_inv = 1.0 / jnp.where(good, w, 1.0)
-        c6 = jnp.where(good, zacc * w_inv, 0.0)
+        # one folded mask (ok & good) on c6: every c6-proportional output
+        # (e_ij, coef) inherits the zero, and the masked r2_ = 1 keeps the
+        # damping chain finite at excluded slots, so only m (not
+        # c6-proportional) needs its own where
+        c6m = jnp.where(ok & good, zacc * w_inv, 0.0)
 
-        pair_good = ok & (c6 >= 1e-12)
         t = s[:, 3:4][None] * crow["si"]
         rr = t * t
         r0 = a1 * t + a2
@@ -1445,14 +1448,14 @@ def _grid_d3_window_impl(
         den8_inv = rec * den6
         damp_sum = s6 * den6_inv + s8 * rr * den8_inv
 
-        e_ij = jnp.where(pair_good, -c6 * damp_sum, 0.0)
+        e_ij = -c6m * damp_sum
         dd6 = -6.0 * s6 * r4 * den6_inv * den6_inv
         dd8 = -8.0 * s8 * rr * r6 * den8_inv * den8_inv
-        coef = jnp.where(pair_good, -c6 * (dd6 + dd8), 0.0)
+        coef = -c6m * (dd6 + dd8)
         cfx = coef * dx
         cfy = coef * dy
         cfz = coef * dz
-        m = jnp.where(pair_good, (-2.0 * k3) * damp_sum * w_inv, 0.0)
+        m = jnp.where(ok & good, (-2.0 * k3) * damp_sum * w_inv, 0.0)
         dei = m * z_di
         dej = m * z_dj
         own_blocks = (e_ij, cfx, cfy, cfz, dei)
@@ -1673,9 +1676,14 @@ def grid_dftd3(
         # set, no Mosaic alignment sensitivity at awkward geometries).
         from nvalchemiops_tpu.pallas.window_sweep import window_lane_width
 
+        lane_w = window_lane_width(grid.cap, grid.radius[2])
         if (jax.default_backend() == "tpu"
                 and precision is None
-                and window_lane_width(grid.cap, grid.radius[2]) == 128):
+                and lane_w == 128
+                and grid.dims[2] * lane_w <= 2048):
+            # cx*lane_w caps the per-row window block AND the unrolled
+            # in-kernel x loop: the Mosaic compile itself fails at
+            # 524k atoms (cx=26, lwin=3328) — stay in the proven regime
             engine = "window"
         else:
             engine = "xla"

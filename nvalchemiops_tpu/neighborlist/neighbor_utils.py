@@ -380,8 +380,13 @@ def bucket_ranks(lin, num_buckets: int):
         sorted_lin = key // n
         order = key - sorted_lin * n
     else:
-        order = jnp.argsort(lin, stable=True).astype(INDEX_DTYPE)
-        sorted_lin = lin[order]
+        # one multi-operand stable sort: carrying iota as a value gives
+        # sorted_lin AND order together with ZERO random gathers (the
+        # argsort + lin[order] formulation paid a ~5 ms 524k-element
+        # gather; measured build 29 ms vs ~14 at 524k atoms)
+        sorted_lin, order = jax.lax.sort(
+            (lin, jnp.arange(n, dtype=INDEX_DTYPE)), num_keys=1,
+            is_stable=True)
     idx = jnp.arange(n, dtype=INDEX_DTYPE)
     boundary = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_lin[1:] != sorted_lin[:-1]]
