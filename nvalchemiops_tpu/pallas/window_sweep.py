@@ -55,9 +55,16 @@ __all__ = [
     "window_rows",
     "window_colsT",
     "window_lane_width",
+    "window_x_block",
     "fold_window_j",
     "WINDOW_PARK",
 ]
+
+# Largest per-block row width (lanes) the Mosaic compile is proven to
+# handle: cx*lane_w = 16*128 = 2048 at the 110k-atom composite geometry;
+# the unblocked compile fails at cx=26 (lwin=3328).  Rows wider than this
+# are split into x-blocks of at most this many lanes (window_x_block).
+_MAX_BLOCK_LANES = 2048
 
 # Lane-pad park displacement for position windows.  Must be far enough
 # that any (real atom, pad lane) distance fails every cutoff test, but
@@ -78,6 +85,16 @@ def _halfspace_zy(rz, ry):
 def window_lane_width(cap: int, rx: int) -> int:
     """Lane width of one x-window: (2*rx+1)*cap rounded up to 128."""
     return -(-((2 * rx + 1) * cap) // 128) * 128
+
+
+def window_x_block(cx: int, lane_w: int) -> int:
+    """Largest divisor ``bx`` of ``cx`` with ``bx*lane_w`` in the proven
+    Mosaic block-width regime (<= 2048 lanes); 1 if none fits."""
+    best = 1
+    for bx in range(1, cx + 1):
+        if cx % bx == 0 and bx * lane_w <= _MAX_BLOCK_LANES:
+            best = bx
+    return best
 
 
 def window_rows(ext_plane, rx: int, cap: int, lane_w: int, park=0.0):
@@ -157,6 +174,7 @@ def window_sweep(
     lane_w: int | None = None,
     dtype=jnp.float32,
     interpret: bool = False,
+    x_block: int | None = None,
 ):
     """Run ``body`` over all symmetric pre-windowed per-cell pair blocks.
 
@@ -180,6 +198,11 @@ def window_sweep(
     Returns ``(own_accs, ext_accs)``: tuples of [cz, cy, cx, cap] interior
     planes and [ez, ey, ex, cap] extended j accumulators (fold with
     ``grid.fold_halo``).
+
+    ``x_block`` splits each (z, y) row into ``cx/x_block`` grid steps of
+    ``x_block`` own cells (must divide ``cx``); default picks the largest
+    divisor whose block stays in the proven <=2048-lane Mosaic regime, so
+    wide rows (e.g. cx=26 at 524k atoms) compile instead of failing.
     """
     cz, cy, cx = dims
     rz, ry, rx = radius
@@ -190,8 +213,14 @@ def window_sweep(
     if (2 * rx + 1) * cap > lane_w:
         raise ValueError(
             f"window (2*{rx}+1)*{cap} exceeds lane_w={lane_w}")
+    bx = x_block if x_block is not None else window_x_block(cx, lane_w)
+    if cx % bx:
+        raise ValueError(f"x_block={bx} must divide cx={cx}")
+    nxb = cx // bx
     lrow = cx * cap
     lwin = cx * lane_w
+    lbrow = bx * cap
+    lbwin = bx * lane_w
 
     offs = [(0, 0)] + _halfspace_zy(rz, ry)
     n_off = len(offs)
@@ -213,9 +242,9 @@ def window_sweep(
         scratch = [next(it) for _ in range(num_own_out)]
 
         for a in scratch:
-            a[:] = jnp.zeros((lrow, 8), dtype)
+            a[:] = jnp.zeros((lbrow, 8), dtype)
         for r in j_out:
-            r[0, 0] = jnp.zeros((n_off, 1, lwin), dtype)
+            r[0, 0] = jnp.zeros((n_off, 1, lbwin), dtype)
 
         # pair-once mask for the home offset, from iotas (Mosaic-friendly):
         # within the window, cells left of center are excluded (covered by
@@ -227,7 +256,7 @@ def window_sweep(
         home = (lane >= (rx + 1) * cap) | (
             (lane >= rx * cap) & (lane - rx * cap > row))
 
-        for g in range(cx):
+        for g in range(bx):
             own = {k: r[0, 0, g * cap:(g + 1) * cap, :]
                    for k, r in own_refs.items()}
             sl = slice(g * lane_w, (g + 1) * lane_w)
@@ -258,49 +287,73 @@ def window_sweep(
                 preferred_element_type=dtype,
             )
 
+    # Index maps: the proven single-block path keeps the 2-D (z, y) grid
+    # exactly as measured at 110k; wide rows (nxb > 1) add a third,
+    # parallel x-block grid dimension (block index xb selects the
+    # [xb*bx .. (xb+1)*bx) own cells and their windows).
+    if nxb == 1:
+        grid_dims = (cz, cy)
+
+        def _own_map():
+            return lambda z, y, dzr, dyr: (z, y, 0, 0)
+
+        def _win_map(o):
+            return partial(lambda z, y, dzr, dyr, o=0: (
+                z + dzr[o], y + dyr[o], 0, 0), o=o)
+
+        _own_out_map = lambda z, y, dzr, dyr: (z, y, 0, 0)  # noqa: E731
+        _j_out_map = lambda z, y, dzr, dyr: (z, y, 0, 0, 0)  # noqa: E731
+    else:
+        grid_dims = (cz, cy, nxb)
+
+        def _own_map():
+            return lambda z, y, xb, dzr, dyr: (z, y, xb, 0)
+
+        def _win_map(o):
+            return partial(lambda z, y, xb, dzr, dyr, o=0: (
+                z + dzr[o], y + dyr[o], 0, xb), o=o)
+
+        _own_out_map = lambda z, y, xb, dzr, dyr: (z, y, 0, xb)  # noqa: E731
+        _j_out_map = lambda z, y, xb, dzr, dyr: (z, y, 0, 0, xb)  # noqa: E731
+
     in_specs = []
     inputs = []
     for k in own_names:
         f = own_cols[k].shape[-1]
         in_specs.append(pl.BlockSpec(
-            (1, 1, lrow, f), lambda z, y, dzr, dyr: (z, y, 0, 0),
+            (1, 1, lbrow, f), _own_map(),
             memory_space=pltpu.VMEM))
         inputs.append(own_cols[k])
     for k in wrow_names:
         for o in range(n_off):
             in_specs.append(pl.BlockSpec(
-                (1, 1, 1, lwin),
-                partial(lambda z, y, dzr, dyr, o=0: (
-                    z + dzr[o], y + dyr[o], 0, 0), o=o),
+                (1, 1, 1, lbwin), _win_map(o),
                 memory_space=pltpu.VMEM))
             inputs.append(cand_wrows[k])
     for k in wcolt_names:
         f = cand_wcolsT[k].shape[2]
         for o in range(n_off):
             in_specs.append(pl.BlockSpec(
-                (1, 1, f, lwin),
-                partial(lambda z, y, dzr, dyr, o=0: (
-                    z + dzr[o], y + dyr[o], 0, 0), o=o),
+                (1, 1, f, lbwin), _win_map(o),
                 memory_space=pltpu.VMEM))
             inputs.append(cand_wcolsT[k])
 
     own_out_specs = [
-        pl.BlockSpec((1, 1, 8, lrow), lambda z, y, dzr, dyr: (z, y, 0, 0),
+        pl.BlockSpec((1, 1, 8, lbrow), _own_out_map,
                      memory_space=pltpu.VMEM)
         for _ in range(num_own_out)
     ]
     j_out_specs = [
-        pl.BlockSpec((1, 1, n_off, 1, lwin),
-                     lambda z, y, dzr, dyr: (z, y, 0, 0, 0),
+        pl.BlockSpec((1, 1, n_off, 1, lbwin), _j_out_map,
                      memory_space=pltpu.VMEM)
         for _ in range(num_j_out)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(cz, cy),
+        grid=grid_dims,
         in_specs=in_specs,
         out_specs=tuple(own_out_specs + j_out_specs),
-        scratch_shapes=[pltpu.VMEM((lrow, 8), dtype)
+        scratch_shapes=[pltpu.VMEM((lbrow, 8), dtype)
                         for _ in range(num_own_out)],
     )
     outs = pl.pallas_call(
@@ -312,7 +365,7 @@ def window_sweep(
             + [jax.ShapeDtypeStruct((cz, cy, n_off, 1, lwin), dtype)
                for _ in range(num_j_out)]),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel",) * len(grid_dims)),
         interpret=interpret,
     )(dz_arr, dy_arr, *inputs)
 

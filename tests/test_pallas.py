@@ -76,3 +76,49 @@ def test_pme_spread_engine_pallas_matches_xla():
     e_p, f_p, _ = _pme_reciprocal_impl(*args, spread_engine="pallas")
     np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_x), atol=1e-5)
     np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), atol=1e-5)
+
+
+def test_window_sweep_x_block_parity():
+    """x-blocked window sweep == the single-block sweep (interpret).
+
+    Wide rows (cx*lane_w > 2048 lanes, e.g. 524k atoms at cx=26) split
+    into x-block grid steps; every split must reproduce the unblocked
+    accumulators exactly (same adds, same order within a cell).
+    """
+    from nvalchemiops_tpu.pallas.window_sweep import (
+        window_lane_width,
+        window_rows,
+        window_sweep,
+    )
+
+    rng = np.random.default_rng(7)
+    dims, radius, cap = (2, 3, 4), (1, 1, 1), 8
+    cz, cy, cx = dims
+    rz, ry, rx = radius
+    lane_w = window_lane_width(cap, rx)
+    ez, ey, ex = cz + 2 * rz, cy + 2 * ry, cx + 2 * rx
+    own = {"x": jnp.asarray(rng.normal(size=(cz, cy, cx * cap, 1)),
+                            jnp.float32)}
+    ext = jnp.asarray(rng.normal(size=(ez, ey, ex, cap)), jnp.float32)
+    wrows = {"y": window_rows(ext, rx, cap, lane_w, park=0.0)}
+
+    def body(own, crow, ccolt, home):
+        pair = own["x"][None] * crow["y"]  # [n_off, cap, lane_w]
+        pair = jnp.where(
+            jnp.concatenate([home[None],
+                             jnp.ones_like(pair[1:], bool)], axis=0),
+            pair, 0.0)
+        return (pair,), (pair,)
+
+    results = {}
+    for bx in (None, 1, 2, 4):
+        (own_acc,), (ext_acc,) = window_sweep(
+            dims, radius, cap, own, wrows, {}, body, 1, 1,
+            lane_w=lane_w, interpret=True, x_block=bx)
+        results[bx] = (np.asarray(own_acc), np.asarray(ext_acc))
+    for bx in (1, 2, 4):
+        np.testing.assert_allclose(results[bx][0], results[None][0],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(results[bx][1], results[None][1],
+                                   rtol=1e-6)
+    assert np.abs(results[None][0]).sum() > 0  # nontrivial sweep
