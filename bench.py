@@ -11,10 +11,10 @@ one halo-grid build at the 9.6 A interaction cutoff; DFT-D3(BJ) energies
 (engine="window", tables compacted to the present elements, zm = 15);
 erfc-damped real-space Coulomb energies + forces on the same grid; PME
 reciprocal space (128^3 mesh, tile-windowed spread/gather) energies +
-spline-derivative forces.  Cutoff note: the
-reference's published D3 number was measured at 21.2 A (docs/benchmarks.md
-carries the matched-cutoff batched comparison); this composite uses an
-MD-typical 9.6 A for the real-space stages, per the BASELINE.json MLIP-step
+spline-derivative forces.  Cutoff note: the reference's published D3
+number was measured at 21.2 A (docs/benchmarks.md carries the
+matched-cutoff batched comparison); this composite uses an MD-typical
+9.6 A for the real-space stages, per the BASELINE.json MLIP-step
 framing.  9.6 (not 9.0) keeps the cutoff inside a gap of the CsCl shell
 structure so the f32-vs-f64 force-accuracy gate measures engine fidelity
 rather than boundary pairs flipping across the sharp cutoff (see
@@ -31,13 +31,27 @@ Timing: the axon tunnel acks before execution completes, so wall-clock
 around a dispatch is meaningless; each stage runs inside a jitted
 ``lax.fori_loop`` chain with a data-dependent perturbation per iteration,
 timed by differencing two loop lengths (see benchmarks/harness.py).
+
+Budget: the whole script is wall-clock guarded (reference analogue: the
+SIGALRM Timer guard, reference benchmarks/utils.py:35-74).  Core stages
+(NL, D3, PME) run first; every optional stage (Coulomb detail, accuracy,
+PME spread variant, fused step) is gated on remaining budget and the
+headline JSON is printed even if SIGALRM fires mid-stage.  Override with
+BENCH_BUDGET_S (default 1140 s); the f64 accuracy reference is committed
+in-repo (benchmarks/data/bench_acc_ref.npz) so a cold run never rebuilds
+it.
 """
 
 import json
 import os
+import signal
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+T0 = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1140"))
 
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
@@ -56,12 +70,48 @@ from nvalchemiops_tpu.interactions.electrostatics.pme import (  # noqa: E402
 
 BASELINE_US_PER_ATOM = 0.286  # H100 components: 0.051 (NL) + 0.19 (D3) + 0.045 (PME)
 
+# Mutable bench state shared with the SIGALRM handler: the handler prints
+# whatever headline is computable from the stages measured so far, so the
+# driver always captures a JSON line even if a stage hangs.
+_STATE = {"result": None, "printed": False}
+
+
+def _emit(result):
+    if _STATE["printed"]:
+        return
+    _STATE["printed"] = True
+    print(json.dumps(result), flush=True)
+
+
+def _remaining():
+    return BUDGET_S - (time.time() - T0)
+
+
+def _on_alarm(signum, frame):  # noqa: ARG001
+    res = _STATE["result"]
+    if res is None:
+        res = {
+            "metric": "NL+D3+PME end-to-end (TPU chip) — INCOMPLETE (budget hit)",
+            "value": None,
+            "unit": "us/atom",
+            "vs_baseline": None,
+        }
+    else:
+        res = dict(res)
+        res["detail"] = dict(res.get("detail", {}))
+        res["detail"]["budget_hit"] = True
+    _emit(res)
+    os._exit(0)
+
 
 def main():
     from benchmarks.composite_accuracy import build_system
     from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
         compact_d3_elements,
     )
+
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(max(int(BUDGET_S), 1))
 
     # CsCl (B2) supercell — the reference's own benchmark crystal (see
     # composite_accuracy.build_system).  n_rep=38 -> 109,744 atoms, box
@@ -97,116 +147,46 @@ def main():
 
     dep = perturb_positions()
 
-    # --- stage 1: neighbor structure build ---------------------------------
+    # --- core stage 1: neighbor structure build -----------------------------
     t_nl = measure(
         lambda p: build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin),
         dep, (pos,), iters=8,
     )
 
-    # --- stage 2: DFT-D3 energies + forces + CN (incl. its grid reuse) ------
-    # default engine: the pre-windowed per-cell Mosaic sweep
-    # (pallas/window_sweep.py) — measured 16.8-18.2 ms vs 21.4-25 for the
-    # jnp row sweep at this config
-    def d3_step(p, **kw):
+    # --- core stage 2: DFT-D3 energies + forces + CN (incl. its grid reuse) -
+    # engine="window": the pre-windowed per-cell Mosaic sweep
+    # (pallas/window_sweep.py) — measured 13.2-13.4 ms at this config vs
+    # 21.4-25 for the jnp row sweep (round-2 winner; bf16/xla variants cut
+    # per round-2 VERDICT #1c)
+    def d3_step(p):
         gg = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
         return grid_dftd3(
             gg, numbers, rcov, r4r2, c6, cna, cutoff, 0.4, 4.2, 1.8,
-            engine="window", **kw
+            engine="window",
         )
 
     t_d3_total = measure(d3_step, dep, (pos,), iters=3)
     t_d3 = max(t_d3_total - t_nl, 0.0)
 
-    # --- stage 3: real-space Coulomb on the same grid -----------------------
-    def coul_step(p):
-        gg = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
-        return grid_coulomb_energy_forces(gg, charges, cutoff, alpha,
-                                          engine="window")
-
-    t_coul_total = measure(coul_step, dep, (pos,), iters=3)
-    t_coul = max(t_coul_total - t_nl, 0.0)
-
-    # --- stage 4: PME reciprocal (energies + forces) ------------------------
+    # --- core stage 3: PME reciprocal (energies + forces) -------------------
     from nvalchemiops_tpu.spline_windowed import observed_tile_capacity
 
     tile_cap = observed_tile_capacity(pos, cell, mesh)
 
-    def pme_step(p):
+    def pme_step(p, **kw):
         e, forces, _ = _pme_reciprocal_impl(
             p, charges, cell.reshape(1, 3, 3), jnp.asarray([alpha], dtype),
             mesh, 4, None, True, False, None, None, tile_capacity=tile_cap,
+            **kw,
         )
         return e, forces
 
     t_pme = measure(pme_step, dep, (pos,), iters=3)
 
-    # --- candidate-variant stages (extra detail only; never the headline) ---
-    # measured here so the round-end chip run captures them even when the
-    # interactive chip was unavailable (see CLAUDE.md perf notes)
-    t_d3_bf16 = t_d3_xla = t_pme_ps = None
-    try:
-        t_d3_bf16 = max(
-            measure(lambda p: d3_step(p, feature_dtype=jnp.bfloat16),
-                    dep, (pos,), iters=3) - t_nl, 0.0)
-    except Exception as exc:  # noqa: BLE001 - variant must never break the bench
-        print(f"# d3 window/bf16 variant failed: {type(exc).__name__}: {exc}",
-              file=sys.stderr)
-    try:
-        def d3_xla_step(p):
-            gg = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
-            return grid_dftd3(
-                gg, numbers, rcov, r4r2, c6, cna, cutoff, 0.4, 4.2, 1.8,
-                engine="xla",
-            )
-
-        t_d3_xla = max(measure(d3_xla_step, dep, (pos,), iters=3) - t_nl, 0.0)
-    except Exception as exc:  # noqa: BLE001
-        print(f"# d3 xla variant failed: {type(exc).__name__}: {exc}",
-              file=sys.stderr)
-    try:
-        def pme_ps_step(p):
-            e, forces, _ = _pme_reciprocal_impl(
-                p, charges, cell.reshape(1, 3, 3), jnp.asarray([alpha], dtype),
-                mesh, 4, None, True, False, None, None,
-                tile_capacity=tile_cap, spread_engine="pallas",
-            )
-            return e, forces
-
-        t_pme_ps = measure(pme_ps_step, dep, (pos,), iters=3)
-    except Exception as exc:  # noqa: BLE001
-        print(f"# pme pallas-spread variant failed: {type(exc).__name__}: {exc}",
-              file=sys.stderr)
-
-    # --- fused MD step: one jitted program, one grid build ------------------
-    # (separate window sweeps for D3 and Coulomb: the FUSED window pass-2
-    # kernel's 9-output body exceeds the 16 MB scoped-VMEM limit at this
-    # cap/lane geometry — measured 17.7 MB at 16^3/cap40; the fused
-    # grid_dftd3_coulomb(engine="window") stays valid at smaller caps)
-    def md_step(p):
-        gg = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
-        e_d3, f_d3, _ = grid_dftd3(
-            gg, numbers, rcov, r4r2, c6, cna, cutoff, 0.4, 4.2, 1.8,
-            engine="window",
-        )
-        e_c, f_c = grid_coulomb_energy_forces(gg, charges, cutoff, alpha,
-                                              engine="window")
-        e_p, f_p, _ = _pme_reciprocal_impl(
-            p, charges, cell.reshape(1, 3, 3), jnp.asarray([alpha], dtype),
-            mesh, 4, None, True, False, None, None, tile_capacity=tile_cap,
-            spread_engine="pallas",
-        )
-        return e_d3 + jnp.sum(e_p) + jnp.sum(e_c), f_d3 + f_c + f_p
-
-    t_fused = measure(md_step, dep, (pos,), iters=3)
-
-    # Headline = the BASELINE.json stage set (NL + DFT-D3 + PME reciprocal;
-    # the H100 0.286 us/atom denominator has exactly those three
-    # components).  The real-space erfc Coulomb stage — which the
-    # reference's composite does NOT include — is reported alongside in
-    # detail, with its own with-coulomb composite.
+    # headline is now computable — keep _STATE["result"] current from here
+    # on so the SIGALRM guard always has a valid line to print
     total = t_nl + t_d3 + t_pme
     us_per_atom = total * 1e6 / n
-    with_coul = (total + t_coul) * 1e6 / n
     result = {
         "metric": "NL+D3+PME end-to-end (109,744-atom CsCl, f32, energies+forces, TPU chip)",
         "value": round(us_per_atom, 4),
@@ -216,106 +196,127 @@ def main():
             "atoms": n,
             "nl_build_ms": round(t_nl * 1e3, 3),
             "dftd3_ms": round(t_d3 * 1e3, 3),
-            "coulomb_real_ms": round(t_coul * 1e3, 3),
             "pme_recip_forces_ms_128^3": round(t_pme * 1e3, 3),
-            "with_coulomb_us_per_atom": round(with_coul, 4),
-            "fused_md_step_ms": round(t_fused * 1e3, 3),
             "baseline_us_per_atom_h100": BASELINE_US_PER_ATOM,
         },
     }
-    if t_d3_bf16 is not None:
-        result["detail"]["dftd3_window_bf16_ms"] = round(t_d3_bf16 * 1e3, 3)
-    if t_d3_xla is not None:
-        result["detail"]["dftd3_xla_ms"] = round(t_d3_xla * 1e3, 3)
-    if t_pme_ps is not None:
-        result["detail"]["pme_pallas_spread_ms"] = round(t_pme_ps * 1e3, 3)
+    _STATE["result"] = result
 
-    # --- composite force accuracy (f32 chip vs f64 CPU, small replica) -----
+    # --- optional stage: real-space Coulomb on the same grid ----------------
+    # (not part of the reference composite; reported in detail only)
+    t_coul = None
+    if _remaining() > 240:
+        def coul_step(p):
+            gg = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
+            return grid_coulomb_energy_forces(gg, charges, cutoff, alpha,
+                                              engine="window")
+
+        t_coul = max(measure(coul_step, dep, (pos,), iters=3) - t_nl, 0.0)
+        result["detail"]["coulomb_real_ms"] = round(t_coul * 1e3, 3)
+        result["detail"]["with_coulomb_us_per_atom"] = round(
+            (total + t_coul) * 1e6 / n, 4)
+
+    # --- optional stage: composite force accuracy (f32 chip vs f64 ref) -----
     # reference metric text is "us/atom ... force max|err| vs reference";
-    # errors also gate the bf16-D3 variant choice below.
+    # the error also gates the PME pallas-spread variant below.  The f64
+    # reference is committed in-repo — no rebuild subprocess (VERDICT #1a).
     acc = {}
-    try:
-        import subprocess
+    ps_ok = False
+    if _remaining() > 330:
+        try:
+            from benchmarks import composite_accuracy as ca
 
-        from benchmarks import composite_accuracy as ca
-
-        here = os.path.dirname(os.path.abspath(__file__))
-        subprocess.run(
-            [sys.executable, os.path.join(here, "benchmarks",
-                                          "composite_accuracy.py"), "ref"],
-            check=True, timeout=900, cwd=here,
-        )
-        ref = np.load(ca.REF_PATH)
-        f_f32 = ca.compute_forces(
-            jnp.float32, d3_kwargs=dict(engine="window"),
-            coul_kwargs=dict(engine="window"))
-        err_f32 = ca.relative_errors(f_f32, ref)
-        acc["force_max_rel_err"] = {k: round(v, 8) for k, v in err_f32.items()}
-        # RMS is the stable engine-fidelity signal; the f32 D3 *max* error
-        # carries an intrinsic ~1e-2 conditioning floor (identical across
-        # every engine incl. the matrix path; engines agree to 5e-8 at
-        # f64) — see composite_accuracy.relative_errors.
-        acc["force_rms_rel_err"] = {
-            k: round(v, 8) for k, v in ca.rms_errors(f_f32, ref).items()}
-        err_bf16 = ca.relative_errors(
-            ca.compute_forces(
-                jnp.float32,
-                d3_kwargs=dict(engine="window", feature_dtype=jnp.bfloat16),
-            ),
-            ref,
-        )
-        acc["force_max_rel_err_d3_bf16"] = round(err_bf16["d3"], 8)
-        err_ps = ca.relative_errors(
-            ca.compute_forces(
-                jnp.float32, pme_kwargs=dict(spread_engine="pallas"),
-            ),
-            ref,
-        )
-        acc["force_max_rel_err_pme_pallas_spread"] = round(err_ps["pme"], 8)
-        result["detail"].update(acc)
-    except Exception as exc:  # noqa: BLE001 - accuracy must never break the bench
-        print(f"# accuracy stage failed: {type(exc).__name__}: {exc}",
-              file=sys.stderr)
-
-    # headline uses the best measured variant per stage — the library
-    # exposes all of them; the round-end number should reflect the fastest.
-    # Variants are accuracy-gated RELATIVE to the headline engine's own
-    # f32-vs-f64 error: the max-error metric carries an intrinsic ~1e-2
-    # f32 conditioning floor shared by every engine (see
-    # composite_accuracy.relative_errors), so an absolute ceiling would
-    # reject the base engine itself; a variant is eligible when it does
-    # not degrade the base error by more than 25%.
-    def variant_ok(err_variant, err_base):
-        return err_variant <= max(1.25 * err_base, 1e-4)
-
-    bf16_ok = ps_ok = True
-    if acc:
-        e32 = acc["force_max_rel_err"]["d3"]
-        bf16_ok = variant_ok(acc["force_max_rel_err_d3_bf16"], e32)
-        result["detail"]["d3_bf16_accuracy_ok"] = bool(bf16_ok)
-        if "force_max_rel_err_pme_pallas_spread" in acc:
-            ps_ok = variant_ok(acc["force_max_rel_err_pme_pallas_spread"],
-                               acc["force_max_rel_err"]["pme"])
+            ref = ca.load_reference()
+            if ref is None:
+                raise RuntimeError(
+                    "committed accuracy reference missing/version-mismatched; "
+                    "run: python benchmarks/composite_accuracy.py ref")
+            f_f32 = ca.compute_forces(
+                jnp.float32, d3_kwargs=dict(engine="window"),
+                coul_kwargs=dict(engine="window"))
+            err_f32 = ca.relative_errors(f_f32, ref)
+            acc["force_max_rel_err"] = {
+                k: round(v, 8) for k, v in err_f32.items()}
+            # RMS is the stable engine-fidelity signal; the f32 D3 *max*
+            # error carries an intrinsic ~1e-2 conditioning floor
+            # (identical across every engine incl. the matrix path;
+            # engines agree to 5e-8 at f64) — see
+            # composite_accuracy.relative_errors.
+            acc["force_rms_rel_err"] = {
+                k: round(v, 8) for k, v in ca.rms_errors(f_f32, ref).items()}
+            err_ps = ca.relative_errors(
+                ca.compute_forces(
+                    jnp.float32, pme_kwargs=dict(spread_engine="pallas"),
+                ),
+                ref,
+            )
+            acc["force_max_rel_err_pme_pallas_spread"] = round(err_ps["pme"], 8)
+            result["detail"].update(acc)
+            # a variant is eligible when it does not degrade the base
+            # engine's own f32-vs-f64 error by more than 25% (absolute
+            # ceilings would reject the base engine itself — max-err has an
+            # intrinsic f32 conditioning floor)
+            ps_ok = err_ps["pme"] <= max(
+                1.25 * err_f32["pme"], 1e-4)
             result["detail"]["pme_pallas_spread_accuracy_ok"] = bool(ps_ok)
-    d3_variants = {"window_f32": t_d3}
-    if t_d3_bf16 is not None and bf16_ok:
-        d3_variants["window_bf16"] = t_d3_bf16
-    if t_d3_xla is not None:
-        d3_variants["xla_f32"] = t_d3_xla
-    d3_pick = min(d3_variants, key=d3_variants.get)
-    best_d3 = d3_variants[d3_pick]
-    pme_variants = {"xla_fft": t_pme}
-    if t_pme_ps is not None and ps_ok:
-        pme_variants["pallas_spread"] = t_pme_ps
-    pme_pick = min(pme_variants, key=pme_variants.get)
-    best_pme = pme_variants[pme_pick]
-    if d3_pick != "window_f32" or pme_pick != "xla_fft":
-        total_b = t_nl + best_d3 + best_pme
-        result["value"] = round(total_b * 1e6 / n, 4)
+        except Exception as exc:  # noqa: BLE001 - accuracy must never break the bench
+            print(f"# accuracy stage failed: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+
+    # --- optional stage: PME pallas-spread timing variant --------------------
+    # headline uses the best accuracy-eligible variant per stage — the
+    # library exposes both; the round-end number should reflect the fastest.
+    t_pme_ps = None
+    if ps_ok and _remaining() > 200:
+        try:
+            t_pme_ps = measure(
+                lambda p: pme_step(p, spread_engine="pallas"),
+                dep, (pos,), iters=3)
+            result["detail"]["pme_pallas_spread_ms"] = round(t_pme_ps * 1e3, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# pme pallas-spread variant failed: "
+                  f"{type(exc).__name__}: {exc}", file=sys.stderr)
+    if t_pme_ps is not None and t_pme_ps < t_pme:
+        total = t_nl + t_d3 + t_pme_ps
+        result["value"] = round(total * 1e6 / n, 4)
         result["vs_baseline"] = round(
-            (total_b * 1e6 / n) / BASELINE_US_PER_ATOM, 3)
-        result["detail"]["variant_choice"] = {"d3": d3_pick, "pme": pme_pick}
-    print(json.dumps(result))
+            (total * 1e6 / n) / BASELINE_US_PER_ATOM, 3)
+        result["detail"]["variant_choice"] = {"pme": "pallas_spread"}
+        if t_coul is not None:
+            result["detail"]["with_coulomb_us_per_atom"] = round(
+                (total + t_coul) * 1e6 / n, 4)
+
+    # --- optional stage: fused MD step (one jitted program, one build) ------
+    # (separate window sweeps for D3 and Coulomb: the FUSED window pass-2
+    # kernel's 9-output body exceeds the 16 MB scoped-VMEM limit at this
+    # cap/lane geometry — measured 17.7 MB at 16^3/cap40; the fused
+    # grid_dftd3_coulomb(engine="window") stays valid at smaller caps)
+    if _remaining() > 280:
+        def md_step(p):
+            gg = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
+            e_d3, f_d3, _ = grid_dftd3(
+                gg, numbers, rcov, r4r2, c6, cna, cutoff, 0.4, 4.2, 1.8,
+                engine="window",
+            )
+            e_c, f_c = grid_coulomb_energy_forces(gg, charges, cutoff, alpha,
+                                                  engine="window")
+            e_p, f_p, _ = _pme_reciprocal_impl(
+                p, charges, cell.reshape(1, 3, 3), jnp.asarray([alpha], dtype),
+                mesh, 4, None, True, False, None, None,
+                tile_capacity=tile_cap, spread_engine="pallas",
+            )
+            return e_d3 + jnp.sum(e_p) + jnp.sum(e_c), f_d3 + f_c + f_p
+
+        try:
+            t_fused = measure(md_step, dep, (pos,), iters=3)
+            result["detail"]["fused_md_step_ms"] = round(t_fused * 1e3, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# fused step failed: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+
+    result["detail"]["bench_wall_s"] = round(time.time() - T0, 1)
+    signal.alarm(0)
+    _emit(result)
 
 
 if __name__ == "__main__":

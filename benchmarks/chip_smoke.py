@@ -1,0 +1,113 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Pre-bench on-chip smoke gate: engine force agreement at f32.
+
+Runs the D3 window/block/xla engines and the Coulomb window/xla engines
+on one ~4k-atom CsCl system ON THE REAL CHIP and asserts the Mosaic
+engines agree with the XLA engine to f32 engine-fidelity tolerance.
+Interpret-mode CPU tests provably cannot catch TPU bf16-lowering bugs
+(CLAUDE.md rule 16: a default-precision MXU pass in the plane-space D3
+features cost 6e-2 force error and passed every CPU test), so this is
+the mandatory ~2-min gate before any round-end bench (round-2 VERDICT
+weak #7 / next-round #8).
+
+Exit code 0 = all engines agree; 1 = any engine exceeds tolerance.
+
+Usage: python benchmarks/chip_smoke.py  (chip must be free; see
+CLAUDE.md TPU measurement rules).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from benchmarks.composite_accuracy import build_system  # noqa: E402
+from nvalchemiops_tpu.grid import (  # noqa: E402
+    build_atom_grid,
+    choose_grid_geometry,
+    grid_coulomb_energy_forces,
+)
+from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (  # noqa: E402
+    compact_d3_elements,
+    grid_dftd3,
+)
+
+# Engines agree to ~5e-8 at f64; at f32 the relative force spread between
+# engines is pure rounding-path noise.  1e-4 is ~100x the measured
+# engine-to-engine spread but far below the 6e-2 class of bf16-lowering
+# bugs this gate exists to catch.
+TOL = 1e-4
+CUTOFF = 9.6
+ALPHA = 0.35
+
+
+def main():
+    n_rep = int(os.environ.get("SMOKE_NREP", "13"))  # 13 -> 4,394 atoms
+    dtype = jnp.float32
+    (pos_np, cell_np, numbers_np, charges_np,
+     rcov_np, r4r2_np, cna_np, c6_np) = build_system(n_rep=n_rep)
+    pos = jnp.asarray(pos_np, dtype)
+    cell = jnp.asarray(cell_np, dtype)
+    charges = jnp.asarray(charges_np, dtype)
+    pbc = np.array([True] * 3)
+    numbers, rcov, r4r2, c6, cna = compact_d3_elements(
+        numbers_np, rcov_np, r4r2_np, c6_np, cna_np)
+    rcov, r4r2, c6, cna = (a.astype(dtype) for a in (rcov, r4r2, c6, cna))
+    dims, radius, cap, origin_np = choose_grid_geometry(pos, cell, pbc, CUTOFF)
+    origin = (jnp.asarray(origin_np, dtype)
+              if origin_np is not None and np.asarray(origin_np).any()
+              else None)
+    print(f"backend={jax.default_backend()} N={pos.shape[0]} dims={dims} "
+          f"cap={cap}", flush=True)
+    g = build_atom_grid(pos, cell, pbc, dims, radius, cap, origin=origin)
+
+    failed = False
+
+    d3_forces = {}
+    for eng in ("xla", "window", "block"):
+        try:
+            e, f, cn = grid_dftd3(g, numbers, rcov, r4r2, c6, cna, CUTOFF,
+                                  0.4, 4.2, 1.8, engine=eng)
+            d3_forces[eng] = np.asarray(f, np.float64)
+            print(f"d3 {eng:7s}: E = {float(e):.8e}", flush=True)
+        except Exception as exc:  # noqa: BLE001
+            print(f"d3 {eng:7s}: FAILED {type(exc).__name__}: {exc}"[:300],
+                  flush=True)
+            failed = True
+    scale = np.abs(d3_forces["xla"]).max()
+    for eng, f in d3_forces.items():
+        err = np.abs(f - d3_forces["xla"]).max() / scale
+        ok = err <= TOL
+        failed |= not ok
+        print(f"d3 {eng:7s}: max rel force diff vs xla = {err:.3e} "
+              f"{'ok' if ok else 'FAIL'}", flush=True)
+
+    coul_forces = {}
+    for eng in ("xla", "window"):
+        try:
+            e, f = grid_coulomb_energy_forces(g, charges, CUTOFF, ALPHA,
+                                              engine=eng)
+            coul_forces[eng] = np.asarray(f, np.float64)
+            print(f"coul {eng:5s}: E = {float(jnp.sum(e)):.8e}", flush=True)
+        except Exception as exc:  # noqa: BLE001
+            print(f"coul {eng:5s}: FAILED {type(exc).__name__}: {exc}"[:300],
+                  flush=True)
+            failed = True
+    scale = np.abs(coul_forces["xla"]).max()
+    for eng, f in coul_forces.items():
+        err = np.abs(f - coul_forces["xla"]).max() / scale
+        ok = err <= TOL
+        failed |= not ok
+        print(f"coul {eng:5s}: max rel force diff vs xla = {err:.3e} "
+              f"{'ok' if ok else 'FAIL'}", flush=True)
+
+    print("SMOKE " + ("FAIL" if failed else "PASS"), flush=True)
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

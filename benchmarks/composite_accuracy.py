@@ -24,7 +24,29 @@ CUTOFF = 9.6
 ALPHA = 0.35
 MESH = (32, 32, 32)
 ZMAX = 94
-REF_PATH = "/tmp/bench_acc_ref.npz"
+# The f64 reference is committed in-repo (keyed by REF_VERSION below) so a
+# cold driver run never pays the ~13-min CPU rebuild (round-2 VERDICT #1);
+# the /tmp path is only used when regenerating after a parameter change.
+REF_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "bench_acc_ref.npz")
+REF_TMP_PATH = "/tmp/bench_acc_ref.npz"
+
+
+def load_reference():
+    """Load the f64 reference forces, preferring the committed npz.
+
+    Returns the npz object or None if neither the in-repo file nor the
+    /tmp cache matches REF_VERSION (caller should then rebuild via
+    ``python benchmarks/composite_accuracy.py ref``).
+    """
+    for path in (REF_PATH, REF_TMP_PATH):
+        try:
+            cached = np.load(path)
+            if str(cached["version"]) == REF_VERSION:
+                return cached
+        except Exception:  # noqa: BLE001 - unreadable/missing: try next
+            continue
+    return None
 
 
 def build_system(n_rep=N_REP, seed=0):
@@ -174,15 +196,11 @@ if __name__ == "__main__":
     if mode == "ref":
         # The f64 CPU reference is deterministic (fixed seed/params) but
         # expensive to rebuild (the CPU compile of the grid sweep alone is
-        # ~13 min), so cache it keyed by the build parameters.
-        if os.path.exists(REF_PATH):
-            try:
-                cached = np.load(REF_PATH)
-                if str(cached.get("version")) == REF_VERSION:
-                    print(f"cached {REF_PATH}", flush=True)
-                    sys.exit(0)
-            except Exception:  # noqa: BLE001 - any unreadable cache: rebuild
-                pass
+        # ~13 min), so it is committed in-repo keyed by REF_VERSION and
+        # only rebuilt here after a parameter change.
+        if load_reference() is not None:
+            print(f"cached (version {REF_VERSION})", flush=True)
+            sys.exit(0)
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -190,12 +208,13 @@ if __name__ == "__main__":
         import jax.numpy as jnp
 
         forces = compute_forces(jnp.float64)
+        os.makedirs(os.path.dirname(REF_PATH), exist_ok=True)
         np.savez(REF_PATH, version=REF_VERSION, **forces)
         print(f"wrote {REF_PATH}", flush=True)
     else:
         import jax.numpy as jnp
 
         forces = compute_forces(jnp.float32)
-        ref = np.load(REF_PATH)
+        ref = load_reference()
         for k, v in relative_errors(forces, ref).items():
             print(f"{k}: max rel force err {v:.3e}", flush=True)

@@ -39,15 +39,47 @@ dep = perturb_positions()
 t_nl = measure(lambda p: build_atom_grid(p, cell, pbc, dims, radius, cap,
                                          origin=origin), dep, (pos,), iters=4)
 print(f"grid build : {t_nl*1e3:8.2f} ms", flush=True)
-for label, eng in (("d3 xla    ", "xla"),):
+
+engines = os.environ.get("PROBE_ENGINES", "window,xla").split(",")
+results = {}
+for eng in engines:
     def f(p, eng=eng):
         g = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
         return grid_dftd3(g, numbers, rcov, r4r2, c6, cna, cutoff,
                           0.4, 4.2, 1.8, engine=eng)
     try:
         t = measure(f, dep, (pos,), iters=2)
-        print(f"{label}: {max(t - t_nl, 0)*1e3:8.2f} ms (excl build)",
+        results[eng] = t
+        print(f"d3 {eng:7s}: {max(t - t_nl, 0)*1e3:8.2f} ms (excl build)",
               flush=True)
     except Exception as exc:  # noqa: BLE001
-        print(f"{label}: FAILED {type(exc).__name__}: {exc}"[:400], flush=True)
+        print(f"d3 {eng:7s}: FAILED {type(exc).__name__}: {exc}"[:400],
+              flush=True)
+
+# force parity across the engines that ran (x-blocked window vs xla)
+if len(results) > 1:
+    fs = {}
+    g = build_atom_grid(pos, cell, pbc, dims, radius, cap, origin=origin)
+    for eng in results:
+        _, f_e, _ = grid_dftd3(g, numbers, rcov, r4r2, c6, cna, cutoff,
+                               0.4, 4.2, 1.8, engine=eng)
+        fs[eng] = np.asarray(f_e, np.float64)
+    base = fs[next(iter(fs))]
+    scale = np.abs(base).max()
+    for eng, f_e in fs.items():
+        print(f"d3 {eng:7s}: max rel force diff vs first = "
+              f"{np.abs(f_e - base).max() / scale:.3e}", flush=True)
+
+# coulomb window at the same geometry
+try:
+    charges = jnp.asarray(charges_np, dtype)
+    def fc(p):
+        g = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
+        return grid_coulomb_energy_forces(g, charges, cutoff, 0.35,
+                                          engine="window")
+    t = measure(fc, dep, (pos,), iters=2)
+    print(f"coul window: {max(t - t_nl, 0)*1e3:8.2f} ms (excl build)",
+          flush=True)
+except Exception as exc:  # noqa: BLE001
+    print(f"coul window: FAILED {type(exc).__name__}: {exc}"[:400], flush=True)
 print("done", flush=True)

@@ -216,6 +216,19 @@ def window_sweep(
     bx = x_block if x_block is not None else window_x_block(cx, lane_w)
     if cx % bx:
         raise ValueError(f"x_block={bx} must divide cx={cx}")
+    if bx * lane_w > _MAX_BLOCK_LANES:
+        # window_x_block returns 1 when lane_w alone exceeds the proven
+        # block width (e.g. very large caps): the Mosaic compile may fail
+        # with an opaque error — surface the actual geometry first.
+        import warnings
+
+        warnings.warn(
+            f"window_sweep block width {bx}*{lane_w}={bx * lane_w} lanes "
+            f"exceeds the proven Mosaic regime ({_MAX_BLOCK_LANES}); the "
+            "kernel may fail to compile — consider a smaller cap or the "
+            "xla engine",
+            stacklevel=2,
+        )
     nxb = cx // bx
     lrow = cx * cap
     lwin = cx * lane_w
