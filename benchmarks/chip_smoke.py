@@ -68,16 +68,24 @@ def main():
     failed = False
 
     d3_forces = {}
-    for eng in ("xla", "window", "block"):
+    # windowxb = window with a forced 1-cell x-block (3-D Mosaic grid):
+    # gates the nxb>1 lowering used at >131k-atom geometries on every
+    # round (the x-blocked path must agree with the single-block one)
+    for eng in ("xla", "window", "windowxb", "block"):
+        real_eng = "window" if eng == "windowxb" else eng
         try:
+            if eng == "windowxb":
+                os.environ["NVALCHEMIOPS_WINDOW_X_BLOCK"] = "1"
             e, f, cn = grid_dftd3(g, numbers, rcov, r4r2, c6, cna, CUTOFF,
-                                  0.4, 4.2, 1.8, engine=eng)
+                                  0.4, 4.2, 1.8, engine=real_eng)
             d3_forces[eng] = np.asarray(f, np.float64)
-            print(f"d3 {eng:7s}: E = {float(e):.8e}", flush=True)
+            print(f"d3 {eng:8s}: E = {float(e):.8e}", flush=True)
         except Exception as exc:  # noqa: BLE001
-            print(f"d3 {eng:7s}: FAILED {type(exc).__name__}: {exc}"[:300],
+            print(f"d3 {eng:8s}: FAILED {type(exc).__name__}: {exc}"[:300],
                   flush=True)
             failed = True
+        finally:
+            os.environ.pop("NVALCHEMIOPS_WINDOW_X_BLOCK", None)
     scale = np.abs(d3_forces["xla"]).max()
     for eng, f in d3_forces.items():
         err = np.abs(f - d3_forces["xla"]).max() / scale

@@ -42,19 +42,23 @@ print(f"grid build : {t_nl*1e3:8.2f} ms", flush=True)
 
 engines = os.environ.get("PROBE_ENGINES", "window,xla").split(",")
 results = {}
-for eng in engines:
-    def f(p, eng=eng):
-        g = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
-        return grid_dftd3(g, numbers, rcov, r4r2, c6, cna, cutoff,
-                          0.4, 4.2, 1.8, engine=eng)
-    try:
-        t = measure(f, dep, (pos,), iters=2)
-        results[eng] = t
-        print(f"d3 {eng:7s}: {max(t - t_nl, 0)*1e3:8.2f} ms (excl build)",
-              flush=True)
-    except Exception as exc:  # noqa: BLE001
-        print(f"d3 {eng:7s}: FAILED {type(exc).__name__}: {exc}"[:400],
-              flush=True)
+if os.environ.get("PROBE_TIMING", "1") == "1":
+    for eng in engines:
+        def f(p, eng=eng):
+            g = build_atom_grid(p, cell, pbc, dims, radius, cap,
+                                origin=origin)
+            return grid_dftd3(g, numbers, rcov, r4r2, c6, cna, cutoff,
+                              0.4, 4.2, 1.8, engine=eng)
+        try:
+            t = measure(f, dep, (pos,), iters=2)
+            results[eng] = t
+            print(f"d3 {eng:7s}: {max(t - t_nl, 0)*1e3:8.2f} ms (excl build)",
+                  flush=True)
+        except Exception as exc:  # noqa: BLE001
+            print(f"d3 {eng:7s}: FAILED {type(exc).__name__}: {exc}"[:400],
+                  flush=True)
+else:
+    results = {eng: None for eng in engines}
 
 # force parity across the engines that ran (x-blocked window vs xla)
 if len(results) > 1:
@@ -67,8 +71,13 @@ if len(results) > 1:
     base = fs[next(iter(fs))]
     scale = np.abs(base).max()
     for eng, f_e in fs.items():
-        print(f"d3 {eng:7s}: max rel force diff vs first = "
-              f"{np.abs(f_e - base).max() / scale:.3e}", flush=True)
+        d = np.abs(f_e - base) / scale
+        # distribution matters: the CN-conditioning cliff concentrates in
+        # a few outlier atoms (tiny RMS); a Mosaic lowering bug is broad
+        print(f"d3 {eng:7s}: rel force diff vs first max={d.max():.3e} "
+              f"rms={np.sqrt((d**2).mean()):.3e} "
+              f"p99.99={np.percentile(d, 99.99):.3e} "
+              f"n>1e-4={(d > 1e-4).sum()}", flush=True)
 
 # coulomb window at the same geometry
 try:

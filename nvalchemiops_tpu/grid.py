@@ -700,14 +700,18 @@ def grid_coulomb_energy_forces(grid: AtomGrid, charges, cutoff, alpha=0.0,
     q_ext = _extend_like(grid, q_plane, 0.0)
     if engine is None:
         # auto-select (same policy as grid_dftd3): the window Mosaic sweep
-        # measured 4.0-4.7 ms vs 4.9-6.1 (xla) at 110k atoms; TPU-only and
-        # only in the compile/VMEM-proven regime (one-register windows,
-        # bounded per-row block — the Mosaic compile fails at cx=26)
-        from nvalchemiops_tpu.pallas.window_sweep import window_lane_width
+        # measured 4.0-4.7 ms vs 4.9-6.1 (xla) at 110k atoms and 34 ms at
+        # 524k with x-blocking (benchmarks/window_531k_probe.py); TPU-only
+        # and only in the compile/VMEM-proven regime (one-register
+        # windows, x-blocked row blocks <= 2048 lanes)
+        from nvalchemiops_tpu.pallas.window_sweep import (
+            window_lane_width,
+            window_x_block,
+        )
 
         lane_w = window_lane_width(grid.cap, grid.radius[2])
         if (jax.default_backend() == "tpu" and lane_w == 128
-                and grid.dims[2] * lane_w <= 2048):
+                and window_x_block(grid.dims[2], lane_w) * lane_w <= 2048):
             engine = "window"
     if engine == "window":
         e, fx, fy, fz = _coulomb_window_impl(

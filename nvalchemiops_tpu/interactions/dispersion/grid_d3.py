@@ -1669,21 +1669,24 @@ def grid_dftd3(
         raise ValueError("engine='hybrid' requires a StencilGrid (stencil=...)")
     if engine is None:
         # auto-select: the pre-windowed per-cell Mosaic sweep measured
-        # 12.8 ms vs 21-22 (xla) / 30 (block) at 110k atoms — default to
-        # it on TPU whenever the window fits one 128-lane register
-        # ((2Rx+1)*cap <= 128, the VMEM-proven regime); otherwise the jnp
-        # row sweep (traced parameters, no recompile per D3 parameter
-        # set, no Mosaic alignment sensitivity at awkward geometries).
-        from nvalchemiops_tpu.pallas.window_sweep import window_lane_width
+        # 12.8 ms vs 21-22 (xla) / 30 (block) at 110k atoms and, with
+        # x-blocking, 98.6 ms vs 282 (xla) at 524k (cx=26 -> bx=13;
+        # benchmarks/window_531k_probe.py) — default to it on TPU
+        # whenever the window fits one 128-lane register
+        # ((2Rx+1)*cap <= 128) and the x-blocked row block stays in the
+        # proven <=2048-lane Mosaic regime; otherwise the jnp row sweep
+        # (traced parameters, no recompile per D3 parameter set, no
+        # Mosaic alignment sensitivity at awkward geometries).
+        from nvalchemiops_tpu.pallas.window_sweep import (
+            window_lane_width,
+            window_x_block,
+        )
 
         lane_w = window_lane_width(grid.cap, grid.radius[2])
         if (jax.default_backend() == "tpu"
                 and precision is None
                 and lane_w == 128
-                and grid.dims[2] * lane_w <= 2048):
-            # cx*lane_w caps the per-row window block AND the unrolled
-            # in-kernel x loop: the Mosaic compile itself fails at
-            # 524k atoms (cx=26, lwin=3328) — stay in the proven regime
+                and window_x_block(grid.dims[2], lane_w) * lane_w <= 2048):
             engine = "window"
         else:
             engine = "xla"

@@ -41,6 +41,7 @@ loops.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -213,7 +214,14 @@ def window_sweep(
     if (2 * rx + 1) * cap > lane_w:
         raise ValueError(
             f"window (2*{rx}+1)*{cap} exceeds lane_w={lane_w}")
-    bx = x_block if x_block is not None else window_x_block(cx, lane_w)
+    if x_block is None:
+        # trace-time knob (reference precedent: ALCH_EWALD_BATCH_BLOCK_SIZE,
+        # ewald.py:182): forces the x-blocked grid at geometries where the
+        # single-block path would be chosen — used by chip_smoke.py to gate
+        # the nxb>1 Mosaic lowering on every round
+        env = os.environ.get("NVALCHEMIOPS_WINDOW_X_BLOCK")
+        x_block = int(env) if env else window_x_block(cx, lane_w)
+    bx = x_block
     if cx % bx:
         raise ValueError(f"x_block={bx} must divide cx={cx}")
     if bx * lane_w > _MAX_BLOCK_LANES:
@@ -294,11 +302,15 @@ def window_sweep(
 
         i8 = jnp.eye(8, dtype=dtype)
         for r, a in zip(own_out, scratch):
-            r[0, 0] = jax.lax.dot_general(
+            transposed = jax.lax.dot_general(
                 i8, a[:], (((1,), (1,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=dtype,
             )
+            if nxb == 1:
+                r[0, 0] = transposed
+            else:
+                r[0, 0, 0] = transposed
 
     # Index maps: the proven single-block path keeps the 2-D (z, y) grid
     # exactly as measured at 110k; wide rows (nxb > 1) add a third,
@@ -326,7 +338,13 @@ def window_sweep(
             return partial(lambda z, y, xb, dzr, dyr, o=0: (
                 z + dzr[o], y + dyr[o], 0, xb), o=o)
 
-        _own_out_map = lambda z, y, xb, dzr, dyr: (z, y, 0, xb)  # noqa: E731
+        # own outputs get the x-block as its OWN array axis: a flat
+        # (1, 1, 8, lbrow) block inside (cz, cy, 8, lrow) has a last-dim
+        # block of bx*cap, which Mosaic rejects unless it is a multiple
+        # of 128 or the full axis (measured at 524k: cap 40, bx 13 ->
+        # 520 lanes).  (cz, cy, nxb, 8, lbrow) makes the block span the
+        # full final axis.
+        _own_out_map = lambda z, y, xb, dzr, dyr: (z, y, xb, 0, 0)  # noqa: E731
         _j_out_map = lambda z, y, xb, dzr, dyr: (z, y, 0, 0, xb)  # noqa: E731
 
     in_specs = []
@@ -351,9 +369,11 @@ def window_sweep(
                 memory_space=pltpu.VMEM))
             inputs.append(cand_wcolsT[k])
 
+    own_blk = (1, 1, 8, lbrow) if nxb == 1 else (1, 1, 1, 8, lbrow)
+    own_shape = ((cz, cy, 8, lrow) if nxb == 1
+                 else (cz, cy, nxb, 8, lbrow))
     own_out_specs = [
-        pl.BlockSpec((1, 1, 8, lbrow), _own_out_map,
-                     memory_space=pltpu.VMEM)
+        pl.BlockSpec(own_blk, _own_out_map, memory_space=pltpu.VMEM)
         for _ in range(num_own_out)
     ]
     j_out_specs = [
@@ -373,7 +393,7 @@ def window_sweep(
         kernel,
         grid_spec=grid_spec,
         out_shape=tuple(
-            [jax.ShapeDtypeStruct((cz, cy, 8, lrow), dtype)
+            [jax.ShapeDtypeStruct(own_shape, dtype)
              for _ in range(num_own_out)]
             + [jax.ShapeDtypeStruct((cz, cy, n_off, 1, lwin), dtype)
                for _ in range(num_j_out)]),
@@ -382,9 +402,17 @@ def window_sweep(
         interpret=interpret,
     )(dz_arr, dy_arr, *inputs)
 
-    own_accs = tuple(
-        a[:, :, 0, :].reshape(cz, cy, cx, cap) for a in outs[:num_own_out]
-    )
+    if nxb == 1:
+        own_accs = tuple(
+            a[:, :, 0, :].reshape(cz, cy, cx, cap)
+            for a in outs[:num_own_out]
+        )
+    else:
+        # [cz, cy, nxb, 8, bx*cap] -> row 0 of the 8-pad, xb-major x order
+        own_accs = tuple(
+            a[:, :, :, 0, :].reshape(cz, cy, cx, cap)
+            for a in outs[:num_own_out]
+        )
     ext_accs = tuple(
         fold_window_j(dims, radius, cap, lane_w, jw)
         for jw in outs[num_own_out:]
