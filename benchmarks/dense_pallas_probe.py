@@ -56,7 +56,8 @@ rcov, r4r2, c6, cna = (jnp.asarray(a, jnp.float32)
 print(f"B={B} n={n} box={box:.1f} zm={rcov.shape[0]}", flush=True)
 
 params = dict(a1=0.4289, a2=4.4407, s8=0.7875)
-for cut, img in ((21.2, True), (9.0, False)):
+do_timing = os.environ.get("PROBE_TIMING", "1") == "1"
+for cut, img in ((21.2, True), (9.0, False)) if do_timing else ():
     for eng, kw in (("xla", {}), ("pallas", dict(block=256)),
                     ("pallas", dict(block=128))):
         def d3f(p, c=cut, im=img, eng=eng, kw=kw):
@@ -79,7 +80,7 @@ e_x, f_x, cn_x = batch_dense_dftd3(
     pos, numbers, cell, 21.2, rcov, r4r2, c6, cna, **params, images=True)
 e_p, f_p, cn_p = batch_dense_dftd3(
     pos, numbers, cell, 21.2, rcov, r4r2, c6, cna, **params, images=True,
-    engine="pallas")
+    engine="pallas", block=128)
 scale = float(jnp.abs(f_x).max())
 print(f"energy rel diff: "
       f"{float(jnp.abs(e_p - e_x).max() / jnp.abs(e_x).max()):.3e}",

@@ -262,6 +262,22 @@ def bench_dftd3_batch(cfg, label, outdir, iters):
         print(f"  batched D3 [{name}] {B}x{npa}: {t*1e3:.3f} ms")
         rows.append([name, B * npa, B, round(t * 1e3, 4),
                      round(t * 1e6 / (B * npa), 4)])
+
+    # the reference's matched config (21.2 A cutoff > box/2 -> image sweep)
+    if "matched_box" in cfg:
+        mbox, mcut = cfg["matched_box"], cfg["matched_cutoff"]
+        pos_m = jnp.asarray(rng.uniform(0, mbox, (B, npa, 3)), jnp.float32)
+        cell_m = jnp.asarray(np.eye(3) * mbox, jnp.float32)
+
+        def step_matched(p):
+            _, f, _ = batch_dense_dftd3(
+                p, numbers, cell_m, mcut, rcov, r4r2, c6, cna, 0.4, 4.2, 1.8)
+            return f
+
+        t = measure(step_matched, dep, (pos_m,), iters=max(iters // 2, 2))
+        print(f"  batched D3 [matched {mcut} A] {B}x{npa}: {t*1e3:.3f} ms")
+        rows.append([f"batch-dense-d3-{mcut}A", B * npa, B,
+                     round(t * 1e3, 4), round(t * 1e6 / (B * npa), 4)])
     write_csv(
         f"{outdir}/dftd3_batch_benchmark_{label}.csv", rows,
         ["method", "atoms", "systems", "time_ms", "us_per_atom"],

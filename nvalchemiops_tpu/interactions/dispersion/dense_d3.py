@@ -477,10 +477,27 @@ def _resolve_images(images, cell, cutoff):
     )
 
 
+def _auto_dense_engine(engine: str, block, combos):
+    """Resolve engine='auto' and block=None from the measured-best table.
+
+    The triangle-block Mosaic sweep wins on TPU wherever it compiles
+    (benchmarks/dense_pallas_probe.py, 128 x 2000 CsCl: 90.5 ms pallas/128
+    vs 192.8 xla at the 21.2 A image sweep; 29.4 ms pallas/256 vs 49.8 xla
+    at 9 A minimum-image).  block=256 with image combos exceeds the Mosaic
+    compiler's limits (the per-combo accumulator set scales the live VMEM)
+    — proven blocks are 128 with images, 256 without.
+    """
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if block is None:
+        block = 128 if len(combos) > 1 else 256
+    return engine, block
+
+
 def dense_dftd3(positions, numbers, cell, cutoff, rcov, r4r2, c6ab,
                 cn_ref_elem, a1, a2, s8, s6=1.0, k1=16.0, k3=-4.0,
                 images: bool | None = None, combos=None,
-                engine: str = "xla", block: int = 256,
+                engine: str = "auto", block: int | None = None,
                 interpret: bool = False):
     """DFT-D3(BJ) via dense pair planes.
 
@@ -497,6 +514,8 @@ def dense_dftd3(positions, numbers, cell, cutoff, rcov, r4r2, c6ab,
     (:func:`_dense_pallas_impl` — each pair block computed once, ~2x less
     VPU work than the both-sides XLA planes); requires concrete D3
     parameters and cell.  ``block``/``interpret`` apply to it only.
+    ``engine="auto"`` (default) picks pallas on TPU, xla elsewhere, and
+    ``block=None`` the proven block size (see :func:`_auto_dense_engine`).
     """
     dtype = positions.dtype
     numbers = jnp.asarray(numbers, INDEX_DTYPE)
@@ -518,6 +537,7 @@ def dense_dftd3(positions, numbers, cell, cutoff, rcov, r4r2, c6ab,
         zmax1, mesh, zmax1 * mesh)
     c6p_a = c6p[numbers]
     cell = jnp.asarray(cell, dtype).reshape(3, 3)
+    engine, block = _auto_dense_engine(engine, block, combos)
     if engine == "pallas":
         e, f, cn = _dense_pallas_impl(
             positions[None], numbers[None], cell[None], cutoff,
@@ -539,8 +559,8 @@ def dense_dftd3(positions, numbers, cell, cutoff, rcov, r4r2, c6ab,
 def batch_dense_dftd3(positions, numbers, cells, cutoff, rcov, r4r2, c6ab,
                       cn_ref_elem, a1, a2, s8, s6=1.0, k1=16.0, k3=-4.0,
                       system_chunk: int | None = None,
-                      images: bool | None = None, engine: str = "xla",
-                      block: int = 256, interpret: bool = False):
+                      images: bool | None = None, engine: str = "auto",
+                      block: int | None = None, interpret: bool = False):
     """Batched dense D3: vmap of :func:`dense_dftd3` over the system axis.
 
     ``positions`` [B, n, 3], ``numbers`` [B, n], ``cells`` [3, 3] shared
@@ -584,6 +604,8 @@ def batch_dense_dftd3(positions, numbers, cells, cutoff, rcov, r4r2, c6ab,
                 for i in range(b):
                     union.update(_image_combos(True, cells_np[i], cut))
                 combos = sorted(union)
+    engine, block = _auto_dense_engine(
+        engine, block, combos if combos is not None else _image_combos(images))
     if engine == "pallas":
         dtype = positions.dtype
         numbers_b = jnp.asarray(numbers, INDEX_DTYPE)
@@ -616,7 +638,8 @@ def batch_dense_dftd3(positions, numbers, cells, cutoff, rcov, r4r2, c6ab,
     if shared:
         fn = lambda p, z: dense_dftd3(  # noqa: E731
             p, z, cells, cutoff, rcov, r4r2, c6ab, cn_ref_elem,
-            a1, a2, s8, s6=s6, k1=k1, k3=k3, images=images, combos=combos)
+            a1, a2, s8, s6=s6, k1=k1, k3=k3, images=images, combos=combos,
+            engine="xla")
         vfn = jax.vmap(fn)
         if system_chunk == b:
             return vfn(positions, numbers)
@@ -628,7 +651,8 @@ def batch_dense_dftd3(positions, numbers, cells, cutoff, rcov, r4r2, c6ab,
 
     fn = lambda p, z, c: dense_dftd3(  # noqa: E731
         p, z, c, cutoff, rcov, r4r2, c6ab, cn_ref_elem,
-        a1, a2, s8, s6=s6, k1=k1, k3=k3, images=images, combos=combos)
+        a1, a2, s8, s6=s6, k1=k1, k3=k3, images=images, combos=combos,
+        engine="xla")
     vfn = jax.vmap(fn)
     if system_chunk == b:
         return vfn(positions, numbers, cells)
