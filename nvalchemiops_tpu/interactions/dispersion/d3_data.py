@@ -158,44 +158,89 @@ def build_d3_format_tables(entries, rcov=None, r4r2=None,
 
 
 # --------------------------------------------------------------------------
-# Committed realistic slice (H, He, C, N, O)
+# Committed realistic slice (H, He, C, N, O, Cl, Cs)
 # --------------------------------------------------------------------------
 #
 # Structure (reference-CN grids per element, i.e. which (p, q) points exist)
 # follows the published Grimme DFT-D3 data exactly: H has 2 reference
-# systems, He 1, C 5, N 4, O 3.  The numeric values are approximate
-# transcriptions of the published tables (free-atom C6 coefficients,
-# covalent radii, <r^4>/<r^2> values) — close enough to be physically
-# sensible, but NOT authoritative: for production use, parse the real
-# ``pars.f`` via :func:`parse_dftd3_fortran`.  Tests built on this slice
-# validate *format handling* (element structure, -1 sentinels, availability
-# masking, variable reference counts) and engine cross-consistency, with
-# self-generated frozen regressions — the same role the reference's dummy
-# tables play in its own test suite (reference test conftest.py:38-160).
+# systems, He 1, C 5, N 4, O 3.  Element constants below carry explicit
+# provenance (Grimme, Antony, Ehrlich, Krieg, J. Chem. Phys. 132, 154104
+# (2010) and the dftd3.f data blocks it ships):
+#
+# - ``_RCOV_ANG``: covalent radii in Angstrom (Pyykko & Atsumi, Chem. Eur.
+#   J. 15 (2009) 188), metallic elements reduced by 10% as in dftd3.f.
+#   The 4/3 / autoang scaling below reproduces the dftd3.f ``rcov`` block:
+#   H 0.80628, He 1.15903, C 1.88973, N 1.78894, O 1.58737 (Li 3.02356
+#   confirms the 10% metal reduction: 1.33 * 0.9 * 4/3 / autoang).
+# - ``_R2R4_RAW``: the dftd3.f ``r2r4`` block (<r^4>/<r^2> expectation
+#   values); the derived r4r2 = sqrt(0.5 r2r4 sqrt(z)) match the published
+#   table: H 2.00735, He 1.56637, C 3.10493, N 2.71175, O 2.59362,
+#   Cl 3.72932.
+# - ``_C6_FREE``: free-atom-limit C6(z,z) from pars.f: H 7.5916, He 1.5583,
+#   C 49.1130, N 25.2685, O 15.5059.
+# - ``_C6_EXACT``: individually transcribed pars.f records (H-H pair grid).
+#
+# Cs entries marked APPROX are physically plausible placeholders (the
+# pars.f caesium rows are not reproducible offline); every value asserted
+# by tests/interactions/dispersion/test_real_tables.py is from the
+# verified set above.  Cross-element C6 grids other than ``_C6_EXACT``
+# are generated (geometric mean x CN damping x non-separable ripple) —
+# for production, parse the real ``pars.f`` via
+# :func:`parse_dftd3_fortran`.  Tests built on this slice validate format
+# handling (element structure, -1 sentinels, availability masking,
+# variable reference counts), engine cross-consistency, and the verified
+# physical constants, with self-generated frozen regressions — extending
+# the role the reference's dummy tables play in its own suite (reference
+# test conftest.py:38-160).
 
-#: per-element reference coordination numbers (0-based grid order)
+#: per-element reference coordination numbers (0-based grid order).
+#: H/He/C/N/O are the published pars.f grids; Cl/Cs grids are APPROX
+#: (correct reference count structure, transcription not verified).
 _REF_CN = {
     1: [0.9118, 0.0],                          # H: H2, free atom
     2: [0.0],                                  # He: free atom only
     6: [0.0, 0.9868, 1.9985, 2.9987, 3.9844],  # C
     7: [0.0, 0.9944, 2.0143, 2.9903],          # N
     8: [0.0, 0.9925, 1.9887],                  # O
+    17: [0.0, 0.9737],                         # Cl (free, HCl)  APPROX grid
+    55: [0.0, 0.9867],                         # Cs              APPROX grid
 }
 
 #: free-atom (CN grid point with cn == 0) homo-pair C6 values, a.u.
-_C6_FREE = {1: 7.59, 2: 1.56, 6: 49.11, 7: 25.27, 8: 15.51}
+#: H/He/C/N/O verified (pars.f); Cl/Cs APPROX.
+_C6_FREE = {1: 7.5916, 2: 1.5583, 6: 49.1130, 7: 25.2685, 8: 15.5059,
+            17: 92.3, 55: 7700.0}
 
-#: approximate scaled covalent radii (Bohr; 4/3 x covalent radius)
-_RCOV = {1: 0.806, 2: 0.928, 6: 1.889, 7: 1.764, 8: 1.638}
+#: individually transcribed pars.f records: (zi, zj, p, q) -> C6
+_C6_EXACT = {
+    (1, 1, 0, 0): 3.0267,   # H(CN .9118) - H(CN .9118)
+    (1, 1, 0, 1): 4.7379,   # H(CN .9118) - H(free)
+}
 
-#: approximate sqrt-scaled <r^4>/<r^2> expectation values
-_R4R2 = {1: 2.007, 2: 1.567, 6: 3.448, 7: 3.100, 8: 2.869}
+#: covalent radii, Angstrom (Pyykko-Atsumi; metals x 0.9 per dftd3.f)
+_RCOV_ANG = {1: 0.32, 2: 0.46, 6: 0.75, 7: 0.71, 8: 0.63, 17: 0.99,
+             55: 2.088}  # Cs = 2.32 x 0.9 (metal)
+
+#: dftd3.f r2r4 data block (raw <r^4>/<r^2>); Cs APPROX
+_R2R4_RAW = {1: 8.0589, 2: 3.4698, 6: 7.8715, 7: 5.5588, 8: 4.7566,
+             17: 6.7463, 55: 40.0}
+
+_AUTOANG = 0.52917726
+
+#: scaled covalent radii (Bohr): 4/3 x r_cov / autoang (dftd3.f scaling)
+_RCOV = {z: (4.0 / 3.0) * r / _AUTOANG for z, r in _RCOV_ANG.items()}
+
+#: sqrt-scaled <r^4>/<r^2>: sqrt(0.5 * r2r4 * sqrt(z)) (dftd3.f scaling)
+_R4R2 = {z: float(np.sqrt(0.5 * v * np.sqrt(z)))
+         for z, v in _R2R4_RAW.items()}
 
 
 def realistic_test_tables(dtype=np.float32) -> dict[str, np.ndarray]:
-    """The committed H/He/C/N/O slice in the reference data format.
+    """The committed H/He/C/N/O/Cl/Cs slice in the reference data format.
 
-    C6 values: geometric-mean combination of the free-atom coefficients,
+    C6 values: the verified constants where available (``_C6_FREE``
+    homo-pair free-atom limits, ``_C6_EXACT`` transcribed records);
+    elsewhere a geometric-mean combination of the free-atom coefficients,
     damped multiplicatively toward higher coordination (each CN step
     reduces C6 by ~12%, the qualitative trend of the real tables) plus a
     small deterministic non-separable ripple so tests cannot silently rely
@@ -208,12 +253,19 @@ def realistic_test_tables(dtype=np.float32) -> dict[str, np.ndarray]:
         for zj in elems:
             for p, cn_i in enumerate(_REF_CN[zi]):
                 for q, cn_j in enumerate(_REF_CN[zj]):
-                    base = np.sqrt(_C6_FREE[zi] * _C6_FREE[zj])
-                    damp = 0.88 ** (cn_i + cn_j)
-                    ripple = 1.0 + 0.05 * np.sin(3.1 * zi + 1.7 * zj
-                                                 + 2.3 * p + 0.9 * q)
-                    entries.append((zi, zj, p, q, base * damp * ripple,
-                                    cn_i, cn_j))
+                    if (zi, zj, p, q) in _C6_EXACT:
+                        c6 = _C6_EXACT[zi, zj, p, q]
+                    elif (zj, zi, q, p) in _C6_EXACT:
+                        c6 = _C6_EXACT[zj, zi, q, p]
+                    elif zi == zj and cn_i == 0.0 and cn_j == 0.0:
+                        c6 = _C6_FREE[zi]
+                    else:
+                        base = np.sqrt(_C6_FREE[zi] * _C6_FREE[zj])
+                        damp = 0.88 ** (cn_i + cn_j)
+                        ripple = 1.0 + 0.05 * np.sin(3.1 * zi + 1.7 * zj
+                                                     + 2.3 * p + 0.9 * q)
+                        c6 = base * damp * ripple
+                    entries.append((zi, zj, p, q, c6, cn_i, cn_j))
     zmax = max(elems)
     rcov = np.zeros(zmax + 1, dtype=np.float64)
     r4r2 = np.zeros(zmax + 1, dtype=np.float64)

@@ -71,15 +71,25 @@ def numpy_dftd3_energy(pos, numbers, params, a1, a2, s8, k1=16.0, k3=-4.0, s6=1.
         mat = c6ab[za, zb]
         ca = cn_ref[za, zb]
         cb = cn_ref[zb, za]
-        w = z = 0.0
+        # max-shifted exponents: CN far outside the reference grid (e.g.
+        # CN ~ 8 in ionic crystals vs grid max ~ 1) underflows the raw
+        # exp to 0/0; the shifted form keeps the correct
+        # nearest-reference limit, and is identical where nothing
+        # underflows (the library stabilizes the same way)
+        exps, vals = [], []
         for p in range(5):
             for q in range(5):
                 if mat[p, q] == 0.0:
                     continue
-                L = np.exp(k3 * ((cna - ca[p, q]) ** 2 + (cnb - cb[q, p]) ** 2))
-                w += L
-                z += mat[p, q] * L
-        return z / w if w > 1e-300 else 0.0
+                exps.append(
+                    k3 * ((cna - ca[p, q]) ** 2 + (cnb - cb[q, p]) ** 2))
+                vals.append(mat[p, q])
+        if not exps:
+            return 0.0
+        m = max(exps)
+        w = sum(np.exp(x - m) for x in exps)
+        z = sum(v * np.exp(x - m) for v, x in zip(vals, exps))
+        return z / w
 
     e = 0.0
     for a in range(n):

@@ -89,6 +89,35 @@ def test_real_format_structure():
     assert (c6ab == np.transpose(c6ab, (1, 0, 3, 2))).all()
 
 
+def test_published_physical_constants():
+    """Pin the verified published D3 element data (independent transcription).
+
+    Constants below are hard-coded here independently of d3_data.py:
+    r4r2 from the published sqrt-scaled table, rcov from the dftd3.f rcov
+    data block (both in Grimme et al., J. Chem. Phys. 132, 154104 (2010)
+    supplementary code), C6 free-atom limits and the H-H grid from pars.f.
+    """
+    # sqrt-scaled <r^4>/<r^2> (dftd3.f derived table)
+    for z, val in ((1, 2.00734898), (2, 1.56637132), (6, 3.10492822),
+                   (7, 2.71175247), (8, 2.59361680), (17, 3.72932356)):
+        np.testing.assert_allclose(TABLES["r4r2"][z], val, rtol=5e-5), z
+    # scaled covalent radii (dftd3.f rcov data block, Bohr)
+    for z, val in ((1, 0.80628308), (2, 1.15903197), (6, 1.88972601),
+                   (7, 1.78894056), (8, 1.58736983), (17, 2.49446635)):
+        np.testing.assert_allclose(TABLES["rcov"][z], val, rtol=5e-5), z
+    # free-atom C6 limits (pars.f homo-pair records at CN = 0)
+    free_idx = {1: 1, 2: 0, 6: 0, 7: 0, 8: 0}  # grid index of CN == 0
+    for z, val in ((1, 7.5916), (2, 1.5583), (6, 49.1130), (7, 25.2685),
+                   (8, 15.5059)):
+        p = free_idx[z]
+        np.testing.assert_allclose(TABLES["c6ab"][z, z, p, p], val,
+                                   rtol=1e-6), z
+    # transcribed H-H records: (CN .9118, CN .9118) and (CN .9118, free)
+    np.testing.assert_allclose(TABLES["c6ab"][1, 1, 0, 0], 3.0267, rtol=1e-6)
+    np.testing.assert_allclose(TABLES["c6ab"][1, 1, 0, 1], 4.7379, rtol=1e-6)
+    np.testing.assert_allclose(TABLES["c6ab"][1, 1, 1, 0], 4.7379, rtol=1e-6)
+
+
 def test_validators_accept_real_format():
     """element_cn_ref / element_c6_mask must accept reference-format data."""
     cna = np.asarray(element_cn_ref(TABLES["cn_ref"]))
@@ -295,11 +324,58 @@ def test_fd_forces_real_format():
             np.testing.assert_allclose(f0[a, c], fd, rtol=5e-6, atol=1e-9)
 
 
+def test_cscl_crystal_vs_numpy_oracle():
+    """CsCl (the bench crystal) against the independent numpy lattice sum.
+
+    The library's full matrix path on a periodic 2x2x2 CsCl supercell must
+    reproduce an explicit-image numpy oracle implemented independently of
+    every library kernel, and the value is frozen against drift.
+    Reference counterpart: validate_d3_energies.py:15-29 (cross-validation
+    methodology against an external implementation).
+    """
+    a0 = 4.123 / 0.52917726  # CsCl lattice constant, Bohr
+    nrep, cutoff = 2, 12.0
+    base = np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]])
+    frac = np.concatenate([(base + np.array([i, j, k])) / nrep
+                           for i in range(nrep)
+                           for j in range(nrep)
+                           for k in range(nrep)])
+    cell = np.eye(3) * a0 * nrep
+    pos = frac @ cell
+    numbers = np.tile([55, 17], nrep ** 3).astype(np.int32)
+
+    e, f, cn = _matrix_path(pos, numbers, cell, cutoff)
+
+    shift_rows = []
+    for a in range(len(numbers)):
+        rows = []
+        for b in range(len(numbers)):
+            for sx in (-1, 0, 1):
+                for sy in (-1, 0, 1):
+                    for sz in (-1, 0, 1):
+                        if b == a and sx == sy == sz == 0:
+                            continue
+                        d = pos[b] + np.array([sx, sy, sz]) @ cell - pos[a]
+                        if (d * d).sum() < cutoff**2:
+                            rows.append((b, sx, sy, sz))
+        shift_rows.append(rows)
+    e_np, cn_np = numpy_dftd3_energy(
+        pos, numbers, PARAMS, A1, A2, S8, cell=cell,
+        shift_rows=shift_rows, cutoff=cutoff)
+    np.testing.assert_allclose(np.asarray(cn), cn_np, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(float(jnp.sum(e)), e_np, rtol=1e-9)
+    np.testing.assert_allclose(float(jnp.sum(e)), _FROZEN["cscl_e"],
+                               rtol=1e-10)
+    # crystal symmetry: every atom is an inversion center -> forces ~ 0
+    assert abs(float(jnp.max(jnp.abs(f)))) < 1e-10
+
+
 # frozen f64 values, generated by this suite on the CPU backend (see
 # test_frozen_regression); guards against silent physics drift.
 _FROZEN = {
-    "molecule_e": -0.002204670668407139,
-    "crystal_e": -0.0036737072642641917,
+    "molecule_e": -0.0018187557126419993,
+    "crystal_e": -0.004372620785519851,
+    "cscl_e": -0.31465826989622414,
 }
 
 
