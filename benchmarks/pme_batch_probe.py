@@ -116,4 +116,32 @@ for cap_try in (tile_cap, 8 * ((tile_cap - 8) // 8) or 8,
     except Exception as exc:  # cap too small -> build-time check may throw
         print(f"E+F cap={cap_try:3d}     : failed ({type(exc).__name__})",
               flush=True)
+
+# dense (tile-free separable) engine — no tile build, no capacity padding
+for forces in (False, True):
+    for fft_mode in ("auto", "xla"):
+        def dense_fn(p, f=forces, fm=fft_mode):
+            out = batch_pme_reciprocal(p, q_b, cell, alpha, mesh_dims,
+                                       compute_forces=f, engine="dense",
+                                       fft_mode=fm)
+            return out[1] if f else out
+        try:
+            t = measure(dense_fn, dep, (pos_b,), iters=4)
+            print(f"dense E{'+F' if forces else '  '} fft={fft_mode:6s}: "
+                  f"{t*1e3:7.2f} ms", flush=True)
+        except Exception as exc:  # noqa: BLE001
+            print(f"dense E{'+F' if forces else '  '} fft={fft_mode:6s}: "
+                  f"failed {type(exc).__name__}: {exc}"[:300], flush=True)
+
+# dense vs windowed parity
+e_w, f_w = batch_pme_reciprocal(pos_b, q_b, cell, alpha, mesh_dims,
+                                compute_forces=True, tile_capacity=tile_cap)
+e_d, f_d = batch_pme_reciprocal(pos_b, q_b, cell, alpha, mesh_dims,
+                                compute_forces=True, engine="dense")
+scale = float(jnp.abs(f_w).max())
+print(f"dense-vs-windowed E rel: "
+      f"{float(jnp.abs(e_d - e_w).max() / jnp.abs(e_w).max()):.3e}",
+      flush=True)
+print(f"dense-vs-windowed F rel: {float(jnp.abs(f_d - f_w).max()) / scale:.3e}",
+      flush=True)
 print("done", flush=True)

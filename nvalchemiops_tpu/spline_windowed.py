@@ -53,6 +53,8 @@ __all__ = [
     "mesh_tile_capacity",
     "observed_tile_capacity",
     "build_mesh_tiles",
+    "mesh_tiles_need_rebuild",
+    "refresh_mesh_tiles",
     "windowed_spread",
     "windowed_gather",
     "MeshTiles",
@@ -162,20 +164,16 @@ class MeshTiles:
                    order=order, has_grad=has_grad)
 
 
-def build_mesh_tiles(positions, cell, mesh_dims, order: int, cap: int,
-                     tile: int = 8, need_grad: bool = True) -> MeshTiles:
-    """Bin atoms by stencil-base mesh tile and build local axis matrices.
-
-    ``cap`` must come from :func:`mesh_tile_capacity` (static under jit);
-    ``counts_max`` reports the observed maximum for overflow checks.
-    """
+def _stencil_rows(positions, inv, mesh_dims, order: int, tile: int,
+                  need_grad: bool):
+    """Per-atom packed axis-matrix rows + linear tile ids (shared by
+    :func:`build_mesh_tiles` and :func:`refresh_mesh_tiles`)."""
     dtype = positions.dtype
     n = positions.shape[0]
     nx, ny, nz = (int(d) for d in mesh_dims)
     w_win = tile + _HALO_LEFT + _HALO_RIGHT
     dims_f = jnp.asarray([nx, ny, nz], dtype)
 
-    inv = jnp.linalg.inv(jnp.asarray(cell, dtype=dtype).reshape(3, 3))
     frac = apply_mat3(positions, inv)
     mc = frac * dims_f
     mc = mc - jnp.floor(mc / dims_f) * dims_f  # wrap into [0, dims)
@@ -195,10 +193,6 @@ def build_mesh_tiles(positions, cell, mesh_dims, order: int, cap: int,
 
     ntx, nty, ntz = nx // tile, ny // tile, nz // tile
     lin = (tile_idx[:, 0] * nty + tile_idx[:, 1]) * ntz + tile_idx[:, 2]
-    ntiles = ntx * nty * ntz
-
-    rank, counts_max = bucket_ranks(lin, ntiles)
-    flat_slot = jnp.where(rank >= cap, ntiles * cap, lin * cap + rank)
 
     # one-hot local axis matrices packed to [N, k*W]: per axis, the
     # (weights x window-start) outer product is built with constant
@@ -240,12 +234,84 @@ def build_mesh_tiles(positions, cell, mesh_dims, order: int, cap: int,
                  * jnp.matmul(oh_s, r_start_c, precision=hi))
         rows = rows + jnp.matmul(outer, jnp.asarray(route[d], dtype),
                                  precision=hi)
+    return rows, lin
+
+
+def build_mesh_tiles(positions, cell, mesh_dims, order: int, cap: int,
+                     tile: int = 8, need_grad: bool = True) -> MeshTiles:
+    """Bin atoms by stencil-base mesh tile and build local axis matrices.
+
+    ``cap`` must come from :func:`mesh_tile_capacity` (static under jit);
+    ``counts_max`` reports the observed maximum for overflow checks.
+    """
+    dtype = positions.dtype
+    nx, ny, nz = (int(d) for d in mesh_dims)
+    inv = jnp.linalg.inv(jnp.asarray(cell, dtype=dtype).reshape(3, 3))
+    rows, lin = _stencil_rows(positions, inv, mesh_dims, order, tile,
+                              need_grad)
+    ntiles = (nx // tile) * (ny // tile) * (nz // tile)
+    rank, counts_max = bucket_ranks(lin, ntiles)
+    flat_slot = jnp.where(rank >= cap, ntiles * cap, lin * cap + rank)
 
     buf = jnp.zeros((ntiles * cap + 1, rows.shape[1]), dtype=dtype)
     smat = buf.at[flat_slot].set(rows)[:-1].reshape(ntiles, cap, rows.shape[1])
 
     return MeshTiles(smat, flat_slot, counts_max, inv, (nx, ny, nz), tile,
                      cap, order, need_grad)
+
+
+def mesh_tiles_need_rebuild(tiles: MeshTiles, positions, cell=None):
+    """True (device scalar) when any atom left its stencil-base mesh tile.
+
+    The MD-loop analogue of the neighbor-list skin check
+    (neighborlist/rebuild_detection.py): while every atom stays in the
+    tile recorded in ``tiles.flat_slot``, :func:`refresh_mesh_tiles`
+    may skip the bucket sort.  Atoms that overflowed the capacity at
+    build time always force a rebuild.  ``cell=None`` reuses the cached
+    ``tiles.inv`` (fixed-cell MD).
+    """
+    nx, ny, nz = tiles.mesh_dims
+    tile, cap = tiles.tile, tiles.cap
+    dtype = positions.dtype
+    inv = (tiles.inv if cell is None
+           else jnp.linalg.inv(jnp.asarray(cell, dtype).reshape(3, 3)))
+    dims_f = jnp.asarray([nx, ny, nz], dtype)
+    mc = apply_mat3(positions, inv) * dims_f
+    mc = mc - jnp.floor(mc / dims_f) * dims_f
+    mc = jnp.where(mc >= dims_f, 0.0, mc)
+    t = jnp.floor(mc).astype(INDEX_DTYPE) // tile
+    nty, ntz = ny // tile, nz // tile
+    lin = (t[:, 0] * nty + t[:, 1]) * ntz + t[:, 2]
+    ntiles = (nx // tile) * nty * ntz
+    overflowed = tiles.flat_slot >= ntiles * cap
+    cached_lin = tiles.flat_slot // cap
+    return jnp.any(overflowed | (lin != cached_lin))
+
+
+def refresh_mesh_tiles(tiles: MeshTiles, positions, cell=None) -> MeshTiles:
+    """Recompute the axis matrices for new positions, reusing the cached
+    tile assignment (``flat_slot``) — skips the bucket sort, the dominant
+    build cost at scale.
+
+    Valid only while :func:`mesh_tiles_need_rebuild` is False: atoms must
+    still be in their recorded tiles (B-spline weights change continuously
+    with position; the *binning* is what this reuses).  ``cell=None``
+    reuses the cached ``tiles.inv``.
+    """
+    dtype = positions.dtype
+    nx, ny, nz = tiles.mesh_dims
+    tile, cap = tiles.tile, tiles.cap
+    inv = (tiles.inv if cell is None
+           else jnp.linalg.inv(jnp.asarray(cell, dtype).reshape(3, 3)))
+    rows, _ = _stencil_rows(positions, inv, tiles.mesh_dims, tiles.order,
+                            tile, tiles.has_grad)
+    ntiles = (nx // tile) * (ny // tile) * (nz // tile)
+    buf = jnp.zeros((ntiles * cap + 1, rows.shape[1]), dtype=dtype)
+    smat = buf.at[tiles.flat_slot].set(rows)[:-1].reshape(
+        ntiles, cap, rows.shape[1])
+    return MeshTiles(smat, tiles.flat_slot, tiles.counts_max, inv,
+                     tiles.mesh_dims, tile, cap, tiles.order,
+                     tiles.has_grad)
 
 
 def _fold_axis(arr, nt_axis: int, n: int, tile: int):

@@ -119,3 +119,49 @@ def test_pme_gather_engine_pallas_matches_xla():
         gather_engine="pallas")
     np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_x), atol=1e-5)
     np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), atol=1e-4)
+
+
+def test_refresh_mesh_tiles_and_rebuild_detector():
+    """Cached-binning refresh == full rebuild while atoms stay in their
+    tiles; the detector flags a tile crossing (MD-loop skin analogue)."""
+    import nvalchemiops_tpu.spline_windowed as sw
+
+    rng = np.random.default_rng(11)
+    n, box = 500, 12.0
+    dims = (16, 16, 16)
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float64)
+    cell = jnp.asarray(np.eye(3) * box, jnp.float64)
+    q = jnp.asarray(rng.normal(size=n), jnp.float64)
+    cap = sw.mesh_tile_capacity(n, dims)
+    tiles = sw.build_mesh_tiles(pos, cell, dims, 4, cap, need_grad=True)
+
+    assert not bool(sw.mesh_tiles_need_rebuild(tiles, pos))
+
+    # nudge atoms by much less than a tile width: binning unchanged
+    # (tile = 8 mesh points = 6 A here; 1e-3 A cannot cross for atoms
+    # not already on a boundary -- use a nudge toward the tile center)
+    mesh_per_len = dims[0] / box
+    frac_in_tile = (np.asarray(pos) * mesh_per_len) % 8.0
+    safe = jnp.asarray(((frac_in_tile > 0.2) & (frac_in_tile < 7.3))
+                       .all(axis=1))
+    delta = jnp.where(safe[:, None], 1e-3, 0.0)
+    pos2 = pos + delta
+    assert not bool(sw.mesh_tiles_need_rebuild(tiles, pos2))
+
+    fresh = sw.build_mesh_tiles(pos2, cell, dims, 4, cap, need_grad=True)
+    refreshed = sw.refresh_mesh_tiles(tiles, pos2)
+    # same binning => same slots; spread/gather agree with full rebuild
+    mesh_f = sw.windowed_spread(fresh, q)
+    mesh_r = sw.windowed_spread(refreshed, q)
+    np.testing.assert_allclose(np.asarray(mesh_r), np.asarray(mesh_f),
+                               atol=1e-12)
+    phi = jnp.asarray(rng.normal(size=dims), jnp.float64)
+    vf, gf = sw.windowed_gather(fresh, phi, with_gradient=True)
+    vr, gr = sw.windowed_gather(refreshed, phi, with_gradient=True)
+    np.testing.assert_allclose(np.asarray(vr), np.asarray(vf), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gf), atol=1e-12)
+
+    # move one atom a full tile: the detector must fire
+    pos3 = np.array(pos)
+    pos3[7] = (pos3[7] + box / 2.0) % box
+    assert bool(sw.mesh_tiles_need_rebuild(tiles, jnp.asarray(pos3)))
