@@ -7,10 +7,10 @@ which TPUs do not have (measured: element gathers run ~1e8 elements/s while
 dense VPU/MXU traffic runs ~1e12).  This module re-architects neighbor
 enumeration so the hot path contains NO gathers at all:
 
-1. **Build** (one argsort + a handful of N-element scatters): atoms are
-   binned into a fixed-capacity spatial grid stored as dense per-property
-   planes ``[Cz, Cy, Cx, cap]`` (positions as separate x/y/z planes, plus
-   atom ids and a validity mask).
+1. **Build** (one payload-carrying bucket sort + one monotone row gather):
+   atoms are binned into a fixed-capacity spatial grid stored as dense
+   per-property planes ``[Cz, Cy, Cx, cap]`` (positions as separate x/y/z
+   planes, plus atom ids and a validity mask).
 2. **Halo extension**: the grid is padded by the search radius R with
    periodic ghost cells (``jnp.pad(mode="wrap")``); ghost *positions* carry
    their periodic image shift pre-applied, and each extended cell stores its
@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 from nvalchemiops_tpu.types import INDEX_DTYPE
 from nvalchemiops_tpu.mathops.math import apply_mat3
-from nvalchemiops_tpu.neighborlist.neighbor_utils import bucket_ranks, pack_shifts
+from nvalchemiops_tpu.neighborlist.neighbor_utils import pack_shifts
 
 # Parking coordinates for displacement-based validity (see build_atom_grid):
 # empty slots sit at x = DISPLACE + slot * DISPLACE_SPACING.  SPACING far
@@ -150,7 +150,7 @@ def estimate_grid_geometry(cell, pbc, cutoff: float, total_atoms: int,
 @partial(jax.jit, static_argnames=("dims", "radius", "cap"))
 def build_atom_grid(positions, cell, pbc, dims, radius, cap,
                     origin=None) -> AtomGrid:
-    """Bin, sort, scatter into planes, and halo-extend (jit).
+    """Bin, sort, gather into slot planes, and halo-extend (jit).
 
     ``origin`` (optional [3] array, xyz order, in *bin* units) shifts the
     periodic bin partition; any consistent partition is valid, and for
@@ -187,26 +187,46 @@ def build_atom_grid(positions, cell, pbc, dims, radius, cap,
     lin = ccoords[:, 0] + cx * (ccoords[:, 1] + cy * ccoords[:, 2])  # x fastest
     ncells = cx * cy * cz
 
-    rank, counts_max = bucket_ranks(lin, ncells)
-    overflow = rank >= cap
+    # Scatter-free slot planes: carry the wrapped positions through the
+    # bucket sort as extra sort operands, locate each cell's run with a
+    # vectorized binary search, and materialize the [ncells, cap] slot
+    # planes with ONE row GATHER whose source indices are monotone
+    # (starts[c] + r).  The previous [N, 5] row scatter has random
+    # destinations, which forces the conservative XLA scatter lowering —
+    # measured 21 ms of the 25.6 ms 524k build vs 6.6 ms for this
+    # formulation (benchmarks/scatter_strategy_probe.py; unique_indices
+    # and sorted-destination scatters both stay >= 23 ms).
+    iota = jnp.arange(n, dtype=INDEX_DTYPE)
+    sorted_lin, order, spx, spy, spz = jax.lax.sort(
+        (lin, iota, wpx, wpy, wpz), num_keys=1, is_stable=True)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_lin[1:] != sorted_lin[:-1]])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(boundary, iota, 0))
+    rank_sorted = iota - run_start
+    counts_max = jnp.max(rank_sorted, initial=-1) + 1
 
-    flat = jnp.where(overflow, ncells * cap, lin * cap + rank)  # trash slot at end
+    # atom-order slot ids (downstream per-atom scatters, rebuild detection;
+    # overflow atoms land in the trash slot at the end)
+    flat = jnp.zeros((n,), INDEX_DTYPE).at[order].set(
+        jnp.where(rank_sorted >= cap, ncells * cap,
+                  sorted_lin * cap + rank_sorted))
 
-    # ONE stacked row scatter for all five per-atom planes (each separate
-    # 110k-element scatter costs ~0.7 ms on chip — rule 7; rows cost the
-    # same as scalars).  aid rides as float (exact below 2^24); per-column
-    # fill values come from broadcasting the fill row before the scatter.
-    vals = jnp.stack(
-        [wpx, wpy, wpz, jnp.ones((n,), dtype),
-         jnp.arange(n, dtype=dtype)], axis=-1)
-    fill_row = jnp.asarray([0.0, 0.0, 0.0, 0.0, float(n)], dtype)
-    buf = jnp.broadcast_to(fill_row, (ncells * cap + 1, 5))
-    planes = buf.at[flat].set(vals)[:-1].reshape(cz, cy, cx, cap, 5)
+    starts = jnp.searchsorted(
+        sorted_lin, jnp.arange(ncells, dtype=INDEX_DTYPE))
+    ends = jnp.concatenate([starts[1:], jnp.asarray([n], INDEX_DTYPE)])
+    src = starts[:, None] + jnp.arange(cap, dtype=INDEX_DTYPE)[None, :]
+    valid = src < ends[:, None]
+    srcc = jnp.where(valid, src, n).reshape(-1)  # n -> fill row
+    svals = jnp.concatenate(
+        [jnp.stack([spx, spy, spz, order.astype(dtype)], axis=-1),
+         jnp.asarray([[0.0, 0.0, 0.0, float(n)]], dtype)], axis=0)
+    planes = svals[srcc].reshape(cz, cy, cx, cap, 4)
     g_px = planes[..., 0]
     g_py = planes[..., 1]
     g_pz = planes[..., 2]
-    g_valid = planes[..., 3] > 0.5
-    g_aid = planes[..., 4].astype(INDEX_DTYPE)
+    g_valid = valid.reshape(cz, cy, cx, cap)
+    g_aid = planes[..., 3].astype(INDEX_DTYPE)
 
     # Displacement-based validity: park every empty slot at a unique far-away
     # x so the d2 < cutoff^2 test alone excludes it from every pair sweep —
@@ -298,19 +318,25 @@ def gather_rows_from_grid(grid: AtomGrid, planes):
 
 
 def scatter_rows_to_grid(grid: AtomGrid, values_list, fill=0.0):
-    """One [slots, k] row scatter for k per-atom arrays -> k interior planes.
+    """One [slots, k] row gather for k per-atom arrays -> k interior planes.
 
-    Same economics as :func:`gather_rows_from_grid`, scatter side.  All
-    values are cast to a common dtype (the first array's); integer planes
-    up to 2^24 survive a float round-trip exactly.
+    Slot -> atom is already materialized in the aid plane (trash slots
+    point one past the end), so the planes are a single row GATHER from
+    the fill-padded value rows — the row-scatter formulation this
+    replaces pays the conservative random-destination XLA scatter
+    lowering (measured at 524k/cap 40: 20.9 ms scatter vs 3.7 ms gather,
+    benchmarks/prop_plane_probe.py).  All values are cast to a common
+    dtype (the first array's); integer planes up to 2^24 survive a float
+    round-trip exactly.
     """
     cz, cy, cx = grid.dims
     dtype = values_list[0].dtype
     k = len(values_list)
     vals = jnp.stack([jnp.asarray(v, dtype) for v in values_list], axis=-1)
-    buf = jnp.full((cz * cy * cx * grid.cap + 1, k), fill, dtype=dtype)
-    planes = buf.at[grid.flat_slot].set(vals)[:-1].reshape(
-        cz, cy, cx, grid.cap, k)
+    padded = jnp.concatenate(
+        [vals, jnp.full((1, k), fill, dtype=dtype)], axis=0)
+    aid = _interior(grid, grid.ext_aid).reshape(-1)
+    planes = padded[aid].reshape(cz, cy, cx, grid.cap, k)
     return tuple(planes[..., i] for i in range(k))
 
 
