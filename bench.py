@@ -287,25 +287,29 @@ def main():
                 (total + t_coul) * 1e6 / n, 4)
 
     # --- optional stage: fused MD step (one jitted program, one build) ------
-    # (separate window sweeps for D3 and Coulomb: the FUSED window pass-2
-    # kernel's 9-output body exceeds the 16 MB scoped-VMEM limit at this
-    # cap/lane geometry — measured 17.7 MB at 16^3/cap40; the fused
-    # grid_dftd3_coulomb(engine="window") stays valid at smaller caps)
+    # ONE window sweep for D3 + Coulomb: combine_forces folds the Coulomb
+    # pair forces into the D3 accumulators in-kernel (6 + 5 pass-2 outputs
+    # — the separated 9 + 8 set exceeded 16 MB scoped VMEM at this
+    # geometry).  Measured: fused 14.47 ms vs 17.42 separate sweeps,
+    # dF 1.5e-7 (benchmarks/fused_vmem_probe.py, round 3).
     if _remaining() > 280:
+        from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
+            grid_dftd3_coulomb,
+        )
+
         def md_step(p):
             gg = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
-            e_d3, f_d3, _ = grid_dftd3(
-                gg, numbers, rcov, r4r2, c6, cna, cutoff, 0.4, 4.2, 1.8,
-                engine="window",
+            e_d3, f_rs, _, e_c, _ = grid_dftd3_coulomb(
+                gg, numbers, charges, rcov, r4r2, c6, cna, cutoff,
+                0.4, 4.2, 1.8, alpha=alpha, engine="window",
+                combine_forces=True,
             )
-            e_c, f_c = grid_coulomb_energy_forces(gg, charges, cutoff, alpha,
-                                                  engine="window")
             e_p, f_p, _ = _pme_reciprocal_impl(
                 p, charges, cell.reshape(1, 3, 3), jnp.asarray([alpha], dtype),
                 mesh, 4, None, True, False, None, None,
                 tile_capacity=tile_cap, spread_engine="pallas",
             )
-            return e_d3 + jnp.sum(e_p) + jnp.sum(e_c), f_d3 + f_c + f_p
+            return e_d3 + jnp.sum(e_p) + jnp.sum(e_c), f_rs + f_p
 
         try:
             t_fused = measure(md_step, dep, (pos,), iters=3)

@@ -1241,6 +1241,7 @@ def _grid_d3_window_impl(
     q_plane=None, q_ext=None, with_coulomb: bool = False,
     calpha: float = 0.0, ccutoff: float = 0.0,
     feature_dtype=None, skip_chain: bool = False,
+    combine_forces: bool = False,
 ):
     """D3 on the pre-windowed per-cell Pallas engine (pallas/window_sweep.py).
 
@@ -1256,7 +1257,13 @@ def _grid_d3_window_impl(
 
     With ``with_coulomb`` the (erfc-damped) real-space Coulomb pair pass
     rides pass 2's candidate windows; extra returns
-    ``(e_c, fcx, fcy, fcz)`` planes.
+    ``(e_c, fcx, fcy, fcz)`` planes.  ``combine_forces`` folds the
+    Coulomb force pair terms directly into the D3 force accumulators
+    inside the kernel (6 own + 5 j-side pass-2 outputs instead of
+    9 + 8) — the accumulator set that exceeded the 16 MB scoped-VMEM
+    limit at 16^3-cell/cap-40 geometries separate; returns
+    ``(e_d3, fx, fy, fz, cn, e_c)`` with the force planes carrying
+    D3 + Coulomb combined.
     """
     from nvalchemiops_tpu.grid import _interior, fold_halo
     from nvalchemiops_tpu.pallas.block_sweep import pack_columns
@@ -1482,9 +1489,21 @@ def _grid_d3_window_impl(
             mgx = ncoef_c * dx   # own-side force contribution (negated)
             mgy = ncoef_c * dy
             mgz = ncoef_c * dz
-            own_blocks = own_blocks + (e_c, mgx, mgy, mgz)
-            j_blocks = j_blocks + (e_c, ("neg", mgx), ("neg", mgy),
-                                   ("neg", mgz))
+            if combine_forces:
+                # fold Coulomb into the D3 force accumulators in-body:
+                # both sides negate identically, so the combined blocks
+                # stay valid on the shared j outputs; only e_c keeps its
+                # own accumulator pair (6 own + 5 j instead of 9 + 8 —
+                # the separated set exceeds 16 MB scoped VMEM at
+                # 16^3-cell/cap-40 geometries)
+                own_blocks = (e_ij, cfx + mgx, cfy + mgy, cfz + mgz,
+                              dei, e_c)
+                j_blocks = (("neg", cfx + mgx), ("neg", cfy + mgy),
+                            ("neg", cfz + mgz), dej, e_c)
+            else:
+                own_blocks = own_blocks + (e_c, mgx, mgy, mgz)
+                j_blocks = j_blocks + (e_c, ("neg", mgx), ("neg", mgy),
+                                       ("neg", mgz))
         return own_blocks, j_blocks
 
     si_plane = jnp.sqrt(r4r2_plane * 1.7320508075688772)
@@ -1498,8 +1517,10 @@ def _grid_d3_window_impl(
         own2_cols.append(q_plane)
         wrows2["q"] = wrow(q_ext)
     own2 = {"s": pack_columns(*own2_cols), "lf": lf_cols}
-    n_own2 = 9 if with_coulomb else 5
-    n_j2 = 8 if with_coulomb else 4
+    if with_coulomb:
+        n_own2, n_j2 = (6, 5) if combine_forces else (9, 8)
+    else:
+        n_own2, n_j2 = 5, 4
     acc2, j2 = window_sweep(
         dims, radius, cap, own2, wrows2,
         {"e": eT_w, "edc": edcT_w},
@@ -1513,9 +1534,10 @@ def _grid_d3_window_impl(
     decn_pl = decn_pl + fold_halo(grid, j2[3])
     if with_coulomb:
         ec_pl = acc2[5] + fold_halo(grid, j2[4])
-        fcx_pl = acc2[6] + fold_halo(grid, j2[5])
-        fcy_pl = acc2[7] + fold_halo(grid, j2[6])
-        fcz_pl = acc2[8] + fold_halo(grid, j2[7])
+        if not combine_forces:
+            fcx_pl = acc2[6] + fold_halo(grid, j2[5])
+            fcy_pl = acc2[7] + fold_halo(grid, j2[6])
+            fcz_pl = acc2[8] + fold_halo(grid, j2[7])
 
     if skip_chain:
         # debug/hybrid hook: passes 1-2 only, exposing the dE/dCN plane
@@ -1550,6 +1572,8 @@ def _grid_d3_window_impl(
     fy_t = fy_pl + fy3 + fold_halo(grid, j3[1])
     fz_t = fz_pl + fz3 + fold_halo(grid, j3[2])
     if with_coulomb:
+        if combine_forces:
+            return e_pl, fx_t, fy_t, fz_t, cn_plane, ec_pl
         return (e_pl, fx_t, fy_t, fz_t, cn_plane,
                 ec_pl, fcx_pl, fcy_pl, fcz_pl)
     return e_pl, fx_t, fy_t, fz_t, cn_plane
@@ -1820,6 +1844,7 @@ def grid_dftd3_coulomb(
     alpha: float = 0.0,
     s6=1.0, k1=16.0, k3=-4.0,
     engine: str = "block",
+    combine_forces: bool = False,
 ):
     """Fused DFT-D3(BJ) + real-space (erfc-damped) Coulomb on one sweep.
 
@@ -1831,15 +1856,22 @@ def grid_dftd3_coulomb(
     pairs (the separate-call path costs one extra grid traversal).  Both
     cutoffs must be <= the cutoff the grid was built for.
 
-    VMEM note: the fused window pass-2 body carries 9 own + 8 j-side
-    accumulators; at large geometries (measured: 16^3 cells, cap 40,
-    lane 128) it exceeds the 16 MB scoped-VMEM limit on chip — use
-    separate ``grid_dftd3``/``grid_coulomb_energy_forces`` window calls
-    there (one extra candidate sweep), or ``engine="xla"``.
+    VMEM note: the separated-channel fused window pass-2 body carries
+    9 own + 8 j-side accumulators; at large geometries (measured: 16^3
+    cells, cap 40, lane 128) it exceeds the 16 MB scoped-VMEM limit on
+    chip.  ``combine_forces=True`` folds the Coulomb pair forces into
+    the D3 force accumulators inside the kernel (6 + 5 outputs — fits
+    that geometry) and is the MD-step configuration: per-channel
+    energies are still returned separately, only the force channels
+    merge.
 
     Returns ``(e_d3_total, f_d3 [N,3], coord_num [N],
-    e_coulomb [N], f_coulomb [N,3])``.  Energy/force channels are kept
-    separate so callers can scale them independently.
+    e_coulomb [N], f_coulomb [N,3])``; energy/force channels are kept
+    separate so callers can scale them independently.  With
+    ``combine_forces`` the force entry carries D3 + Coulomb combined
+    and the trailing ``f_coulomb`` is ``None``:
+    ``(e_d3_total, f_total, coord_num, e_coulomb, None)`` (every
+    engine honours it, so results are engine-interchangeable).
     """
     dtype = grid.ext_px.dtype
     numbers = jnp.asarray(numbers, INDEX_DTYPE)
@@ -1886,8 +1918,7 @@ def grid_dftd3_coulomb(
             coulomb_cutoff=float(coulomb_cutoff),
         )
     elif engine == "window":
-        (e_pl, fx_pl, fy_pl, fz_pl, cn_pl,
-         ec_pl, fcx_pl, fcy_pl, fcz_pl) = _grid_d3_window_impl(
+        outs = _grid_d3_window_impl(
             grid,
             z_plane, z_ext,
             rcov_plane, rcov_ext,
@@ -1899,7 +1930,17 @@ def grid_dftd3_coulomb(
             jax.default_backend() != "tpu",
             q_plane=q_plane, q_ext=q_ext, with_coulomb=True,
             calpha=float(alpha), ccutoff=float(coulomb_cutoff),
+            combine_forces=combine_forces,
         )
+        if combine_forces:
+            e_pl, fx_pl, fy_pl, fz_pl, cn_pl, ec_pl = outs
+            energy = jnp.sum(e_pl)
+            f1, f2, f3, coord_num, e_c = gather_rows_from_grid(
+                grid, (fx_pl, fy_pl, fz_pl, cn_pl, ec_pl))
+            return (energy, jnp.stack([f1, f2, f3], axis=-1), coord_num,
+                    e_c, None)
+        (e_pl, fx_pl, fy_pl, fz_pl, cn_pl,
+         ec_pl, fcx_pl, fcy_pl, fcz_pl) = outs
     else:
         (e_pl, fx_pl, fy_pl, fz_pl, cn_pl,
          ec_pl, fcx_pl, fcy_pl, fcz_pl) = _grid_d3_block_impl(
@@ -1921,6 +1962,8 @@ def grid_dftd3_coulomb(
         grid, (fx_pl, fy_pl, fz_pl, cn_pl, ec_pl, fcx_pl, fcy_pl, fcz_pl))
     forces = jnp.stack([f1, f2, f3], axis=-1)
     f_c = jnp.stack([fc1, fc2, fc3], axis=-1)
+    if combine_forces:
+        return energy, forces + f_c, coord_num, e_c, None
     return energy, forces, coord_num, e_c, f_c
 
 

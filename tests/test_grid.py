@@ -361,6 +361,24 @@ def test_grid_dftd3_coulomb_fused_matches_separate(fused_engine):
         np.testing.assert_allclose(np.asarray(e_c), np.asarray(ec_ref), atol=1e-5)
         np.testing.assert_allclose(np.asarray(f_c), np.asarray(fc_ref), atol=1e-5)
 
+        # combine_forces: same per-channel energies, summed force planes,
+        # trailing f_coulomb None — on every engine (the window engine
+        # folds in-kernel, 6 + 5 pass-2 outputs; see _grid_d3_window_impl)
+        e_d2, f_t, cn2, e_c2, f_none = grid_dftd3_coulomb(
+            g, tables[0], jnp.asarray(q), *tables[1:], cutoff, 0.42, 4.1,
+            1.7, coulomb_cutoff=ccut, alpha=alpha, engine=fused_engine,
+            combine_forces=True,
+        )
+        assert f_none is None
+        np.testing.assert_allclose(float(e_d2), float(e_ref), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(cn2), np.asarray(cn_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(e_c2), np.asarray(ec_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(f_t), np.asarray(f_ref) + np.asarray(fc_ref),
+            atol=1e-5)
+
 
 @pytest.mark.parametrize("engine", ["block", "window"])
 def test_grid_coulomb_mosaic_engines_match_xla(engine):
