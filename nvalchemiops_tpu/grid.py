@@ -66,6 +66,7 @@ __all__ = [
     "grid_coulomb_energy_forces",
     "scatter_to_grid",
     "gather_from_grid",
+    "use_slot_gather",
 ]
 
 
@@ -317,26 +318,49 @@ def gather_rows_from_grid(grid: AtomGrid, planes):
     return tuple(rows[..., i] for i in range(len(planes)))
 
 
+def use_slot_gather(n: int, nslots: int) -> bool:
+    """Static heuristic: build slot planes by gather or by scatter.
+
+    The slot->atom row GATHER scales with the slot count; the atom->slot
+    row SCATTER scales with the atom count but pays the conservative
+    random-destination XLA lowering (~5x per row).  Chip: 524k atoms at
+    1.34x slot slack -> gather 3.7 ms vs scatter 20.9
+    (benchmarks/prop_plane_probe.py); small vmapped systems at >2x slack
+    -> gather regresses (the PME batch path measured 2x slower,
+    pme_batch_engine_probe.py).  Gather only where proven: large systems
+    at low slot slack.
+    """
+    return n >= 32768 and nslots <= 2 * n
+
+
 def scatter_rows_to_grid(grid: AtomGrid, values_list, fill=0.0):
-    """One [slots, k] row gather for k per-atom arrays -> k interior planes.
+    """One [slots, k] row gather (or scatter) for k per-atom arrays.
 
     Slot -> atom is already materialized in the aid plane (trash slots
-    point one past the end), so the planes are a single row GATHER from
-    the fill-padded value rows — the row-scatter formulation this
-    replaces pays the conservative random-destination XLA scatter
-    lowering (measured at 524k/cap 40: 20.9 ms scatter vs 3.7 ms gather,
-    benchmarks/prop_plane_probe.py).  All values are cast to a common
-    dtype (the first array's); integer planes up to 2^24 survive a float
-    round-trip exactly.
+    point one past the end), so at scale the planes are a single row
+    GATHER from the fill-padded value rows — the row-scatter formulation
+    pays the conservative random-destination XLA scatter lowering
+    (measured at 524k/cap 40: 20.9 ms scatter vs 3.7 ms gather,
+    benchmarks/prop_plane_probe.py); small/slack-heavy cases keep the
+    scatter (see :func:`use_slot_gather`).  All values are cast to a
+    common dtype (the first array's); integer planes up to 2^24 survive
+    a float round-trip exactly.
     """
     cz, cy, cx = grid.dims
     dtype = values_list[0].dtype
     k = len(values_list)
+    n = values_list[0].shape[0]
+    nslots = cz * cy * cx * grid.cap
     vals = jnp.stack([jnp.asarray(v, dtype) for v in values_list], axis=-1)
-    padded = jnp.concatenate(
-        [vals, jnp.full((1, k), fill, dtype=dtype)], axis=0)
-    aid = _interior(grid, grid.ext_aid).reshape(-1)
-    planes = padded[aid].reshape(cz, cy, cx, grid.cap, k)
+    if use_slot_gather(n, nslots):
+        padded = jnp.concatenate(
+            [vals, jnp.full((1, k), fill, dtype=dtype)], axis=0)
+        aid = _interior(grid, grid.ext_aid).reshape(-1)
+        planes = padded[aid].reshape(cz, cy, cx, grid.cap, k)
+    else:
+        buf = jnp.full((nslots + 1, k), fill, dtype=dtype)
+        planes = buf.at[grid.flat_slot].set(vals)[:-1].reshape(
+            cz, cy, cx, grid.cap, k)
     return tuple(planes[..., i] for i in range(k))
 
 

@@ -48,6 +48,7 @@ from nvalchemiops_tpu.grid import (
     grid_row_reduce_sym,
     row_home_mask,
     scatter_rows_to_grid,
+    use_slot_gather,
     scatter_to_grid,
 )
 
@@ -513,6 +514,8 @@ def _d3_feature_planes(grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
     ``numbers_a`` skips the plane regather when the caller already holds
     the per-atom numbers (each 110k-atom gather costs ~1 ms, rule 7).
     """
+    from nvalchemiops_tpu.grid import _interior
+
     cz, cy, cx = dims
     if numbers_a is None:
         numbers_a = gather_from_grid(grid, z_plane)
@@ -520,11 +523,18 @@ def _d3_feature_planes(grid, z_plane, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
         numbers_a, cn_a, cna_a, mask_a, c6p_a, k3, dtype, precision)
 
     def feat_plane(vals):
+        # slot -> atom row gather at scale (empty slots hit the zero fill
+        # row), atom -> slot row scatter for small/slack-heavy systems —
+        # see grid.use_slot_gather for the measured crossover
         nslots = cz * cy * cx * cap
+        if use_slot_gather(vals.shape[0], nslots):
+            padded = jnp.concatenate(
+                [vals, jnp.zeros((1, vals.shape[-1]), dtype)], axis=0)
+            aid = _interior(grid, grid.ext_aid).reshape(-1)
+            return padded[aid].reshape(cz, cy, cx, cap, vals.shape[-1])
         buf = jnp.zeros((nslots + 1, vals.shape[-1]), dtype)
         return buf.at[grid.flat_slot].set(vals)[:-1].reshape(
-            cz, cy, cx, cap, vals.shape[-1]
-        )
+            cz, cy, cx, cap, vals.shape[-1])
 
     lf_plane = feat_plane(jnp.concatenate([l0_a, l1_a], axis=-1))
     rf_plane = feat_plane(rf_a)
@@ -801,25 +811,41 @@ def _grid_d3_pallas_impl(
     rfdc_a = rfd_a - a_cn[..., None] * rf_a
 
     def feat_plane(vals):
+        # slot -> atom row gather at scale (empty slots hit the zero fill
+        # row), atom -> slot row scatter for small/slack-heavy systems —
+        # see grid.use_slot_gather for the measured crossover
         nslots = cz * cy * cx * cap
+        if use_slot_gather(vals.shape[0], nslots):
+            padded = jnp.concatenate(
+                [vals, jnp.zeros((1, vals.shape[-1]), dtype)], axis=0)
+            aid = _interior(grid, grid.ext_aid).reshape(-1)
+            return padded[aid].reshape(cz, cy, cx, cap, vals.shape[-1])
         buf = jnp.zeros((nslots + 1, vals.shape[-1]), dtype)
         return buf.at[grid.flat_slot].set(vals)[:-1].reshape(
-            cz, cy, cx, cap, vals.shape[-1]
-        )
+            cz, cy, cx, cap, vals.shape[-1])
 
     # interleaved own feature plane [cz, cy, cx, 2*cap, zm]: per cell the
     # first cap slots hold l0 rows, the next cap hold l1c rows, so the
     # kernel's per-x slice is a ready-made [zm, 2*cap] matmul lhs.
+    # Built by two slot->atom row gathers concatenated on the slot axis at
+    # scale (the dual scatter pays the random-destination lowering), or by
+    # the interleaved scatter for small/slack-heavy systems.
     trash = cz * cy * cx * cap
-    is_trash = grid.flat_slot == trash
-    lin2 = grid.flat_slot // cap
-    rank2 = grid.flat_slot - lin2 * cap
-    s0 = jnp.where(is_trash, 2 * trash, lin2 * 2 * cap + rank2)
-    s1 = jnp.where(is_trash, 2 * trash, lin2 * 2 * cap + cap + rank2)
-    lf_buf = jnp.zeros((2 * trash + 1, zm), dtype)
-    lf_buf = lf_buf.at[s0].set(l0_a)
-    lf_buf = lf_buf.at[s1].set(l1c_a)
-    lf2_plane = lf_buf[:-1].reshape(cz, cy, cx, 2 * cap, zm)
+    if use_slot_gather(l0_a.shape[0], trash):
+        aid2 = _interior(grid, grid.ext_aid).reshape(cz, cy, cx, cap)
+        l0_p = jnp.concatenate([l0_a, jnp.zeros((1, zm), dtype)], axis=0)
+        l1c_p = jnp.concatenate([l1c_a, jnp.zeros((1, zm), dtype)], axis=0)
+        lf2_plane = jnp.concatenate([l0_p[aid2], l1c_p[aid2]], axis=3)
+    else:
+        is_trash = grid.flat_slot == trash
+        lin2 = grid.flat_slot // cap
+        rank2 = grid.flat_slot - lin2 * cap
+        s0 = jnp.where(is_trash, 2 * trash, lin2 * 2 * cap + rank2)
+        s1 = jnp.where(is_trash, 2 * trash, lin2 * 2 * cap + cap + rank2)
+        lf_buf = jnp.zeros((2 * trash + 1, zm), dtype)
+        lf_buf = lf_buf.at[s0].set(l0_a)
+        lf_buf = lf_buf.at[s1].set(l1c_a)
+        lf2_plane = lf_buf[:-1].reshape(cz, cy, cx, 2 * cap, zm)
 
     rf_ext = _extend_like(grid, feat_plane(rf_a), 0.0)
     rfdc_ext = _extend_like(grid, feat_plane(rfdc_a), 0.0)
@@ -1059,11 +1085,18 @@ def _grid_d3_block_impl(
     rfdc_a = rfd_a - a_cn[..., None] * rf_a
 
     def feat_plane(vals):
+        # slot -> atom row gather at scale (empty slots hit the zero fill
+        # row), atom -> slot row scatter for small/slack-heavy systems —
+        # see grid.use_slot_gather for the measured crossover
         nslots = cz * cy * cx * cap
+        if use_slot_gather(vals.shape[0], nslots):
+            padded = jnp.concatenate(
+                [vals, jnp.zeros((1, vals.shape[-1]), dtype)], axis=0)
+            aid = _interior(grid, grid.ext_aid).reshape(-1)
+            return padded[aid].reshape(cz, cy, cx, cap, vals.shape[-1])
         buf = jnp.zeros((nslots + 1, vals.shape[-1]), dtype)
         return buf.at[grid.flat_slot].set(vals)[:-1].reshape(
-            cz, cy, cx, cap, vals.shape[-1]
-        )
+            cz, cy, cx, cap, vals.shape[-1])
 
     lf_cols = feat_plane(jnp.concatenate([l0_a, l1c_a], axis=-1)).reshape(
         cz, cy, cx * cap, 2 * zm)

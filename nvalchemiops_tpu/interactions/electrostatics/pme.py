@@ -448,7 +448,8 @@ def _windowed_pme_single(positions, charges, cell, alpha, mesh_dimensions,
                          fft_mode: str = "xla",
                          compute_charge_gradients: bool = False,
                          spread_engine: str = "xla",
-                         gather_engine: str = "xla"):
+                         gather_engine: str = "xla",
+                         tile: int = 8):
     """One system through the tile-windowed PME pipeline (vmappable).
 
     Lean straight-line version of :func:`_pme_reciprocal_impl`'s windowed
@@ -460,7 +461,7 @@ def _windowed_pme_single(positions, charges, cell, alpha, mesh_dimensions,
 
     dtype = positions.dtype
     tiles = sw.build_mesh_tiles(positions, cell, mesh_dimensions,
-                                spline_order, cap,
+                                spline_order, cap, tile=tile,
                                 need_grad=compute_forces)
     mesh = sw.windowed_spread(tiles, charges, engine=spread_engine)
     _, k_squared = generate_k_vectors_pme(cell, mesh_dimensions)
@@ -522,19 +523,21 @@ def _windowed_pme_single(positions, charges, cell, alpha, mesh_dimensions,
     static_argnames=("mesh_dimensions", "spline_order", "cap",
                      "compute_forces", "fft_mode",
                      "compute_charge_gradients", "spread_engine",
-                     "gather_engine"),
+                     "gather_engine", "tile"),
 )
 def _batch_windowed_pme_impl(positions, charges, cells, alphas,
                              mesh_dimensions, spline_order, cap,
                              compute_forces, fft_mode="xla",
                              compute_charge_gradients=False,
-                             spread_engine="xla", gather_engine="xla"):
+                             spread_engine="xla", gather_engine="xla",
+                             tile=8):
     return jax.vmap(
         lambda p, q, c, a: _windowed_pme_single(
             p, q, c, a, mesh_dimensions, spline_order, cap, compute_forces,
             fft_mode=fft_mode,
             compute_charge_gradients=compute_charge_gradients,
-            spread_engine=spread_engine, gather_engine=gather_engine)
+            spread_engine=spread_engine, gather_engine=gather_engine,
+            tile=tile)
     )(positions, charges, cells, alphas)
 
 
@@ -616,7 +619,8 @@ def batch_pme_reciprocal(positions, charges, cells, alpha, mesh_dimensions,
                          compute_charge_gradients: bool = False,
                          engine: str = "windowed",
                          spread_engine: str = "xla",
-                         gather_engine: str = "xla"):
+                         gather_engine: str = "xla",
+                         tile: int | None = None):
     """Batched reciprocal-space PME on uniform [B, n, 3] system stacks.
 
     The concatenated ``batch_idx`` path of :func:`pme_reciprocal_space`
@@ -647,7 +651,19 @@ def batch_pme_reciprocal(positions, charges, cells, alpha, mesh_dimensions,
     """
     from nvalchemiops_tpu import spline_windowed as sw
 
-    if not sw.windowed_applicable(mesh_dimensions, spline_order):
+    if tile is None:
+        # small per-system meshes: 16-point tiles shrink the per-tile W^2
+        # expansion intermediates ~70x and fatten the MXU matmuls
+        # (measured 8.70 vs 10.62 ms E at 64x2000/32^3,
+        # benchmarks/pme_batch_engine_probe.py).  Only when the caller did
+        # not pass a tile_capacity (capacities are tile-specific).
+        ntiles8 = math.prod(int(d) // 8 for d in mesh_dimensions)
+        if (tile_capacity is None and ntiles8 <= 512
+                and all(int(d) % 16 == 0 for d in mesh_dimensions)):
+            tile = 16
+        else:
+            tile = 8
+    if not sw.windowed_applicable(mesh_dimensions, spline_order, tile=tile):
         raise ValueError(
             f"mesh {mesh_dimensions} / order {spline_order} not supported "
             "by the windowed path; use pme_reciprocal_space(batch_idx=...)")
@@ -668,13 +684,15 @@ def batch_pme_reciprocal(positions, charges, cells, alpha, mesh_dimensions,
             compute_charge_gradients=bool(compute_charge_gradients))
     else:
         if tile_capacity is None:
-            tile_capacity = sw.mesh_tile_capacity(n, mesh_dimensions)
+            tile_capacity = sw.mesh_tile_capacity(n, mesh_dimensions,
+                                                  tile=tile)
         energies, forces, charge_grads = _batch_windowed_pme_impl(
             positions, jnp.asarray(charges, dtype), cells, alphas,
             tuple(int(d) for d in mesh_dimensions), int(spline_order),
             int(tile_capacity), bool(compute_forces), fft_mode=fft_mode,
             compute_charge_gradients=bool(compute_charge_gradients),
-            spread_engine=spread_engine, gather_engine=gather_engine)
+            spread_engine=spread_engine, gather_engine=gather_engine,
+            tile=int(tile))
     if compute_forces and compute_charge_gradients:
         return energies, forces, charge_grads
     if compute_forces:

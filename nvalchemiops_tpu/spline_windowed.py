@@ -7,16 +7,16 @@ kernels spline.py:496-760) contracts every atom against *full* mesh axes —
 GFLOP at 110k atoms on a 128^3 mesh) for what is logically an order^3 = 64
 point stencil per atom.  This module exploits spatial locality instead:
 
-1. **Tile binning** (one argsort + a row scatter, the same build as
-   ``grid.AtomGrid``): atoms are bucketed by the mesh tile (``T^3`` mesh
-   points, default T=8) containing their stencil *base* index, stored as
-   fixed-capacity slot planes ``[ntiles, cap]``.
+1. **Tile binning** (one payload-carrying bucket sort + a monotone row
+   gather, the same build as ``grid.AtomGrid``): atoms are bucketed by the
+   mesh tile (``T^3`` mesh points, default T=8) containing their stencil
+   *base* index, stored as fixed-capacity slot planes ``[ntiles, cap]``.
 2. **Local axis matrices**: each atom's order-point 1-D stencil lands in a
    window of ``W = T + 4`` mesh points per axis anchored at ``tile*T - 1``
    (stencil offsets lie in [-1, 2] for orders <= 4), so the dense per-axis
    weight matrices are tiny ``[cap, W]`` blocks instead of ``[N, n_axis]``
    — all six (weights + derivatives) live in one ``[ntiles, cap, 6W]``
-   buffer filled by a single row scatter.
+   buffer filled by a single slot->atom row gather.
 3. **Per-tile separable contraction** on the MXU:
    ``window[t, wz, (wy,wx)] = qS_z[t]^T ... (S_y (x) S_x)[t]`` — ~1 GFLOP
    total at the same size, a 450x flop reduction.  The ``(x)`` products are
@@ -33,8 +33,8 @@ point stencil per atom.  This module exploits spatial locality instead:
    ``irfftn``) beat the reference's ik-space path (three ``irfftn``s + a
    separate vec3 gather; reference pme.py:1450-1477).
 
-All ops are dense XLA (argsort, scatter rows, matmuls, reshapes): the path
-jits, differentiates, and runs identically on CPU and TPU.
+All ops are dense XLA (bucket sort, row gathers, matmuls, reshapes): the
+path jits, differentiates, and runs identically on CPU and TPU.
 """
 
 from __future__ import annotations
@@ -46,7 +46,6 @@ import jax.numpy as jnp
 from nvalchemiops_tpu.mathops.math import apply_mat3
 from nvalchemiops_tpu.types import INDEX_DTYPE
 from nvalchemiops_tpu.spline import bspline_weight, bspline_derivative
-from nvalchemiops_tpu.neighborlist.neighbor_utils import bucket_ranks
 
 __all__ = [
     "windowed_applicable",
@@ -127,14 +126,18 @@ class MeshTiles:
 
     ``smat`` holds the per-slot axis matrices side by side on the lane axis:
     ``[ntiles, cap, k*W]`` with blocks (Sx, Sy, Sz[, dSx, dSy, dSz]).
+    ``aid`` is the slot -> atom map ([ntiles*cap], empty slots -> n): the
+    gather-form dual of ``flat_slot`` (atom -> slot), used to build slot
+    arrays as row gathers instead of random-destination scatters.
     """
 
-    _fields = ("smat", "flat_slot", "counts_max", "inv")
+    _fields = ("smat", "flat_slot", "aid", "counts_max", "inv")
 
-    def __init__(self, smat, flat_slot, counts_max, inv, mesh_dims, tile,
-                 cap, order, has_grad):
+    def __init__(self, smat, flat_slot, aid, counts_max, inv, mesh_dims,
+                 tile, cap, order, has_grad):
         self.smat = smat
         self.flat_slot = flat_slot
+        self.aid = aid
         self.counts_max = counts_max
         self.inv = inv
         self.mesh_dims = tuple(int(d) for d in mesh_dims)
@@ -237,6 +240,54 @@ def _stencil_rows(positions, inv, mesh_dims, order: int, tile: int,
     return rows, lin
 
 
+def _use_slot_gather(n: int, ntiles: int, cap: int) -> bool:
+    """Static heuristic: build slot arrays by gather or by scatter.
+
+    The slot->atom row GATHER scales with ``ntiles*cap`` slots; the
+    atom->slot row SCATTER scales with ``n`` atoms but pays the
+    conservative random-destination XLA lowering (~5x per row).  Chip
+    measurements: 524k atoms / 1.34x slack -> gather 3.7 ms vs scatter
+    20.9 (prop_plane_probe); 64x2000 vmapped / 2.3x slack -> gather
+    REGRESSED the batched windowed PME 2x (19.1 vs 10.6 ms E,
+    pme_batch_engine_probe).  Gather only where it is proven: large
+    systems at low slot slack.
+    """
+    return n >= 32768 and ntiles * cap <= 2 * n
+
+
+def _slot_maps(lin, ntiles: int, cap: int):
+    """Both directions of the slot assignment from one bucket sort.
+
+    Returns ``(flat_slot [N], aid [ntiles*cap], counts_max)``:
+    atom -> slot (overflow -> trash ``ntiles*cap``) and slot -> atom
+    (empty -> ``n``).  The aid direction turns every slot-array build
+    into a row gather (same economics as grid.py's gather-form build:
+    random-destination row scatters measured 5-6x slower on chip,
+    benchmarks/scatter_strategy_probe.py / prop_plane_probe.py).
+    """
+    n = lin.shape[0]
+    iota = jnp.arange(n, dtype=INDEX_DTYPE)
+    sorted_lin, order = jax.lax.sort(
+        (lin.astype(INDEX_DTYPE), iota), num_keys=1, is_stable=True)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_lin[1:] != sorted_lin[:-1]])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(boundary, iota, 0))
+    rank_sorted = iota - run_start
+    counts_max = jnp.max(rank_sorted, initial=-1) + 1
+    flat_slot = jnp.zeros((n,), INDEX_DTYPE).at[order].set(
+        jnp.where(rank_sorted >= cap, ntiles * cap,
+                  sorted_lin * cap + rank_sorted))
+    starts = jnp.searchsorted(
+        sorted_lin, jnp.arange(ntiles, dtype=INDEX_DTYPE))
+    ends = jnp.concatenate([starts[1:], jnp.asarray([n], INDEX_DTYPE)])
+    src = starts[:, None] + jnp.arange(cap, dtype=INDEX_DTYPE)[None, :]
+    src = jnp.where(src < ends[:, None], src, n)
+    order_padded = jnp.concatenate([order, jnp.asarray([n], INDEX_DTYPE)])
+    aid = order_padded[src.reshape(-1)]
+    return flat_slot, aid, counts_max
+
+
 def build_mesh_tiles(positions, cell, mesh_dims, order: int, cap: int,
                      tile: int = 8, need_grad: bool = True) -> MeshTiles:
     """Bin atoms by stencil-base mesh tile and build local axis matrices.
@@ -250,14 +301,19 @@ def build_mesh_tiles(positions, cell, mesh_dims, order: int, cap: int,
     rows, lin = _stencil_rows(positions, inv, mesh_dims, order, tile,
                               need_grad)
     ntiles = (nx // tile) * (ny // tile) * (nz // tile)
-    rank, counts_max = bucket_ranks(lin, ntiles)
-    flat_slot = jnp.where(rank >= cap, ntiles * cap, lin * cap + rank)
+    flat_slot, aid, counts_max = _slot_maps(lin, ntiles, cap)
 
-    buf = jnp.zeros((ntiles * cap + 1, rows.shape[1]), dtype=dtype)
-    smat = buf.at[flat_slot].set(rows)[:-1].reshape(ntiles, cap, rows.shape[1])
+    if _use_slot_gather(rows.shape[0], ntiles, cap):
+        rows_padded = jnp.concatenate(
+            [rows, jnp.zeros((1, rows.shape[1]), dtype)], axis=0)
+        smat = rows_padded[aid].reshape(ntiles, cap, rows.shape[1])
+    else:
+        buf = jnp.zeros((ntiles * cap + 1, rows.shape[1]), dtype)
+        smat = buf.at[flat_slot].set(rows)[:-1].reshape(
+            ntiles, cap, rows.shape[1])
 
-    return MeshTiles(smat, flat_slot, counts_max, inv, (nx, ny, nz), tile,
-                     cap, order, need_grad)
+    return MeshTiles(smat, flat_slot, aid, counts_max, inv, (nx, ny, nz),
+                     tile, cap, order, need_grad)
 
 
 def mesh_tiles_need_rebuild(tiles: MeshTiles, positions, cell=None):
@@ -290,8 +346,8 @@ def mesh_tiles_need_rebuild(tiles: MeshTiles, positions, cell=None):
 
 def refresh_mesh_tiles(tiles: MeshTiles, positions, cell=None) -> MeshTiles:
     """Recompute the axis matrices for new positions, reusing the cached
-    tile assignment (``flat_slot``) — skips the bucket sort, the dominant
-    build cost at scale.
+    tile assignment — skips the bucket sort AND the slot-map build (the
+    cached ``aid`` turns the refresh into stencil rows + one row gather).
 
     Valid only while :func:`mesh_tiles_need_rebuild` is False: atoms must
     still be in their recorded tiles (B-spline weights change continuously
@@ -306,11 +362,16 @@ def refresh_mesh_tiles(tiles: MeshTiles, positions, cell=None) -> MeshTiles:
     rows, _ = _stencil_rows(positions, inv, tiles.mesh_dims, tiles.order,
                             tile, tiles.has_grad)
     ntiles = (nx // tile) * (ny // tile) * (nz // tile)
-    buf = jnp.zeros((ntiles * cap + 1, rows.shape[1]), dtype=dtype)
-    smat = buf.at[tiles.flat_slot].set(rows)[:-1].reshape(
-        ntiles, cap, rows.shape[1])
-    return MeshTiles(smat, tiles.flat_slot, tiles.counts_max, inv,
-                     tiles.mesh_dims, tile, cap, tiles.order,
+    if _use_slot_gather(rows.shape[0], ntiles, cap):
+        rows_padded = jnp.concatenate(
+            [rows, jnp.zeros((1, rows.shape[1]), dtype)], axis=0)
+        smat = rows_padded[tiles.aid].reshape(ntiles, cap, rows.shape[1])
+    else:
+        buf = jnp.zeros((ntiles * cap + 1, rows.shape[1]), dtype)
+        smat = buf.at[tiles.flat_slot].set(rows)[:-1].reshape(
+            ntiles, cap, rows.shape[1])
+    return MeshTiles(smat, tiles.flat_slot, tiles.aid, tiles.counts_max,
+                     inv, tiles.mesh_dims, tile, cap, tiles.order,
                      tiles.has_grad)
 
 
@@ -385,8 +446,13 @@ def windowed_spread(tiles: MeshTiles, values, engine: str = "xla"):
     ntx, nty, ntz = nx // tile, ny // tile, nz // tile
     ntiles = ntx * nty * ntz
 
-    qbuf = jnp.zeros((ntiles * cap + 1,), values.dtype)
-    q_t = qbuf.at[tiles.flat_slot].set(values)[:-1].reshape(ntiles, cap)
+    if _use_slot_gather(values.shape[0], ntiles, cap):
+        values_padded = jnp.concatenate(
+            [values, jnp.zeros((1,), values.dtype)])
+        q_t = values_padded[tiles.aid].reshape(ntiles, cap)
+    else:
+        qbuf = jnp.zeros((ntiles * cap + 1,), values.dtype)
+        q_t = qbuf.at[tiles.flat_slot].set(values)[:-1].reshape(ntiles, cap)
 
     if engine == "pallas":
         from nvalchemiops_tpu.pallas.windowed_gather import (
