@@ -311,6 +311,18 @@ def bench_pme_batch(cfg, label, outdir, iters):
 
     rows = []
     for forces in (False, True):
+        def step_auto(p):
+            # library defaults: auto tile (16 for small meshes), auto fft
+            out = batch_pme_reciprocal(p, q_b, cell1, cfg["alpha"], m,
+                                       compute_forces=forces)
+            return out[1] if forces else out
+
+        t = measure(step_auto, dep, (pos_b,), iters=max(iters // 2, 2))
+        print(f"  batched PME-auto {B}x{npa} mesh={cfg['mesh']} "
+              f"forces={forces}: {t*1e3:.3f} ms")
+        rows.append(["pme-batch-auto" + ("-forces" if forces else ""),
+                     B * npa, B, cfg["mesh"], round(t * 1e3, 4)])
+
         def step_win(p):
             out = batch_pme_reciprocal(p, q_b, cell1, cfg["alpha"], m,
                                        compute_forces=forces,
