@@ -323,14 +323,15 @@ def use_slot_gather(n: int, nslots: int) -> bool:
 
     The slot->atom row GATHER scales with the slot count; the atom->slot
     row SCATTER scales with the atom count but pays the conservative
-    random-destination XLA lowering (~5x per row).  Chip: 524k atoms at
-    1.34x slot slack -> gather 3.7 ms vs scatter 20.9
-    (benchmarks/prop_plane_probe.py); small vmapped systems at >2x slack
-    -> gather regresses (the PME batch path measured 2x slower,
-    pme_batch_engine_probe.py).  Gather only where proven: large systems
-    at low slot slack.
+    random-destination XLA lowering (measured per-row cost ratio ~7.6x:
+    524k atoms at 1.34x slot slack -> gather 3.7 ms vs scatter 20.9,
+    benchmarks/prop_plane_probe.py).  The exception is small vmapped
+    systems, where the gather regresses regardless of slack (the 64x2000
+    PME batch path measured 2x slower, pme_batch_engine_probe.py) — so
+    the discriminator is the atom count, with a slack ceiling where the
+    7.6x advantage provably drowns.
     """
-    return n >= 32768 and nslots <= 2 * n
+    return n >= 32768 and nslots <= 6 * n
 
 
 def scatter_rows_to_grid(grid: AtomGrid, values_list, fill=0.0):

@@ -457,10 +457,15 @@ def min_perpendicular_width(cell) -> float:
 
 
 def _resolve_images(images, cell, cutoff):
-    """Auto-select the image mode from a concrete cell; validate bounds."""
+    """Auto-select the image mode from a concrete cell; validate bounds.
+
+    Concreteness tests must NOT round-trip through ``jnp.asarray``: under
+    a dynamic trace (e.g. a ``fori_loop`` body) that binds a convert
+    primitive and turns plain Python scalars into tracers.
+    """
     if images is not None:
         return bool(images)
-    if isinstance(jnp.asarray(cell), jax.core.Tracer):
+    if isinstance(cell, jax.core.Tracer):
         raise ValueError(
             "dense_dftd3 under a jax trace needs an explicit images= flag "
             "(the minimum-image validity check reads concrete cell values)"
@@ -521,8 +526,8 @@ def dense_dftd3(positions, numbers, cell, cutoff, rcov, r4r2, c6ab,
     numbers = jnp.asarray(numbers, INDEX_DTYPE)
     images = _resolve_images(images, cell, cutoff)
     if combos is None:
-        cell_concrete = not isinstance(jnp.asarray(cell), jax.core.Tracer)
-        cut_concrete = not isinstance(jnp.asarray(cutoff), jax.core.Tracer)
+        cell_concrete = not isinstance(cell, jax.core.Tracer)
+        cut_concrete = not isinstance(cutoff, jax.core.Tracer)
         if images and cell_concrete and cut_concrete:
             combos = _image_combos(
                 True, jax.device_get(cell), float(jax.device_get(cutoff)))
@@ -590,7 +595,7 @@ def batch_dense_dftd3(positions, numbers, cells, cutoff, rcov, r4r2, c6ab,
             if images:
                 combos = _image_combos(
                     True, jax.device_get(cells),
-                    float(jax.device_get(jnp.asarray(cutoff))))
+                    float(np.asarray(jax.device_get(cutoff))))
         else:
             widths = [min_perpendicular_width(cells[i]) for i in range(b)]
             images = _resolve_images(
@@ -598,7 +603,7 @@ def batch_dense_dftd3(positions, numbers, cells, cutoff, rcov, r4r2, c6ab,
             if images:
                 # conservative across the batch: a combo is dropped only
                 # when every system's bound excludes it (union of combos)
-                cut = float(jax.device_get(jnp.asarray(cutoff)))
+                cut = float(np.asarray(jax.device_get(cutoff)))
                 cells_np = jax.device_get(cells)
                 union = set()
                 for i in range(b):

@@ -245,14 +245,14 @@ def _use_slot_gather(n: int, ntiles: int, cap: int) -> bool:
 
     The slot->atom row GATHER scales with ``ntiles*cap`` slots; the
     atom->slot row SCATTER scales with ``n`` atoms but pays the
-    conservative random-destination XLA lowering (~5x per row).  Chip
-    measurements: 524k atoms / 1.34x slack -> gather 3.7 ms vs scatter
-    20.9 (prop_plane_probe); 64x2000 vmapped / 2.3x slack -> gather
-    REGRESSED the batched windowed PME 2x (19.1 vs 10.6 ms E,
-    pme_batch_engine_probe).  Gather only where it is proven: large
-    systems at low slot slack.
+    conservative random-destination XLA lowering (measured per-row cost
+    ratio ~7.6x — 524k atoms / 1.34x slack: gather 3.7 ms vs scatter
+    20.9, prop_plane_probe).  Small vmapped systems regress on gather
+    regardless of slack (64x2000 batched PME measured 2x slower,
+    pme_batch_engine_probe), so the discriminator is the atom count,
+    with a slack ceiling where the advantage provably drowns.
     """
-    return n >= 32768 and ntiles * cap <= 2 * n
+    return n >= 32768 and ntiles * cap <= 6 * n
 
 
 def _slot_maps(lin, ntiles: int, cap: int):
