@@ -1740,6 +1740,11 @@ def grid_dftd3(
         )
 
         lane_w = window_lane_width(grid.cap, grid.radius[2])
+        # lane_w == 128 is a CORRECTNESS gate, not just a perf one: at
+        # lane_w = 256 (cap 48, two registers per window) the Mosaic
+        # lowering produces wrong j-side forces on chip (rel rms 3e-2 at
+        # 97k, benchmarks/window_lane256_probe.py round 3) while CPU
+        # interpret mode agrees to f32 noise — the rule-16 class again.
         if (jax.default_backend() == "tpu"
                 and precision is None
                 and lane_w == 128
