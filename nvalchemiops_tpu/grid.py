@@ -213,12 +213,17 @@ def build_atom_grid(positions, cell, pbc, dims, radius, cap,
         jnp.where(rank_sorted >= cap, ncells * cap,
                   sorted_lin * cap + rank_sorted))
 
-    starts = jnp.searchsorted(
-        sorted_lin, jnp.arange(ncells, dtype=INDEX_DTYPE))
-    ends = jnp.concatenate([starts[1:], jnp.asarray([n], INDEX_DTYPE)])
+    # per-cell run starts via histogram + exclusive cumsum — NOT
+    # jnp.searchsorted, whose lowering costs 19.4 ms for 149k queries
+    # over 512k keys on chip vs 3.4 ms for this (build45_stage_probe)
+    counts = jnp.zeros((ncells,), INDEX_DTYPE).at[lin].add(1)
+    starts = jnp.cumsum(counts) - counts
     src = starts[:, None] + jnp.arange(cap, dtype=INDEX_DTYPE)[None, :]
-    valid = src < ends[:, None]
+    valid = src < (starts + counts)[:, None]
     srcc = jnp.where(valid, src, n).reshape(-1)  # n -> fill row
+    # flat [slots] row gather; a vmapped [cap, 4] dynamic_slice per cell
+    # (contiguous rows) measured 157 ms here — the batched-slice gather
+    # lowering serializes per cell.  Flat rows are the proven form.
     svals = jnp.concatenate(
         [jnp.stack([spx, spy, spz, order.astype(dtype)], axis=-1),
          jnp.asarray([[0.0, 0.0, 0.0, float(n)]], dtype)], axis=0)

@@ -278,11 +278,13 @@ def _slot_maps(lin, ntiles: int, cap: int):
     flat_slot = jnp.zeros((n,), INDEX_DTYPE).at[order].set(
         jnp.where(rank_sorted >= cap, ntiles * cap,
                   sorted_lin * cap + rank_sorted))
-    starts = jnp.searchsorted(
-        sorted_lin, jnp.arange(ntiles, dtype=INDEX_DTYPE))
-    ends = jnp.concatenate([starts[1:], jnp.asarray([n], INDEX_DTYPE)])
+    # histogram + exclusive cumsum, not searchsorted (19.4 vs 3.4 ms for
+    # 149k buckets at 512k atoms on chip — benchmarks/build45_stage_probe)
+    counts = jnp.zeros((ntiles,), INDEX_DTYPE).at[lin.astype(INDEX_DTYPE)
+                                                  ].add(1)
+    starts = jnp.cumsum(counts) - counts
     src = starts[:, None] + jnp.arange(cap, dtype=INDEX_DTYPE)[None, :]
-    src = jnp.where(src < ends[:, None], src, n)
+    src = jnp.where(src < (starts + counts)[:, None], src, n)
     order_padded = jnp.concatenate([order, jnp.asarray([n], INDEX_DTYPE)])
     aid = order_padded[src.reshape(-1)]
     return flat_slot, aid, counts_max
