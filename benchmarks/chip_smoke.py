@@ -45,6 +45,59 @@ CUTOFF = 9.6
 ALPHA = 0.35
 
 
+def check_geometry(g, tag, numbers, rcov, r4r2, c6, cna, charges,
+                   d3_engines=("xla", "window", "windowxb", "block")):
+    """Engine force-agreement block for one grid geometry; returns failed."""
+    failed = False
+    d3_forces = {}
+    # windowxb = window with a forced 1-cell x-block (3-D Mosaic grid):
+    # gates the nxb>1 lowering used at >131k-atom geometries on every
+    # round (the x-blocked path must agree with the single-block one)
+    for eng in d3_engines:
+        real_eng = "window" if eng == "windowxb" else eng
+        try:
+            if eng == "windowxb":
+                os.environ["NVALCHEMIOPS_WINDOW_X_BLOCK"] = "1"
+            e, f, cn = grid_dftd3(g, numbers, rcov, r4r2, c6, cna, CUTOFF,
+                                  0.4, 4.2, 1.8, engine=real_eng)
+            d3_forces[eng] = np.asarray(f, np.float64)
+            print(f"[{tag}] d3 {eng:8s}: E = {float(e):.8e}", flush=True)
+        except Exception as exc:  # noqa: BLE001
+            print(f"[{tag}] d3 {eng:8s}: FAILED {type(exc).__name__}: "
+                  f"{exc}"[:300], flush=True)
+            failed = True
+        finally:
+            os.environ.pop("NVALCHEMIOPS_WINDOW_X_BLOCK", None)
+    scale = np.abs(d3_forces["xla"]).max()
+    for eng, f in d3_forces.items():
+        err = np.abs(f - d3_forces["xla"]).max() / scale
+        ok = err <= TOL
+        failed |= not ok
+        print(f"[{tag}] d3 {eng:7s}: max rel force diff vs xla = {err:.3e} "
+              f"{'ok' if ok else 'FAIL'}", flush=True)
+
+    coul_forces = {}
+    for eng in ("xla", "window"):
+        try:
+            e, f = grid_coulomb_energy_forces(g, charges, CUTOFF, ALPHA,
+                                              engine=eng)
+            coul_forces[eng] = np.asarray(f, np.float64)
+            print(f"[{tag}] coul {eng:5s}: E = {float(jnp.sum(e)):.8e}",
+                  flush=True)
+        except Exception as exc:  # noqa: BLE001
+            print(f"[{tag}] coul {eng:5s}: FAILED {type(exc).__name__}: "
+                  f"{exc}"[:300], flush=True)
+            failed = True
+    scale = np.abs(coul_forces["xla"]).max()
+    for eng, f in coul_forces.items():
+        err = np.abs(f - coul_forces["xla"]).max() / scale
+        ok = err <= TOL
+        failed |= not ok
+        print(f"[{tag}] coul {eng:5s}: max rel force diff vs xla = {err:.3e} "
+              f"{'ok' if ok else 'FAIL'}", flush=True)
+    return failed
+
+
 def main():
     n_rep = int(os.environ.get("SMOKE_NREP", "13"))  # 13 -> 4,394 atoms
     dtype = jnp.float32
@@ -62,56 +115,43 @@ def main():
               if origin_np is not None and np.asarray(origin_np).any()
               else None)
     print(f"backend={jax.default_backend()} N={pos.shape[0]} dims={dims} "
-          f"cap={cap}", flush=True)
+          f"cap={cap} radius={radius}", flush=True)
     g = build_atom_grid(pos, cell, pbc, dims, radius, cap, origin=origin)
 
-    failed = False
+    failed = check_geometry(g, f"cap{cap}", numbers, rcov, r4r2, c6, cna,
+                            charges)
 
-    d3_forces = {}
-    # windowxb = window with a forced 1-cell x-block (3-D Mosaic grid):
-    # gates the nxb>1 lowering used at >131k-atom geometries on every
-    # round (the x-blocked path must agree with the single-block one)
-    for eng in ("xla", "window", "windowxb", "block"):
-        real_eng = "window" if eng == "windowxb" else eng
-        try:
-            if eng == "windowxb":
-                os.environ["NVALCHEMIOPS_WINDOW_X_BLOCK"] = "1"
-            e, f, cn = grid_dftd3(g, numbers, rcov, r4r2, c6, cna, CUTOFF,
-                                  0.4, 4.2, 1.8, engine=real_eng)
-            d3_forces[eng] = np.asarray(f, np.float64)
-            print(f"d3 {eng:8s}: E = {float(e):.8e}", flush=True)
-        except Exception as exc:  # noqa: BLE001
-            print(f"d3 {eng:8s}: FAILED {type(exc).__name__}: {exc}"[:300],
-                  flush=True)
-            failed = True
-        finally:
-            os.environ.pop("NVALCHEMIOPS_WINDOW_X_BLOCK", None)
-    scale = np.abs(d3_forces["xla"]).max()
-    for eng, f in d3_forces.items():
-        err = np.abs(f - d3_forces["xla"]).max() / scale
-        ok = err <= TOL
-        failed |= not ok
-        print(f"d3 {eng:7s}: max rel force diff vs xla = {err:.3e} "
-              f"{'ok' if ok else 'FAIL'}", flush=True)
+    # Cap-boundary sweep (round-3 weak #9: the lane_w=256 miscompile lived
+    # at a cap the old single-config smoke never touched).  Forced caps
+    # cross the one-register boundary: 48 -> lane_w 256 (2 sub-windows),
+    # 88 -> lane_w 384 (3 sub-windows); same physics (extra slots are
+    # parked empties), so xla-vs-window agreement still gates the Mosaic
+    # lowering of the sub-window split at every width.
+    for forced_cap in (48, 88):
+        if forced_cap <= cap:
+            continue
+        gf = build_atom_grid(pos, cell, pbc, dims, radius, forced_cap,
+                             origin=origin)
+        failed |= check_geometry(
+            gf, f"cap{forced_cap}", numbers, rcov, r4r2, c6, cna, charges,
+            d3_engines=("xla", "window", "windowxb"))
 
-    coul_forces = {}
-    for eng in ("xla", "window"):
-        try:
-            e, f = grid_coulomb_energy_forces(g, charges, CUTOFF, ALPHA,
-                                              engine=eng)
-            coul_forces[eng] = np.asarray(f, np.float64)
-            print(f"coul {eng:5s}: E = {float(jnp.sum(e)):.8e}", flush=True)
-        except Exception as exc:  # noqa: BLE001
-            print(f"coul {eng:5s}: FAILED {type(exc).__name__}: {exc}"[:300],
-                  flush=True)
-            failed = True
-    scale = np.abs(coul_forces["xla"]).max()
-    for eng, f in coul_forces.items():
-        err = np.abs(f - coul_forces["xla"]).max() / scale
-        ok = err <= TOL
-        failed |= not ok
-        print(f"coul {eng:5s}: max rel force diff vs xla = {err:.3e} "
-              f"{'ok' if ok else 'FAIL'}", flush=True)
+    # one-register (lane_w = 128) coverage: a 2x-finer partition with a
+    # small cap, the regime every pre-round-4 headline ran in
+    from nvalchemiops_tpu.grid import estimate_grid_geometry
+    fdims, fradius, fcap = estimate_grid_geometry(
+        cell, pbc, CUTOFF, pos.shape[0], target_occupancy=0.5,
+        bins_per_cutoff=2)
+    from nvalchemiops_tpu.pallas.window_sweep import window_lane_width
+    if window_lane_width(fcap, fradius[2]) == 128:
+        gf = build_atom_grid(pos, cell, pbc, fdims, fradius, fcap)
+        failed |= check_geometry(
+            gf, f"fine-cap{fcap}", numbers, rcov, r4r2, c6, cna, charges,
+            d3_engines=("xla", "window", "windowxb"))
+    else:
+        print(f"[fine] skipped: lane_w "
+              f"{window_lane_width(fcap, fradius[2])} != 128 "
+              f"(dims={fdims} cap={fcap})", flush=True)
 
     print("SMOKE " + ("FAIL" if failed else "PASS"), flush=True)
     sys.exit(1 if failed else 0)

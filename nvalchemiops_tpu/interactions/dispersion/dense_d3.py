@@ -482,7 +482,7 @@ def _resolve_images(images, cell, cutoff):
     )
 
 
-def _auto_dense_engine(engine: str, block, combos):
+def _auto_dense_engine(engine: str, block, combos, *scalars):
     """Resolve engine='auto' and block=None from the measured-best table.
 
     The triangle-block Mosaic sweep wins on TPU wherever it compiles
@@ -491,9 +491,16 @@ def _auto_dense_engine(engine: str, block, combos):
     at 9 A minimum-image).  block=256 with image combos exceeds the Mosaic
     compiler's limits (the per-combo accumulator set scales the live VMEM)
     — proven blocks are 128 with images, 256 without.
+
+    ``scalars`` are the values the pallas path bakes in as Python floats
+    (cutoff, D3 parameters, cell): if any is a tracer (jitted caller with
+    traced parameters), auto falls back to the xla engine — which traces
+    them fine — instead of raising ConcretizationTypeError from float().
     """
     if engine == "auto":
-        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        traced = any(isinstance(s, jax.core.Tracer) for s in scalars)
+        engine = ("pallas" if jax.default_backend() == "tpu" and not traced
+                  else "xla")
     if block is None:
         block = 128 if len(combos) > 1 else 256
     return engine, block
@@ -542,7 +549,8 @@ def dense_dftd3(positions, numbers, cell, cutoff, rcov, r4r2, c6ab,
         zmax1, mesh, zmax1 * mesh)
     c6p_a = c6p[numbers]
     cell = jnp.asarray(cell, dtype).reshape(3, 3)
-    engine, block = _auto_dense_engine(engine, block, combos)
+    engine, block = _auto_dense_engine(engine, block, combos,
+                                       cutoff, a1, a2, s6, s8, k1, k3, cell)
     if engine == "pallas":
         e, f, cn = _dense_pallas_impl(
             positions[None], numbers[None], cell[None], cutoff,
@@ -610,7 +618,9 @@ def batch_dense_dftd3(positions, numbers, cells, cutoff, rcov, r4r2, c6ab,
                     union.update(_image_combos(True, cells_np[i], cut))
                 combos = sorted(union)
     engine, block = _auto_dense_engine(
-        engine, block, combos if combos is not None else _image_combos(images))
+        engine, block,
+        combos if combos is not None else _image_combos(images),
+        cutoff, a1, a2, s6, s8, k1, k3, cells)
     if engine == "pallas":
         dtype = positions.dtype
         numbers_b = jnp.asarray(numbers, INDEX_DTYPE)

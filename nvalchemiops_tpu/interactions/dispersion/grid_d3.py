@@ -1740,14 +1740,16 @@ def grid_dftd3(
         )
 
         lane_w = window_lane_width(grid.cap, grid.radius[2])
-        # lane_w == 128 is a CORRECTNESS gate, not just a perf one: at
-        # lane_w = 256 (cap 48, two registers per window) the Mosaic
-        # lowering produces wrong j-side forces on chip (rel rms 3e-2 at
-        # 97k, benchmarks/window_lane256_probe.py round 3) while CPU
-        # interpret mode agrees to f32 noise — the rule-16 class again.
+        # lane_w > 128 is handled by the kernel's 128-lane sub-window
+        # split (round 4): the whole-window lane_w=256 lowering produced
+        # wrong j-side forces on chip (rel rms 3e-2, round 3,
+        # benchmarks/window_lane256_probe.py) while interpret agreed, so
+        # window_sweep now slices every window into 128-lane sub-slices
+        # and only the proven [cap, 128] block shapes reach Mosaic.  The
+        # remaining gate is capability-only: the x-blocked row block must
+        # stay in the proven <=2048-lane regime.
         if (jax.default_backend() == "tpu"
                 and precision is None
-                and lane_w == 128
                 and window_x_block(grid.dims[2], lane_w) * lane_w <= 2048):
             engine = "window"
         else:

@@ -218,9 +218,21 @@ def window_sweep(
         # trace-time knob (reference precedent: ALCH_EWALD_BATCH_BLOCK_SIZE,
         # ewald.py:182): forces the x-blocked grid at geometries where the
         # single-block path would be chosen — used by chip_smoke.py to gate
-        # the nxb>1 Mosaic lowering on every round
+        # the nxb>1 Mosaic lowering on every round.  CAVEAT: read at TRACE
+        # time, so it is ignored for (shape, arg) combinations already in
+        # the process's jit cache and applies to every window_sweep call
+        # while set; prefer passing ``x_block=`` explicitly outside smoke
+        # probes.
         env = os.environ.get("NVALCHEMIOPS_WINDOW_X_BLOCK")
-        x_block = int(env) if env else window_x_block(cx, lane_w)
+        if env:
+            try:
+                x_block = int(env)
+            except ValueError as exc:
+                raise ValueError(
+                    "NVALCHEMIOPS_WINDOW_X_BLOCK must be an integer "
+                    f"dividing the grid x extent, got {env!r}") from exc
+        else:
+            x_block = window_x_block(cx, lane_w)
     bx = x_block
     if cx % bx:
         raise ValueError(f"x_block={bx} must divide cx={cx}")
@@ -277,28 +289,41 @@ def window_sweep(
         home = (lane >= (rx + 1) * cap) | (
             (lane >= rx * cap) & (lane - rx * cap > row))
 
+        # Sub-window split: the lane_w=256 whole-window lowering produced
+        # wrong j-side forces on chip (rel rms 3e-2, round 3,
+        # benchmarks/window_lane256_probe.py) while interpret agreed, so
+        # windows wider than one 128-lane register are processed as
+        # independent 128-lane sub-slices — every body tensor and every
+        # j-out update stays in the proven [cap, 128] Mosaic regime.  The
+        # body is lane-elementwise (MXU contractions run over the feature
+        # axis, never lanes), so the split is mechanical.
+        n_sub = lane_w // 128
         for g in range(bx):
             own = {k: r[0, 0, g * cap:(g + 1) * cap, :]
                    for k, r in own_refs.items()}
-            sl = slice(g * lane_w, (g + 1) * lane_w)
-            crow = {
-                k: jnp.stack([rs[o][0, 0, 0:1, sl] for o in range(n_off)],
-                             axis=0)
-                for k, rs in wrow_refs.items()
-            }
-            ccolt = {k: [rs[o][0, 0, :, sl] for o in range(n_off)]
-                     for k, rs in wcolt_refs.items()}
-            own_blocks, j_blocks = body(own, crow, ccolt, home)
-            for a, blk in zip(scratch, own_blocks):
-                a[g * cap:(g + 1) * cap, 0:1] += jnp.sum(
-                    blk, axis=(0, 2))[:, None]
-            for r, blk in zip(j_out, j_blocks):
-                if isinstance(blk, tuple) and blk[0] == "neg":
-                    r[0, 0, :, 0:1, sl] += -jnp.sum(
-                        blk[1], axis=1, keepdims=True)
-                else:
-                    r[0, 0, :, 0:1, sl] += jnp.sum(blk, axis=1,
-                                                   keepdims=True)
+            for s in range(n_sub):
+                lo = g * lane_w + s * 128
+                sl = slice(lo, lo + 128)
+                crow = {
+                    k: jnp.stack(
+                        [rs[o][0, 0, 0:1, sl] for o in range(n_off)],
+                        axis=0)
+                    for k, rs in wrow_refs.items()
+                }
+                ccolt = {k: [rs[o][0, 0, :, sl] for o in range(n_off)]
+                         for k, rs in wcolt_refs.items()}
+                own_blocks, j_blocks = body(
+                    own, crow, ccolt, home[:, s * 128:(s + 1) * 128])
+                for a, blk in zip(scratch, own_blocks):
+                    a[g * cap:(g + 1) * cap, 0:1] += jnp.sum(
+                        blk, axis=(0, 2))[:, None]
+                for r, blk in zip(j_out, j_blocks):
+                    if isinstance(blk, tuple) and blk[0] == "neg":
+                        r[0, 0, :, 0:1, sl] += -jnp.sum(
+                            blk[1], axis=1, keepdims=True)
+                    else:
+                        r[0, 0, :, 0:1, sl] += jnp.sum(blk, axis=1,
+                                                       keepdims=True)
 
         i8 = jnp.eye(8, dtype=dtype)
         for r, a in zip(own_out, scratch):

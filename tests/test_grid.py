@@ -290,6 +290,65 @@ def test_grid_dftd3_mosaic_engines_match_xla(engine):
     np.testing.assert_allclose(np.asarray(cn_p), np.asarray(cn_x), atol=1e-5)
 
 
+@pytest.mark.parametrize("cap", [48, 90])
+def test_grid_window_subwindow_split_matches_xla(cap):
+    """lane_w > 128 windows (cap > 42) run via the kernel's 128-lane
+    sub-window split (round 4); D3 + Coulomb must match the jnp sweep.
+
+    Round-3 history: the whole-window lane_w=256 Mosaic lowering gave
+    wrong j-side forces on chip, so the window engine was gated to
+    lane_w == 128 and the benchmark-suite geometries (cap 48) fell back
+    to the 4-6x slower xla path.  cap=90 exercises lane_w=384 (3 subs).
+    """
+    from nvalchemiops_tpu.grid import build_atom_grid
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import grid_dftd3
+    from nvalchemiops_tpu.pallas.window_sweep import window_lane_width
+
+    assert window_lane_width(cap, 1) > 128
+    rng = np.random.default_rng(17)
+    zmax = 4
+    rcov = np.concatenate([[0.0], rng.uniform(0.6, 1.4, zmax)])
+    r4r2 = np.concatenate([[0.0], rng.uniform(2.0, 6.0, zmax)])
+    cna = np.concatenate([np.zeros((1, 5)),
+                          np.cumsum(rng.uniform(0.3, 1.0, (zmax, 5)), 1)])
+    c6 = rng.uniform(5.0, 40.0, (zmax + 1, zmax + 1, 5, 5))
+    c6[0] = 0.0
+    c6[:, 0] = 0.0
+    c6 = 0.5 * (c6 + np.swapaxes(np.swapaxes(c6, 0, 1), 2, 3))
+
+    cell = np.eye(3) * 9.0
+    n = 140
+    pos = rng.uniform(0, 9.0, (n, 3))
+    numbers = rng.integers(1, zmax + 1, n).astype(np.int32)
+    q = rng.normal(size=n).astype(np.float32)
+    pbc = np.array([True] * 3)
+    cutoff = 3.0
+    # dense bins: dims (3,3,3) at 140 atoms -> ~5 atoms/cell, but the
+    # explicit cap forces the multi-register window layout regardless
+    g = build_atom_grid(jnp.asarray(pos, jnp.float32),
+                        jnp.asarray(cell, jnp.float32), pbc,
+                        (3, 3, 3), (1, 1, 1), cap)
+    args = (
+        g, jnp.asarray(numbers), jnp.asarray(rcov, jnp.float32),
+        jnp.asarray(r4r2, jnp.float32), jnp.asarray(c6, jnp.float32),
+        jnp.asarray(cna, jnp.float32), cutoff, 0.42, 4.1, 1.7,
+    )
+    e_x, f_x, cn_x = grid_dftd3(*args, engine="xla")
+    e_w, f_w, cn_w = grid_dftd3(*args, engine="window")
+    np.testing.assert_allclose(float(e_w), float(e_x), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_w), np.asarray(f_x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cn_w), np.asarray(cn_x), atol=1e-5)
+    for alpha in (0.0, 0.4):
+        e_cx, f_cx = grid_coulomb_energy_forces(g, jnp.asarray(q), cutoff,
+                                                alpha)
+        e_cw, f_cw = grid_coulomb_energy_forces(g, jnp.asarray(q), cutoff,
+                                                alpha, engine="window")
+        np.testing.assert_allclose(np.asarray(e_cw), np.asarray(e_cx),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(f_cw), np.asarray(f_cx),
+                                   atol=1e-5)
+
+
 def test_grid_origin_shift_preserves_results():
     """Any bin-partition origin is a valid partition: same counts, same physics."""
     from nvalchemiops_tpu.grid import choose_grid_origin
