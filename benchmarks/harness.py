@@ -37,19 +37,33 @@ def chain_loop(step_fn, dep_fn, iters: int):
     return run
 
 
-def measure(step_fn, dep_fn, args, iters: int = 8):
-    """Per-iteration device seconds via the two-loop-length difference."""
-    run_a = chain_loop(step_fn, dep_fn, iters)
-    run_b = chain_loop(step_fn, dep_fn, 4 * iters)
-    float(run_a(args))  # compile + warm
-    float(run_b(args))
-    t0 = time.time()
-    float(run_a(args))
-    ta = time.time() - t0
-    t0 = time.time()
-    float(run_b(args))
-    tb = time.time() - t0
-    return max(tb - ta, 1e-9) / (3 * iters)
+def measure(step_fn, dep_fn, args, iters: int = 8,
+            min_diff_s: float = 0.040, max_iters: int = 4096):
+    """Per-iteration device seconds via the two-loop-length difference.
+
+    The difference ``t(4N) - t(N)`` must comfortably exceed the host-side
+    dispatch/tunnel noise (~ms class) or the result is the timer floor,
+    not the op — round-3 published 0.0 ms PME rows this way (VERDICT
+    weak #5).  When the difference lands under ``min_diff_s``, the loop
+    length is scaled up (paying one recompile per retry) until the
+    measured window is trustworthy or ``max_iters`` is hit.
+    """
+    while True:
+        run_a = chain_loop(step_fn, dep_fn, iters)
+        run_b = chain_loop(step_fn, dep_fn, 4 * iters)
+        float(run_a(args))  # compile + warm
+        float(run_b(args))
+        t0 = time.time()
+        float(run_a(args))
+        ta = time.time() - t0
+        t0 = time.time()
+        float(run_b(args))
+        tb = time.time() - t0
+        diff = tb - ta
+        if diff >= min_diff_s or iters >= max_iters:
+            return max(diff, 1e-9) / (3 * iters)
+        scale = min(max(int(min_diff_s / max(diff, 1e-4) + 1), 2), 16)
+        iters = min(iters * scale, max_iters)
 
 
 def perturb_positions(scale=1e-30):

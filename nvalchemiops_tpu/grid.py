@@ -865,12 +865,20 @@ def choose_grid_geometry(positions, cell, pbc, cutoff: float,
     exactly — the round-3 headline's winning 524k geometry was exactly
     the half-cutoff one.
 
-    Searches the per-axis bin counts {floor, floor-1} at 1x, 2x, and 3x
-    bins-per-cutoff (plus any explicit ``dims_candidates`` in (Cz, Cy,
-    Cx) order), runs the cheap occupancy histogram
-    (:func:`choose_grid_origin`) for each, and returns
-    ``(dims, radius, cap, origin | None)`` minimizing the predicted cost
-    of the engine the geometry would actually get:
+    Searches per-axis bin counts {floor, floor-1} at anisotropic
+    bins-per-cutoff combinations — (z, y) at 1-2x jointly, x at 1-4x
+    independently (plus any explicit ``dims_candidates`` in (Cz, Cy, Cx)
+    order).  Anisotropy matters because the axes price differently in
+    the window engine: finer z/y multiply the half-space offset count
+    ((2rz+1)(2ry+1)), while finer x only widens the per-cell window by
+    (2rx+1)*cap lanes — and cap shrinks with the bin volume, so
+    fine-binning x alone often drops the window from a padded 256 lanes
+    back to one dense 128-lane register (measured round 4: the 97k suite
+    config's isotropic partition lands on cap 48 / lane_w 256 with 44%
+    pad slack).  Candidates are pre-scored with a mean-occupancy cap
+    estimate, the best few get the real occupancy histogram
+    (:func:`choose_grid_origin`), and the final pick minimizes the
+    predicted cost of the engine the geometry would actually get:
 
     - window-capable candidates (the Mosaic capability gate,
       ``window_x_block(cx, lane_w) * lane_w <= 2048``) are scored by the
@@ -895,12 +903,15 @@ def choose_grid_geometry(positions, cell, pbc, cutoff: float,
     face = 1.0 / np.linalg.norm(inv_t, axis=1)          # xyz order
     pbc_np = np.asarray(jax.device_get(pbc), dtype=bool).reshape(-1)[:3]
     cpd_max = np.maximum((face / cutoff).astype(np.int64), 1)
+    n_atoms = int(positions.shape[0])
 
     cands = []
-    for bpc in (1, 2, 3):
-        for delta in (0, -1):
-            cpd = np.maximum(bpc * cpd_max + delta, 1)
-            cands.append((int(cpd[2]), int(cpd[1]), int(cpd[0])))
+    for bzy in (1, 2):
+        for bx_f in (1, 2, 3, 4):
+            for delta in (0, -1):
+                bpc = np.array([bx_f, bzy, bzy])
+                cpd = np.maximum(bpc * cpd_max + delta, 1)
+                cands.append((int(cpd[2]), int(cpd[1]), int(cpd[0])))
     if dims_candidates:
         cands.extend(tuple(int(v) for v in d) for d in dims_candidates)
     seen, uniq = set(), []
@@ -909,15 +920,12 @@ def choose_grid_geometry(positions, cell, pbc, cutoff: float,
             seen.add(d)
             uniq.append(d)
 
-    best = None  # (window_capable, score) lexicographic: capable wins
-    for dims in uniq:
+    def geom_score(dims, cap):
+        """(invalid, not-window-capable, predicted cost) — lower wins."""
         cpd_xyz = np.array([dims[2], dims[1], dims[0]], dtype=np.int64)
         radius = np.ceil(cutoff * cpd_xyz / face).astype(np.int64)
         if (radius[pbc_np] > cpd_xyz[pbc_np]).any():
-            continue  # halo would wrap onto itself; invalid geometry
-        origin_np, occ = choose_grid_origin(positions, cell, pbc, dims)
-        cap = max(int(np.ceil((occ + 1) / 8)) * 8,
-                  int(np.ceil(occ * 1.02 / 8)) * 8)
+            return None, None  # halo would wrap onto itself; invalid
         rz, ry, rx = int(radius[2]), int(radius[1]), int(radius[0])
         n_half = ((2 * rz + 1) * (2 * ry + 1) - 1) // 2
         ncells = dims[0] * dims[1] * dims[2]
@@ -931,10 +939,38 @@ def choose_grid_geometry(positions, cell, pbc, cutoff: float,
                      + _WINDOW_BLOCK_COST * n_blocks)
         else:
             score = ncells * cap * cap * ((rx + 1) + n_half * (2 * rx + 1))
-        key = (not capable, score)
+        return (not capable, score), (rz, ry, rx)
+
+    # pre-score every candidate with a mean-occupancy capacity estimate
+    # (the real histogram costs device roundtrips; only the best few get
+    # one).  The estimate ranks candidates; the final pick re-scores
+    # with the observed capacity.
+    pre = []
+    for dims in uniq:
+        ncells = dims[0] * dims[1] * dims[2]
+        mean_occ = n_atoms / max(ncells, 1)
+        cap_est = max(mean_occ / 0.7,
+                      mean_occ + 5.0 * np.sqrt(mean_occ + 1.0))
+        cap_est = int(np.ceil(max(cap_est, 8.0) / 8)) * 8
+        key, radius = geom_score(dims, cap_est)
+        if key is not None:
+            pre.append((key, dims))
+    pre.sort(key=lambda kv: kv[0])
+
+    # top-8: the pre-score's Poisson cap margin is pessimistic exactly
+    # for the fine-binned (low-occupancy) candidates that win on real
+    # crystals, so the histogram stage must be wide enough to catch them
+    best = None  # (window_capable, score) lexicographic: capable wins
+    for _, dims in pre[:8]:
+        origin_np, occ = choose_grid_origin(positions, cell, pbc, dims)
+        cap = max(int(np.ceil((occ + 1) / 8)) * 8,
+                  int(np.ceil(occ * 1.02 / 8)) * 8)
+        key, radius = geom_score(dims, cap)
+        if key is None:
+            continue
         if best is None or key < best[0]:
             origin = origin_np if np.any(origin_np != 0.0) else None
-            best = (key, dims, (rz, ry, rx), cap, origin)
+            best = (key, dims, radius, cap, origin)
     if best is None:
         raise ValueError(
             "no valid grid geometry for this cell/cutoff (radius > cells "

@@ -1405,16 +1405,23 @@ def _grid_d3_window_impl(
     # a default single-bf16-pass contraction here measured 6e-2 force /
     # 2e-3 energy corruption on chip (the mesh-axis dot carries real f32
     # values, unlike the pair-sweep dots whose operands are bf16-safe)
+    #
+    # z-structured broadcast + ONE [slots, zm] @ [zm, zm] matmul instead
+    # of a zmax1-pass select loop: the loop's O(zmax^2) HBM traffic cost
+    # +26 ms from zmax 16 -> 32 at 97k atoms (r4_zmax_probe round 4);
+    # f[s, z*mesh + p] = [z == z_s] * e[s, p] makes l0 = f @ C exact with
+    # C[(z, p), q] = c6p[z, p, q].
     hi = jax.lax.Precision.HIGHEST
     c6p_t = c6p_elem.astype(dtype)                      # [Z, mesh, zm]
-    l0_pl = jnp.zeros(e_pl.shape[:-1] + (zm,), dtype)
-    l1_pl = jnp.zeros_like(l0_pl)
-    for z in range(zmax1):
-        sel = ohz[..., z:z + 1]
-        l0_pl = l0_pl + sel * jnp.einsum("...p,pz->...z", e_pl, c6p_t[z],
-                                         precision=hi)
-        l1_pl = l1_pl + sel * jnp.einsum("...p,pz->...z", ed_pl, c6p_t[z],
-                                         precision=hi)
+    zrow_pl = jnp.arange(zm, dtype=z_plane.dtype) // mesh
+    fmask = z_plane[..., None] == zrow_pl               # [.., cap, zm]
+    e_tiled = jnp.tile(e_pl, (1,) * (e_pl.ndim - 1) + (zmax1,))
+    ed_tiled = jnp.tile(ed_pl, (1,) * (ed_pl.ndim - 1) + (zmax1,))
+    f_pl = jnp.where(fmask, e_tiled, 0.0)
+    fd_pl = jnp.where(fmask, ed_tiled, 0.0)
+    c2 = c6p_t.reshape(zm, zm)
+    l0_pl = jnp.einsum("...f,fz->...z", f_pl, c2, precision=hi)
+    l1_pl = jnp.einsum("...f,fz->...z", fd_pl, c2, precision=hi)
     a_cn = jnp.where(w_plane > 0.0,
                      wd_plane / jnp.where(w_plane > 0.0, w_plane, 1.0), 0.0)
     l1c_pl = l1_pl - a_cn[..., None] * l0_pl

@@ -34,10 +34,14 @@ from nvalchemiops_tpu.parallel.domain import (  # noqa: F401
     domain_pme_reciprocal,
     make_z_mesh,
 )
+from nvalchemiops_tpu.parallel.batch_pme import (  # noqa: F401
+    sharded_batch_pme_reciprocal,
+)
 
 __all__ = [
     "MLIPParams",
     "batched_energy_forces",
+    "sharded_batch_pme_reciprocal",
     "domain_coulomb_energy_forces",
     "domain_dftd3",
     "domain_dftd3_cn",

@@ -49,5 +49,37 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12)
 
 
+def test_sharded_batch_pme_matches_unsharded():
+    """Batch-sharded PME over the dp mesh == the plain batch pipeline."""
+    from jax.sharding import Mesh
+    from nvalchemiops_tpu.interactions.electrostatics.pme import (
+        batch_pme_reciprocal,
+    )
+    from nvalchemiops_tpu.parallel import sharded_batch_pme_reciprocal
+
+    rng = np.random.default_rng(11)
+    b, n, box = 2 * jax.device_count(), 48, 9.0
+    pos = jnp.asarray(rng.uniform(0, box, (b, n, 3)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(b, n)), jnp.float32)
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32)
+    mesh_dims = (16, 16, 16)
+    e_ref, f_ref = batch_pme_reciprocal(pos, q, cell, 0.4, mesh_dims,
+                                        compute_forces=True)
+    bmesh = Mesh(np.array(jax.devices()), ("dp",))
+    e_sh, f_sh = sharded_batch_pme_reciprocal(bmesh, pos, q, cell, 0.4,
+                                              mesh_dims,
+                                              compute_forces=True)
+    np.testing.assert_allclose(np.asarray(e_sh), np.asarray(e_ref),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_ref),
+                               rtol=2e-5, atol=1e-6)
+
+    # non-divisible batch must be rejected, not silently truncated
+    import pytest
+    with pytest.raises(ValueError):
+        sharded_batch_pme_reciprocal(bmesh, pos[:b - 1], q[:b - 1], cell,
+                                     0.4, mesh_dims)
+
+
 def test_dryrun_multichip():
     dryrun_multichip(jax.device_count())
