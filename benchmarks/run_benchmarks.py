@@ -136,6 +136,29 @@ def bench_dftd3(cfg, label, outdir, iters):
             rows.append(["grid-d3-stack-bf16", n, round(t * 1e3, 4),
                          round(t * 1e6 / n, 4)])
             print(f"  D3 stack/bf16 n={n}: {t*1e3:.3f} ms")
+
+        if n_rep == 46 and zmax > 2:
+            # reference-parity element count: the H100 dftd3 benchmark
+            # crystals are 2-element (CsCl/wurtzite/zincblende); the
+            # suite's zmax is deliberately harder, so publish one
+            # matched-diversity row too
+            rcov2 = rcov[:3]
+            r4r22 = r4r2[:3]
+            cna2 = cna[:3]
+            c62 = c6[:3, :3]
+            numbers2 = jnp.asarray(rng.integers(1, 3, n), jnp.int32)
+
+            def step_z2(p):
+                gg = build_atom_grid(p, cell, pbc, dims, radius, cap,
+                                     origin=origin)
+                _, f, _ = grid_dftd3(gg, numbers2, rcov2, r4r22, c62,
+                                     cna2, cfg["cutoff"], 0.4, 4.2, 1.8)
+                return f
+
+            t = measure(step_z2, dep, (pos,), iters=max(iters // 2, 2))
+            rows.append(["grid-d3-2elem", n, round(t * 1e3, 4),
+                         round(t * 1e6 / n, 4)])
+            print(f"  D3 2-elem n={n}: {t*1e3:.3f} ms")
     write_csv(
         f"{outdir}/dftd3_benchmark_{label}.csv", rows,
         ["method", "atoms", "time_ms", "us_per_atom"],
@@ -326,6 +349,7 @@ def bench_pme_batch(cfg, label, outdir, iters):
         def step_win(p):
             out = batch_pme_reciprocal(p, q_b, cell1, cfg["alpha"], m,
                                        compute_forces=forces,
+                                       engine="windowed",
                                        tile_capacity=tile_cap)
             return out[1] if forces else out
 
@@ -335,17 +359,16 @@ def bench_pme_batch(cfg, label, outdir, iters):
         rows.append(["pme-batch-windowed" + ("-forces" if forces else ""),
                      B * npa, B, cfg["mesh"], round(t * 1e3, 4)])
 
-        def step_mm(p):
+        def step_dense(p):
             out = batch_pme_reciprocal(p, q_b, cell1, cfg["alpha"], m,
                                        compute_forces=forces,
-                                       tile_capacity=tile_cap,
-                                       fft_mode="matmul")
+                                       engine="dense", fft_mode="matmul")
             return out[1] if forces else out
 
-        t = measure(step_mm, dep, (pos_b,), iters=max(iters // 2, 2))
-        print(f"  batched PME-matmulfft {B}x{npa} mesh={cfg['mesh']} "
+        t = measure(step_dense, dep, (pos_b,), iters=max(iters // 2, 2))
+        print(f"  batched PME-dense {B}x{npa} mesh={cfg['mesh']} "
               f"forces={forces}: {t*1e3:.3f} ms")
-        rows.append(["pme-batch-matmulfft" + ("-forces" if forces else ""),
+        rows.append(["pme-batch-dense" + ("-forces" if forces else ""),
                      B * npa, B, cfg["mesh"], round(t * 1e3, 4)])
     for forces in (False,):
         def step(p):

@@ -548,14 +548,24 @@ def _dense_pme_single(positions, charges, cell, alpha, mesh_dimensions,
     """One system through the dense separable-matmul PME pipeline (vmappable).
 
     No mesh tiles at all: spread/gather are the chunked separable matmuls
-    (spline.py `_separable_spread`/`_separable_gather`, design rule 5).
-    For small per-system meshes the tile machinery's build (2.6 ms) and
-    capacity-padded windows dominate the windowed path
-    (benchmarks/pme_batch_probe.py); here the whole mesh is the "window".
+    (spline.py ``dense_*_single``, design rule 5).  Round-4 fix: this
+    previously called the public spline_spread/gather entry points, whose
+    single-system auto-select routed BACK to the tile-windowed path at
+    windowed-applicable meshes — the "dense" engine was secretly the
+    windowed one with default tiles (14.8 ms at 64x2000/32^3 vs the true
+    dense pipeline's separable spread at 1.3 ms,
+    benchmarks/r4_densespread_probe.py).  The dense helpers bypass the
+    dispatch.
     """
+    from nvalchemiops_tpu.spline import (
+        dense_gather_gradient_single,
+        dense_gather_single,
+        dense_spread_single,
+    )
+
     dtype = positions.dtype
-    mesh = spline_spread(positions, charges, cell, mesh_dims=mesh_dimensions,
-                         spline_order=spline_order)
+    mesh = dense_spread_single(positions, charges, cell, mesh_dimensions,
+                               spline_order=spline_order)
     _, k_squared = generate_k_vectors_pme(cell, mesh_dimensions)
     green, sf_sq = pme_green_structure_factor(
         k_squared, mesh_dimensions, alpha, cell, spline_order)
@@ -569,8 +579,8 @@ def _dense_pme_single(positions, charges, cell, alpha, mesh_dimensions,
             mesh_fft / sf_sq * green, s=mesh_dimensions,
             norm="forward").astype(dtype)
 
-    raw = spline_gather(positions, potential_mesh, cell,
-                        spline_order=spline_order)
+    raw = dense_gather_single(positions, potential_mesh, cell,
+                              spline_order=spline_order)
 
     alpha_t = jnp.asarray(alpha, dtype).reshape(())
     volume = jnp.abs(jnp.linalg.det(jnp.asarray(cell, dtype).reshape(3, 3)))
@@ -589,7 +599,7 @@ def _dense_pme_single(positions, charges, cell, alpha, mesh_dimensions,
         )
     if not compute_forces:
         return energies, None, charge_grads
-    forces = 2.0 * spline_gather_gradient(
+    forces = 2.0 * dense_gather_gradient_single(
         positions, charges, potential_mesh, cell, spline_order=spline_order)
     forces = forces - jnp.mean(forces, axis=0, keepdims=True)
     return energies, forces, charge_grads
@@ -617,7 +627,7 @@ def batch_pme_reciprocal(positions, charges, cells, alpha, mesh_dimensions,
                          tile_capacity: int | None = None,
                          fft_mode: str = "auto",
                          compute_charge_gradients: bool = False,
-                         engine: str = "windowed",
+                         engine: str = "auto",
                          spread_engine: str = "xla",
                          gather_engine: str = "xla",
                          tile: int | None = None):
@@ -636,12 +646,21 @@ def batch_pme_reciprocal(positions, charges, cells, alpha, mesh_dimensions,
     benchmarks/fft_mode_probe.py.
 
     ``engine`` selects the per-system spread/gather implementation:
-    ``"windowed"`` (default; tile-windowed, shared tiles reused by the
-    force gather) or ``"dense"`` (tile-free chunked separable matmuls —
-    no tile build, no capacity padding; candidate for small meshes,
-    see benchmarks/pme_batch_probe.py).  On the windowed engine,
-    ``spread_engine``/``gather_engine`` = ``"pallas"`` run the per-tile
-    contractions in fused Mosaic kernels (vmapped over systems).
+
+    - ``"dense"`` — tile-free chunked separable matmuls (no tile build,
+      no capacity padding).  Round 4: measured 4.3 ms E / 6.8 ms E+F at
+      the reference's 64x2000/32^3 config (H100 5.76 E) once the
+      pipeline stopped round-tripping through the public spline entry
+      points' windowed auto-select (r4_pmebatch_stage_probe).
+    - ``"windowed"`` — tile-windowed, shared tiles reused by the force
+      gather (8.6 ms E at the same config; the per-tile [cap, W^3]
+      expansion dominates small meshes).  ``spread_engine``/
+      ``gather_engine`` = ``"pallas"`` run the per-tile contractions in
+      fused Mosaic kernels (vmapped over systems).
+    - ``"auto"`` (default) — dense for per-system meshes up to 32^3
+      points, windowed above (the dense [n, ny*nz] intermediate scales
+      with the mesh; the crossover is unmeasured past 32^3, so the
+      proven tile path keeps large meshes).
 
     ``alpha`` scalar or [B]; ``cells`` [3, 3] shared or [B, 3, 3].
     Returns per-atom energies [B, n] (self/background corrected), plus
@@ -676,6 +695,9 @@ def batch_pme_reciprocal(positions, charges, cells, alpha, mesh_dimensions,
     if fft_mode == "auto":
         npts = math.prod(int(d) for d in mesh_dimensions)
         fft_mode = "matmul" if npts <= 32 * 32 * 32 else "xla"
+    if engine == "auto":
+        npts = math.prod(int(d) for d in mesh_dimensions)
+        engine = "dense" if npts <= 32 * 32 * 32 else "windowed"
     if engine == "dense":
         energies, forces, charge_grads = _batch_dense_pme_impl(
             positions, jnp.asarray(charges, dtype), cells, alphas,

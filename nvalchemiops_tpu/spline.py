@@ -317,6 +317,45 @@ def _separable_spread(values, sx, sy, sz, chunk: int = 2048):
     return mesh
 
 
+def dense_spread_single(positions, values, cell, mesh_dims,
+                        spline_order: int = 4):
+    """Separable-matmul spread for ONE system, no tile machinery.
+
+    Bypasses the tile-windowed auto-select inside :func:`spline_spread`:
+    for small meshes under vmap (the batched-PME shape) the windowed
+    path's per-tile [cap, W^3] expansion dominates, while this is one
+    [n, ny*nz] intermediate + one MXU contraction — measured 1.3 ms for
+    64 x 2000 atoms at 32^3 vs 7.6 ms windowed
+    (benchmarks/r4_densespread_probe.py, round 4).
+    """
+    mats, _ = _stencil_axis_matrices(positions, cell, tuple(mesh_dims),
+                                     spline_order, None)
+    return _separable_spread(values, *mats)
+
+
+def dense_gather_single(positions, mesh, cell, spline_order: int = 4):
+    """Separable-matmul scalar gather for one system (see
+    :func:`dense_spread_single`)."""
+    (sx, sy, sz), _ = _stencil_axis_matrices(
+        positions, cell, tuple(mesh.shape[-3:]), spline_order, None)
+    return _separable_gather(mesh, sx, sy, sz)
+
+
+def dense_gather_gradient_single(positions, charges, mesh, cell,
+                                 spline_order: int = 4):
+    """Separable-matmul gradient gather (force convention of
+    :func:`spline_gather_gradient`) for one system."""
+    dims = tuple(mesh.shape[-3:])
+    f_comps = []
+    inv = None
+    for d in range(3):
+        (sx, sy, sz), inv = _stencil_axis_matrices(
+            positions, cell, dims, spline_order, None, derivative_axis=d)
+        f_comps.append(-charges * _separable_gather(mesh, sx, sy, sz))
+    f_frac = jnp.stack(f_comps, axis=-1)
+    return apply_mat3(f_frac, inv[0].T)
+
+
 def _use_pallas_gather(mesh) -> bool:
     """Pallas gather pays off when the [chunk, ny*nz] projection would
     otherwise round-trip HBM (big meshes) and we are on a real TPU backend."""
