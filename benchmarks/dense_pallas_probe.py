@@ -75,18 +75,18 @@ for cut, img in ((21.2, True), (9.0, False)) if do_timing else ():
             print(f"batch D3 cutoff={cut} images={img} {label}: failed "
                   f"{type(exc).__name__}: {exc}"[:500], flush=True)
 
-# parity at the matched config
+# parity at the matched config (both proven blocks; 256 is the round-4
+# default, its whole-accumulator compile was the round-3 failure mode)
 e_x, f_x, cn_x = batch_dense_dftd3(
-    pos, numbers, cell, 21.2, rcov, r4r2, c6, cna, **params, images=True)
-e_p, f_p, cn_p = batch_dense_dftd3(
     pos, numbers, cell, 21.2, rcov, r4r2, c6, cna, **params, images=True,
-    engine="pallas", block=128)
+    engine="xla")
 scale = float(jnp.abs(f_x).max())
-print(f"energy rel diff: "
-      f"{float(jnp.abs(e_p - e_x).max() / jnp.abs(e_x).max()):.3e}",
-      flush=True)
-print(f"force  rel diff: {float(jnp.abs(f_p - f_x).max()) / scale:.3e}",
-      flush=True)
-print(f"cn     abs diff: {float(jnp.abs(cn_p - cn_x).max()):.3e}",
-      flush=True)
+for blk in (128, 256):
+    e_p, f_p, cn_p = batch_dense_dftd3(
+        pos, numbers, cell, 21.2, rcov, r4r2, c6, cna, **params,
+        images=True, engine="pallas", block=blk)
+    print(f"block {blk}: energy rel "
+          f"{float(jnp.abs(e_p - e_x).max() / jnp.abs(e_x).max()):.3e}  "
+          f"force rel {float(jnp.abs(f_p - f_x).max()) / scale:.3e}  "
+          f"cn abs {float(jnp.abs(cn_p - cn_x).max()):.3e}", flush=True)
 print("done", flush=True)

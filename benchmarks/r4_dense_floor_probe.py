@@ -107,3 +107,34 @@ for label, combos, block in (
         print(f"{label:24s}: FAILED {type(exc).__name__}: {exc}"[:250],
               flush=True)
 print("done", flush=True)
+
+# entry-point / return-set isolation (round-4: the dense_pallas parity
+# probe read 92 ms for the same 4-combo/128 config this probe reads 61)
+from nvalchemiops_tpu.interactions.dispersion.dense_d3 import (
+    batch_dense_dftd3 as bdd,
+)
+
+def via_wrapper(p):
+    e, f, cn = bdd(pos * 0 + p, numbers, cell, cut, rcov, r4r2, c6, cna,
+                   a1=0.4289, a2=4.4407, s8=0.7875, images=True,
+                   engine="pallas", block=128)
+    return f
+
+def via_wrapper_ef(p):
+    e, f, cn = bdd(p, numbers, cell, cut, rcov, r4r2, c6, cna,
+                   a1=0.4289, a2=4.4407, s8=0.7875, images=True,
+                   engine="pallas", block=128)
+    return e, f
+
+def via_impl_ef(p):
+    e, f, cn = _dense_pallas_impl(
+        p, numbers, cells_b, cut, rcov, r4r2, cna_b, mask_b, c6p_b,
+        0.4289, 4.4407, 1.0, 0.7875, 16.0, -4.0, combos4, block=128)
+    return e, f
+
+for label, fn in (("wrapper [f]/128", via_wrapper),
+                  ("wrapper [e,f]/128", via_wrapper_ef),
+                  ("impl [e,f]/128", via_impl_ef)):
+    t = measure(fn, dep, (pos,), iters=2)
+    print(f"{label:24s}: {t*1e3:8.2f} ms", flush=True)
+print("done2", flush=True)

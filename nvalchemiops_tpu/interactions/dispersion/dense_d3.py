@@ -77,6 +77,28 @@ def _image_combos(images: bool, cell_np=None, cutoff: float | None = None):
     return kept
 
 
+def element_rows(numbers, table):
+    """``table[numbers]`` without the conservative random-gather lowering.
+
+    Per-atom element-table rows ([N] int32 x [Z, ...] -> [N, ...]) via an
+    exact one-hot contraction: XLA lowers ``table[numbers]`` as a general
+    gather (~1e8 elements/s on TPU), which cost 30 of the 92 ms of the
+    matched batched-D3 wrapper at 128 x 2048 atoms
+    (benchmarks/r4_dense_floor_probe.py round 4).  The one-hot operand is
+    exactly representable in bf16 and the table splits exactly across the
+    HIGHEST passes, so the selection is bit-exact f32 on the MXU.
+    """
+    z = table.shape[0]
+    flat = jnp.reshape(table, (z, -1))
+    onehot = (numbers[..., None]
+              == jnp.arange(z, dtype=numbers.dtype)).astype(flat.dtype)
+    rows = jax.lax.dot_general(
+        onehot.reshape(-1, z), flat, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=flat.dtype)
+    return rows.reshape(numbers.shape + table.shape[1:])
+
+
 def _dense_impl(positions, numbers, cell, cutoff, rcov, r4r2, cna_a, mask_a,
                 c6p_a, a1, a2, s6, s8, k1, k3, images: bool = False,
                 combos=None):
@@ -268,8 +290,9 @@ def _dense_pallas_impl(positions_b, numbers_b, cells_b, cutoff, rcov, r4r2,
     alive_f = (numbers_b != 0).astype(dtype)
     inv_cells = jnp.linalg.inv(cells_b)
     frac = jax.vmap(apply_mat3)(positions_b, inv_cells)  # [S, n_pad, 3]
-    rcov_a = rcov.astype(dtype)[numbers_b] * alive_f
-    si_a = jnp.sqrt(r4r2.astype(dtype) * 1.7320508075688772)[numbers_b]
+    rcov_a = element_rows(numbers_b, rcov.astype(dtype)) * alive_f
+    si_a = element_rows(
+        numbers_b, jnp.sqrt(r4r2.astype(dtype) * 1.7320508075688772))
     scalars = cells_b.astype(jnp.float32).reshape(s_count, 9)
 
     def to_rows(cols):  # [S, n_pad, F] -> [S, F, n_pad]
@@ -488,9 +511,10 @@ def _auto_dense_engine(engine: str, block, combos, *scalars):
     The triangle-block Mosaic sweep wins on TPU wherever it compiles
     (benchmarks/dense_pallas_probe.py, 128 x 2000 CsCl: 90.5 ms pallas/128
     vs 192.8 xla at the 21.2 A image sweep; 29.4 ms pallas/256 vs 49.8 xla
-    at 9 A minimum-image).  block=256 with image combos exceeds the Mosaic
-    compiler's limits (the per-combo accumulator set scales the live VMEM)
-    — proven blocks are 128 with images, 256 without.
+    at 9 A minimum-image).  block=256 WITH image combos failed to compile
+    in round 3 but compiles and wins in round 4 (57.4 vs 60.6 ms at the
+    matched 21.2 A config, benchmarks/r4_dense_floor_probe.py) — 256 is
+    the default everywhere now.
 
     ``scalars`` are the values the pallas path bakes in as Python floats
     (cutoff, D3 parameters, cell): if any is a tracer (jitted caller with
@@ -502,7 +526,7 @@ def _auto_dense_engine(engine: str, block, combos, *scalars):
         engine = ("pallas" if jax.default_backend() == "tpu" and not traced
                   else "xla")
     if block is None:
-        block = 128 if len(combos) > 1 else 256
+        block = 256
     return engine, block
 
 
@@ -543,11 +567,11 @@ def dense_dftd3(positions, numbers, cell, cutoff, rcov, r4r2, c6ab,
     zmax1 = rcov.shape[0]
     mesh = cn_ref_elem.shape[1]
     mask_elem = element_c6_mask(c6ab)
-    cna_a = cn_ref_elem.astype(dtype)[numbers]
-    mask_a = mask_elem.astype(dtype)[numbers]
+    cna_a = element_rows(numbers, cn_ref_elem.astype(dtype))
+    mask_a = element_rows(numbers, mask_elem.astype(dtype))
     c6p = jnp.transpose(c6ab.astype(dtype), (0, 2, 1, 3)).reshape(
         zmax1, mesh, zmax1 * mesh)
-    c6p_a = c6p[numbers]
+    c6p_a = element_rows(numbers, c6p)
     cell = jnp.asarray(cell, dtype).reshape(3, 3)
     engine, block = _auto_dense_engine(engine, block, combos,
                                        cutoff, a1, a2, s6, s8, k1, k3, cell)
@@ -629,11 +653,11 @@ def batch_dense_dftd3(positions, numbers, cells, cutoff, rcov, r4r2, c6ab,
         zmax1 = rcov.shape[0]
         mesh = cn_ref_elem.shape[1]
         mask_elem = element_c6_mask(c6ab)
-        cna_b = cn_ref_elem.astype(dtype)[numbers_b]
-        mask_b = mask_elem.astype(dtype)[numbers_b]
+        cna_b = element_rows(numbers_b, cn_ref_elem.astype(dtype))
+        mask_b = element_rows(numbers_b, mask_elem.astype(dtype))
         c6p = jnp.transpose(c6ab.astype(dtype), (0, 2, 1, 3)).reshape(
             zmax1, mesh, zmax1 * mesh)
-        c6p_b = c6p[numbers_b]
+        c6p_b = element_rows(numbers_b, c6p)
         cells_b = (jnp.broadcast_to(cells, (b, 3, 3)) if shared else cells)
         return _dense_pallas_impl(
             positions, numbers_b, cells_b, cutoff, jnp.asarray(rcov),

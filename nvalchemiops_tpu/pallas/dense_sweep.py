@@ -213,7 +213,13 @@ def dense_sweep(
             for _ in range(num_out)
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # block=256 with image combos sits right at the default 16 MB
+            # scoped-VMEM ceiling (compiles measured both sides of it in
+            # round 4: 57.4 ms when it fit, 18.16 MB OOM when scheduling
+            # went the other way).  Raise the ceiling so the fastest
+            # proven block is deterministic; v5e VMEM is 128 MB total.
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*prefetch, *inputs)
     return tuple(o[:, 0, :] for o in outs)
