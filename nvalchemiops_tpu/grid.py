@@ -222,14 +222,23 @@ def build_atom_grid(positions, cell, pbc, dims, radius, cap,
     starts = jnp.cumsum(counts) - counts
     src = starts[:, None] + jnp.arange(cap, dtype=INDEX_DTYPE)[None, :]
     valid = src < (starts + counts)[:, None]
-    srcc = jnp.where(valid, src, n).reshape(-1)  # n -> fill row
-    # flat [slots] row gather; a vmapped [cap, 4] dynamic_slice per cell
-    # (contiguous rows) measured 157 ms here — the batched-slice gather
-    # lowering serializes per cell.  Flat rows are the proven form.
+    # flat [slots] row gather with UNCLAMPED monotone indices: clamping
+    # invalid slots to a fill row breaks sortedness and forfeits the fast
+    # sorted-gather lowering — measured 16.0 ms (clamped) vs 8.7
+    # (monotone + post-select) at 262k atoms / 1.19M slots
+    # (benchmarks/r4_slotrow_gather_probe.py).  Out-of-run slots read the
+    # NEXT cell's atoms (or the cap-row zero pad at the end) and are
+    # overwritten by the fill select below.  A vmapped [cap, 4]
+    # dynamic_slice per cell measured 157 ms (serializes per cell); the
+    # random-destination row scatter 21 ms; sorted-unique scatter 11.7.
     svals = jnp.concatenate(
         [jnp.stack([spx, spy, spz, order.astype(dtype)], axis=-1),
-         jnp.asarray([[0.0, 0.0, 0.0, float(n)]], dtype)], axis=0)
-    planes = svals[srcc].reshape(cz, cy, cx, cap, 4)
+         jnp.zeros((cap, 4), dtype)], axis=0)
+    planes = jnp.take(svals, src.reshape(-1), axis=0,
+                      indices_are_sorted=True)
+    planes = jnp.where(valid.reshape(-1, 1), planes,
+                       jnp.asarray([[0.0, 0.0, 0.0, float(n)]], dtype))
+    planes = planes.reshape(cz, cy, cx, cap, 4)
     g_px = planes[..., 0]
     g_py = planes[..., 1]
     g_pz = planes[..., 2]

@@ -19,7 +19,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 __all__ = ["sharded_batch_pme_reciprocal"]
 
@@ -63,11 +66,19 @@ def sharded_batch_pme_reciprocal(mesh: Mesh, positions, charges, cells,
 
     spec = P(axis)
     out_specs = (spec, spec) if compute_forces else (spec,)
-    fn = shard_map(
-        local, mesh=mesh,
-        in_specs=(spec, spec, spec, spec),
-        out_specs=out_specs,
-        check_rep=False,
-    )
+    try:
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:  # older jax uses check_rep
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=out_specs,
+            check_rep=False,
+        )
     out = fn(positions, charges, cells, alphas)
     return out if compute_forces else out[0]
