@@ -222,19 +222,28 @@ def build_atom_grid(positions, cell, pbc, dims, radius, cap,
     starts = jnp.cumsum(counts) - counts
     src = starts[:, None] + jnp.arange(cap, dtype=INDEX_DTYPE)[None, :]
     valid = src < (starts + counts)[:, None]
-    # flat [slots] row gather with UNCLAMPED monotone indices: clamping
-    # invalid slots to a fill row breaks sortedness and forfeits the fast
-    # sorted-gather lowering — measured 16.0 ms (clamped) vs 8.7
-    # (monotone + post-select) at 262k atoms / 1.19M slots
-    # (benchmarks/r4_slotrow_gather_probe.py).  Out-of-run slots read the
-    # NEXT cell's atoms (or the cap-row zero pad at the end) and are
-    # overwritten by the fill select below.  A vmapped [cap, 4]
-    # dynamic_slice per cell measured 157 ms (serializes per cell); the
-    # random-destination row scatter 21 ms; sorted-unique scatter 11.7.
+    # flat [slots] row gather with TRULY SORTED indices: invalid slots are
+    # clamped to the cell's run END (starts+counts), which is exactly the
+    # next cell's first index — the flat sequence stays globally
+    # non-decreasing, so indices_are_sorted=True is valid and keeps the
+    # fast sorted-gather lowering (8.7 ms vs 16.0 clamped-to-fill-row at
+    # 262k atoms / 1.19M slots, benchmarks/r4_slotrow_gather_probe.py).
+    # Clamping to a CONSTANT fill row breaks sortedness (slow); leaving
+    # src UNCLAMPED (starts+arange(cap)) back-jumps at every non-full
+    # cell boundary, and the TPU sorted-gather lowering then reads wrong
+    # rows for VALID slots too — on-chip D3 energy at an (11,11,11)/cap16
+    # geometry was off by 1.1e-4 relative while CPU (which ignores the
+    # hint) agreed with f64 (r4_smoke_diag_probe / r4_chip_vs_f64_probe).
+    # Out-of-run slots read the next cell's first atom (or the cap-row
+    # zero pad at the end) and are overwritten by the fill select below.
+    # A vmapped [cap, 4] dynamic_slice per cell measured 157 ms
+    # (serializes per cell); the random-destination row scatter 21 ms;
+    # sorted-unique scatter 11.7.
     svals = jnp.concatenate(
         [jnp.stack([spx, spy, spz, order.astype(dtype)], axis=-1),
          jnp.zeros((cap, 4), dtype)], axis=0)
-    planes = jnp.take(svals, src.reshape(-1), axis=0,
+    srcc = jnp.minimum(src, (starts + counts)[:, None])
+    planes = jnp.take(svals, srcc.reshape(-1), axis=0,
                       indices_are_sorted=True)
     planes = jnp.where(valid.reshape(-1, 1), planes,
                        jnp.asarray([[0.0, 0.0, 0.0, float(n)]], dtype))
