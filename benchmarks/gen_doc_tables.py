@@ -42,10 +42,19 @@ def lookup(name, match, field):
 
 
 def latest_bench():
-    paths = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
-    if not paths:
+    """The committed headline artifact written by bench.py itself.
+
+    Reading the driver's ``BENCH_r*.json`` here was round-4 weak #1: the
+    driver writes that file *after* the round's final commit, so the
+    rendered docs were stale by construction at every snapshot.  bench.py
+    now persists ``benchmarks/results/headline_bench.json`` (and refreshes
+    the docs) whenever it completes, so docs + artifact always move
+    together in the same commit.
+    """
+    path = os.path.join(RESULTS, "headline_bench.json")
+    if not os.path.exists(path):
         return None
-    with open(paths[-1]) as f:
+    with open(path) as f:
         return json.load(f)
 
 
@@ -58,9 +67,11 @@ def md_table(header, rows):
 
 def render_headline():
     b = latest_bench()
-    if b is None or b.get("parsed") is None:
-        return "_no BENCH_r*.json present_"
-    p = b["parsed"] if "parsed" in b else b
+    if b is None:
+        return "_no headline_bench.json present_"
+    p = b.get("parsed", b)  # accept both the raw result and a driver wrapper
+    if p.get("value") is None:
+        return "_no headline_bench.json present_"
     d = p["detail"]
     rows = [
         ("Neighbor structure build (halo grid)",
@@ -135,6 +146,19 @@ def splice(text, key, body):
     if not pattern.search(text):
         raise SystemExit(f"docs missing AUTOGEN markers for {key!r}")
     return pattern.sub(begin + "\n" + body + "\n" + end, text)
+
+
+def rewrite_docs():
+    """Regenerate docs/benchmarks.md in place (used by bench.py at exit)."""
+    with open(DOCS) as f:
+        text = f.read()
+    new = text
+    for key, body in render_all().items():
+        new = splice(new, key, body)
+    if new != text:
+        with open(DOCS, "w") as f:
+            f.write(new)
+    return new != text
 
 
 def main():

@@ -34,7 +34,7 @@ GEOMS = {
 
 def setup(dtype_str):
     import jax
-    if sys.argv[1:] and sys.argv[1] == "save":
+    if dtype_str == "f64":
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
@@ -55,6 +55,13 @@ def setup(dtype_str):
     def run(tag, engine):
         dims, radius, cap = GEOMS[tag]
         g = build_atom_grid(pos, cell, pbc, dims, radius, cap)
+        # A cell over cap would silently drop atoms to the trash slot, and
+        # f32-vs-f64 binning of boundary atoms could differ between the two
+        # phases — either would inflate the reported error with
+        # grid-assignment differences rather than engine rounding.
+        occ = int(np.asarray(g.counts_max))
+        if occ > cap:
+            raise RuntimeError(f"{tag}: cell occupancy {occ} > cap {cap}")
         _, f, _ = grid_dftd3(g, numbers, tabs[0], tabs[1], tabs[2], tabs[3],
                              CUTOFF, 0.4, 4.2, 1.8, engine=engine)
         return np.asarray(f, np.float64)
