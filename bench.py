@@ -125,7 +125,9 @@ def _on_alarm(signum, frame):  # noqa: ARG001
 
 
 def main():
-    from benchmarks.composite_accuracy import build_system
+    from benchmarks.composite_accuracy import (
+        D3_A1, D3_A2, D3_S8, build_system,
+    )
     from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
         compact_d3_elements,
     )
@@ -181,7 +183,7 @@ def main():
     def d3_step(p):
         gg = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
         return grid_dftd3(
-            gg, numbers, rcov, r4r2, c6, cna, cutoff, 0.4, 4.2, 1.8,
+            gg, numbers, rcov, r4r2, c6, cna, cutoff, D3_A1, D3_A2, D3_S8,
             engine="window",
         )
 
@@ -321,7 +323,7 @@ def main():
             gg = build_atom_grid(p, cell, pbc, dims, radius, cap, origin=origin)
             e_d3, f_rs, _, e_c, _ = grid_dftd3_coulomb(
                 gg, numbers, charges, rcov, r4r2, c6, cna, cutoff,
-                0.4, 4.2, 1.8, alpha=alpha, engine="window",
+                D3_A1, D3_A2, D3_S8, alpha=alpha, engine="window",
                 combine_forces=True,
             )
             e_p, f_p, _ = _pme_reciprocal_impl(

@@ -118,23 +118,52 @@ def test_published_physical_constants():
     np.testing.assert_allclose(TABLES["c6ab"][1, 1, 1, 0], 4.7379, rtol=1e-6)
 
 
-def test_cs_values_are_not_published_claims():
-    """Guard (round-3 ADVICE): Cs rows in the committed slice are explicit
-    placeholders — the published caesium pars.f records are not
-    reproducible in this offline environment (the reference itself
-    downloads Grimme's tarball at example runtime rather than shipping
-    it, examples/dispersion/utils.py:281-530).  This test asserts the Cs
-    values stay EXCLUDED from the published-verified set above, so a
-    future real transcription is forced to update both this guard and
-    the frozen CsCl regressions together, consciously.
+def test_cs_cl_published_provenance():
+    """The benchmark crystal's elements run on published physics (round-4
+    VERDICT task #2: no APPROX tables in the headline path).
+
+    Every Cs/Cl constant the CsCl benchmark touches is pinned here to an
+    independently hard-coded published value:
+
+    - r4r2(Cs) = 11.02204549 — the sqrt(Z)-scaled <r^4>/<r^2> table
+      shared by the standard D3 implementations (alkali series Na
+      6.58586, K 7.97763, Rb 9.55462, Cs 11.02205); r4r2(Cl) =
+      3.72932356 from the same table (also pinned above).
+    - rcov — Pyykko-Atsumi covalent radii (Cl 0.99 A; Cs 2.32 A x 0.9
+      metal scaling) with the dftd3.f 4/3 Bohr conversion.
+    - C6(Cs,Cs) free-atom limit = 6851 a.u. — accurate relativistic
+      many-body Cs2 coefficient (Derevianko, Johnson, Safronova, Babb,
+      PRL 82, 3589 (1999)); the pars.f TDDFT record is not reproducible
+      offline, so the best-established published value of the same
+      physical quantity is used (documented in d3_data.py's provenance
+      tiers).
+    - C6(Cl,Cl) free-atom limit = 92.3 a.u. — the D3 paper's computed
+      value (vs 94.6 experimental, Kumar & Meath DOSD).
+    - C6(Cs,Cl) — Casimir-Polder/Tang two-point combination of the
+      published homo coefficients with published static polarizabilities
+      (alpha_Cs = 401.0, alpha_Cl = 14.6 a.u.), evaluated here
+      independently of d3_data's implementation.
     """
-    # the APPROX placeholders as committed (NOT published values)
-    np.testing.assert_allclose(TABLES["c6ab"][55, 55, 0, 0], 7700.0,
-                               rtol=1e-6)
-    # rcov(Cs) IS published (Pyykko-Atsumi 2.32 A x 0.9 metal scaling)
+    np.testing.assert_allclose(TABLES["r4r2"][55], 11.02204549, rtol=5e-6)
     np.testing.assert_allclose(TABLES["rcov"][55],
                                (4.0 / 3.0) * 2.32 * 0.9 / 0.52917726,
                                rtol=1e-5)
+    np.testing.assert_allclose(TABLES["rcov"][17],
+                               (4.0 / 3.0) * 0.99 / 0.52917726, rtol=1e-5)
+    np.testing.assert_allclose(TABLES["c6ab"][55, 55, 0, 0], 6851.0,
+                               rtol=1e-6)
+    np.testing.assert_allclose(TABLES["c6ab"][17, 17, 0, 0], 92.3,
+                               rtol=1e-6)
+    c_cs, c_cl, a_cs, a_cl = 6851.0, 92.3, 401.0, 14.6
+    c6_cscl = 2 * c_cs * c_cl / ((a_cl / a_cs) * c_cs + (a_cs / a_cl) * c_cl)
+    np.testing.assert_allclose(TABLES["c6ab"][55, 17, 0, 0], c6_cscl,
+                               rtol=1e-6)
+    np.testing.assert_allclose(TABLES["c6ab"][17, 55, 0, 0], c6_cscl,
+                               rtol=1e-6)
+    # no APPROX markers may reappear in the data module
+    import inspect
+    import nvalchemiops_tpu.interactions.dispersion.d3_data as d3_data_mod
+    assert "APPROX" not in inspect.getsource(d3_data_mod)
 
 
 def test_all_hydrogen_physical_dispersion_energy():
@@ -435,9 +464,9 @@ def test_cscl_crystal_vs_numpy_oracle():
 # frozen f64 values, generated by this suite on the CPU backend (see
 # test_frozen_regression); guards against silent physics drift.
 _FROZEN = {
-    "molecule_e": -0.0018187557126419993,
+    "molecule_e": -0.0017891741399390995,
     "crystal_e": -0.004372620785519851,
-    "cscl_e": -0.31465826989622414,
+    "cscl_e": -0.2952983967011933,
 }
 
 
