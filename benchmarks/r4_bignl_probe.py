@@ -151,10 +151,13 @@ except Exception as exc:  # noqa: BLE001
     print(f"batch-cell-list FAILED: {type(exc).__name__}: {exc}"[:300],
           flush=True)
 
-# TPU-native batched neighbor structure: vmapped halo-grid build (the
-# structure every grid kernel consumes directly, no neighbor matrix)
+# TPU-native batched neighbor structure: the fused whole-batch build (one
+# global compound-key sort + cap x monotone 1-D takes; the vmapped
+# per-system build measured 556-929 ms at this config, r5_batchnl_probe)
 try:
-    from nvalchemiops_tpu.grid import estimate_grid_geometry
+    from nvalchemiops_tpu.grid import (
+        batch_build_atom_grid, estimate_grid_geometry,
+    )
 
     dims_g, radius_g, cap_g = estimate_grid_geometry(
         cell1, np.array([True] * 3), CUTOFF, npa, target_occupancy=0.6)
@@ -162,8 +165,8 @@ try:
     cell_j = jnp.asarray(cell1, jnp.float32)
     # tight capacity from the observed batch-wide max occupancy (the
     # Poisson-margin estimate carries ~2x slack; sweep cost ~ cap)
-    g0 = jax.vmap(lambda pp: build_atom_grid(
-        pp, cell_j, np.array([True] * 3), dims_g, radius_g, cap_g))(pos_bs)
+    g0 = batch_build_atom_grid(pos_bs[:2], cell_j, np.array([True] * 3),
+                               dims_g, radius_g, cap_g)
     occ_b = int(jnp.max(g0.counts_max))
     cap_g = int(np.ceil(max(occ_b, 1) / 8)) * 8
     del g0
@@ -171,8 +174,8 @@ try:
           flush=True)
 
     def bgrid_step(p):
-        g = jax.vmap(lambda pp: build_atom_grid(
-            pp, cell_j, np.array([True] * 3), dims_g, radius_g, cap_g))(p)
+        g = batch_build_atom_grid(p, cell_j, np.array([True] * 3),
+                                  dims_g, radius_g, cap_g)
         return g.ext_px
 
     t = measure(bgrid_step, dep, (pos_bs,), iters=3)

@@ -205,31 +205,35 @@ def bench_ewald_batch(cfg, label, outdir, iters):
 
     dep = perturb_positions()
     rng = np.random.default_rng(3)
-    B, npersys, box = cfg["num_systems"], cfg["atoms_per_system"], cfg["box"]
-    pos = jnp.asarray(rng.uniform(0, box, (B * npersys, 3)), jnp.float32)
-    q = jnp.asarray(rng.normal(size=B * npersys), jnp.float32)
-    cells = jnp.asarray(np.tile(np.eye(3) * box, (B, 1, 1)), jnp.float32)
-    batch_idx = jnp.asarray(np.repeat(np.arange(B), npersys), jnp.int32)
-    batch_ptr = jnp.asarray(np.arange(B + 1) * npersys, jnp.int32)
-    params = estimate_ewald_parameters(pos[:npersys], cells[0],
-                                       accuracy=cfg["accuracy"])
-    alpha = float(params.alpha[0])
-    kv = generate_k_vectors_ewald_summation(
-        cells, float(params.reciprocal_space_cutoff[0])
-    )
-    alpha_arr = jnp.full((B,), alpha, jnp.float32)
-
+    cases = cfg.get("cases") or [cfg]
     rows = []
-    for forces in (False, True):
-        def step(p):
-            out = _reciprocal_core(p, q, cells, kv, alpha_arr, batch_idx,
-                                   batch_ptr, npersys, B, forces, False)
-            return out[1] if forces else out[0]
+    for case in cases:
+        B, npersys, box = (case["num_systems"], case["atoms_per_system"],
+                           case["box"])
+        pos = jnp.asarray(rng.uniform(0, box, (B * npersys, 3)), jnp.float32)
+        q = jnp.asarray(rng.normal(size=B * npersys), jnp.float32)
+        cells = jnp.asarray(np.tile(np.eye(3) * box, (B, 1, 1)), jnp.float32)
+        batch_idx = jnp.asarray(np.repeat(np.arange(B), npersys), jnp.int32)
+        batch_ptr = jnp.asarray(np.arange(B + 1) * npersys, jnp.int32)
+        params = estimate_ewald_parameters(pos[:npersys], cells[0],
+                                           accuracy=cfg["accuracy"])
+        alpha = float(params.alpha[0])
+        kv = generate_k_vectors_ewald_summation(
+            cells, float(params.reciprocal_space_cutoff[0])
+        )
+        alpha_arr = jnp.full((B,), alpha, jnp.float32)
 
-        t = measure(step, dep, (pos,), iters=max(iters // 2, 2))
-        rows.append(["ewald-recip" + ("-forces" if forces else ""),
-                     B * npersys, B, round(t * 1e3, 4)])
-        print(f"  Ewald batch forces={forces}: {t*1e3:.3f} ms")
+        for forces in (False, True):
+            def step(p):
+                out = _reciprocal_core(p, q, cells, kv, alpha_arr, batch_idx,
+                                       batch_ptr, npersys, B, forces, False)
+                return out[1] if forces else out[0]
+
+            t = measure(step, dep, (pos,), iters=max(iters // 2, 2))
+            rows.append(["ewald-recip" + ("-forces" if forces else ""),
+                         B * npersys, B, round(t * 1e3, 4)])
+            print(f"  Ewald batch {B}x{npersys} forces={forces}: "
+                  f"{t*1e3:.3f} ms")
     write_csv(
         f"{outdir}/ewald_benchmark_{label}.csv", rows,
         ["method", "atoms", "systems", "time_ms"],

@@ -401,25 +401,31 @@ def batch_build_atom_grid(positions, cells, pbc, dims, radius, cap,
 
     counts = jnp.zeros((B * ncells,), INDEX_DTYPE).at[lin_g].add(1)
     starts = jnp.cumsum(counts) - counts
-    src = starts[:, None] + jnp.arange(cap, dtype=INDEX_DTYPE)[None, :]
-    valid = src < (starts + counts)[:, None]
+    ends = starts + counts
+    valid = (jnp.arange(cap, dtype=INDEX_DTYPE)[None, :] < counts[:, None])
     # local atom ids (order mod npa) so ext_aid matches the per-system build
     order_sys = order // jnp.asarray(npa, INDEX_DTYPE)
     order_local = (order - order_sys * npa).astype(dtype)
-    svals = jnp.concatenate(
-        [jnp.stack([spx, spy, spz, order_local], axis=-1),
-         jnp.zeros((cap, 4), dtype)], axis=0)
-    srcc = jnp.minimum(src, (starts + counts)[:, None])
-    planes = jnp.take(svals, srcc.reshape(-1), axis=0,
-                      indices_are_sorted=True)
-    planes = jnp.where(valid.reshape(-1, 1), planes,
-                       jnp.asarray([[0.0, 0.0, 0.0, float(npa)]], dtype))
-    planes = planes.reshape(B, cz, cy, cx, cap, 4)
-    g_px = planes[..., 0]
-    g_py = planes[..., 1]
-    g_pz = planes[..., 2]
+
+    # slot planes via cap x per-payload 1-D monotone takes: the [slots]
+    # ROW take of a [n+cap, 4] payload matrix costs 476 ms at 20.1M
+    # slots on chip while cap separate [B*ncells] takes at starts + r
+    # (clamped to the run end — min of two monotone sequences stays
+    # monotone, so indices_are_sorted holds per call) cost 134 ms for
+    # three payloads (benchmarks/r5_planes_variant_probe.py; take_flat,
+    # one flat 1-D take per payload, sits between at 182).
+    def slot_take(payload, fill):
+        v = jnp.concatenate([payload, jnp.full((1,), fill, payload.dtype)])
+        cols = [jnp.take(v, jnp.minimum(starts + r, ends),
+                         indices_are_sorted=True) for r in range(cap)]
+        out = jnp.stack(cols, axis=-1)                    # [B*ncells, cap]
+        return jnp.where(valid, out, fill).reshape(B, cz, cy, cx, cap)
+
+    g_px = slot_take(spx, 0.0)
+    g_py = slot_take(spy, 0.0)
+    g_pz = slot_take(spz, 0.0)
+    g_aid = slot_take(order_local, float(npa)).astype(INDEX_DTYPE)
     g_valid = valid.reshape(B, cz, cy, cx, cap)
-    g_aid = planes[..., 3].astype(INDEX_DTYPE)
 
     # per-SYSTEM park iota (systems never interact; matches vmapped build)
     slot_iota = jnp.arange(ncells * cap, dtype=dtype).reshape(
