@@ -304,18 +304,43 @@ def _dense_pallas_impl(positions_b, numbers_b, cells_b, cutoff, rcov, r4r2,
             d0 = d0 - jnp.where(d0 >= 0, 1.0, -1.0).astype(d0.dtype)
         return d0
 
-    def cart(gi, gj, scal, bits):
-        # gi [nb, >=3] column block, gj [>=3, nb] row block; fractional
-        # displacement d = frac_j - frac_i per axis, then rows of the cell
-        ds = [minimage(gj[c:c + 1, :] - gi[:, c:c + 1], bits[c])
-              for c in range(3)]
-        out = []
+    def combo_carts(gi, gj, scal):
+        """Cartesian displacements for every image combo, base+delta form.
+
+        The min-image cart rotation runs ONCE; each extra combo (second
+        image on the axes in its bit set) is the exact linear delta
+        ``d - sum_{c in bits} sign(d0_c) * cell_row_c`` — ~9 VPU ops per
+        combo instead of re-running the per-axis min-image + 9-FMA
+        rotation (~24 ops).  Exact by linearity of the fractional ->
+        cartesian map; the r4_dense_floor_probe put the matched batched
+        config at a 29.9 ms base + ~9.3 ms per extra combo, all of it
+        per-combo VPU radial work, so this is the direct lever on the
+        ~58 ms 4-combo floor (H100: 46.0 ms).
+        """
+        ds0 = [minimage(gj[c:c + 1, :] - gi[:, c:c + 1], False)
+               for c in range(3)]
+        base = []
         for ax in range(3):
-            acc = ds[0] * scal(0 * 3 + ax)
-            acc += ds[1] * scal(1 * 3 + ax)
-            acc += ds[2] * scal(2 * 3 + ax)
-            out.append(acc)
-        return out
+            acc = ds0[0] * scal(0 * 3 + ax)
+            acc += ds0[1] * scal(1 * 3 + ax)
+            acc += ds0[2] * scal(2 * 3 + ax)
+            base.append(acc)
+        sgn = [None] * 3
+        outs = []
+        for bits in combos:
+            if not any(bits):
+                outs.append(tuple(base))
+                continue
+            d = list(base)
+            for c in range(3):
+                if bits[c]:
+                    if sgn[c] is None:
+                        sgn[c] = jnp.where(ds0[c] >= 0, 1.0, -1.0
+                                           ).astype(dtype)
+                    for ax in range(3):
+                        d[ax] = d[ax] - sgn[c] * scal(c * 3 + ax)
+            outs.append(tuple(d))
+        return outs
 
     # ---- pass 1: coordination numbers --------------------------------------
     geo1_i = jnp.concatenate(
@@ -327,8 +352,7 @@ def _dense_pallas_impl(positions_b, numbers_b, cells_b, cutoff, rcov, r4r2,
         rc = gi[:, 3:4] + gj[3:4, :]
         alive_pair = gi[:, 4:5] * gj[4:5, :]
         acc = jnp.zeros(pair_ok.shape, dtype)
-        for bits in combos:
-            dx, dy, dz = cart(gi, gj, scal, bits)
+        for dx, dy, dz in combo_carts(gi, gj, scal):
             r2 = dx * dx + dy * dy + dz * dz
             ok = pair_ok & (r2 < cut2) & (r2 > 1e-20)
             inv_r = jax.lax.rsqrt(jnp.where(ok, r2, 1.0))
@@ -384,8 +408,7 @@ def _dense_pallas_impl(positions_b, numbers_b, cells_b, cutoff, rcov, r4r2,
         fxb = jnp.zeros(pair_ok.shape, dtype)
         fyb = jnp.zeros(pair_ok.shape, dtype)
         fzb = jnp.zeros(pair_ok.shape, dtype)
-        for bits in combos:
-            dx, dy, dz = cart(gi, gj, scal, bits)
+        for dx, dy, dz in combo_carts(gi, gj, scal):
             r2 = dx * dx + dy * dy + dz * dz
             ok = pair_ok & (r2 < cut2) & (r2 > 1e-20)
             r2_safe = jnp.where(ok, r2, 1.0)
@@ -437,8 +460,7 @@ def _dense_pallas_impl(positions_b, numbers_b, cells_b, cutoff, rcov, r4r2,
         fxb = jnp.zeros(pair_ok.shape, dtype)
         fyb = jnp.zeros(pair_ok.shape, dtype)
         fzb = jnp.zeros(pair_ok.shape, dtype)
-        for bits in combos:
-            dx, dy, dz = cart(gi, gj, scal, bits)
+        for dx, dy, dz in combo_carts(gi, gj, scal):
             r2 = dx * dx + dy * dy + dz * dz
             ok = pair_ok & (r2 < cut2) & (r2 > 1e-20)
             inv_r = jax.lax.rsqrt(jnp.where(ok, r2, 1.0))
