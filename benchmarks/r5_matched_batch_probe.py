@@ -69,3 +69,50 @@ for blk in blocks:
         print(f"block={blk} FAILED: {type(exc).__name__}: {exc}"[:300],
               flush=True)
 print("done", flush=True)
+
+# ---- pair-list formulation floor (round-4 VERDICT task #5 "or" clause) ----
+# The reference handles this workload with neighbor-matrix pair iteration
+# (reference dftd3.py:1792-2122).  On TPU that formulation's inner loop is
+# a per-pair random gather of j-side data; measure the matrix-path D3 on a
+# batch slice and the raw gather floor to document the full-config cost.
+if os.environ.get("PROBE_PAIRLIST", "0") == "1":
+    import jax
+    from nvalchemiops_tpu.interactions.dispersion import D3Parameters, dftd3
+    from nvalchemiops_tpu.neighborlist import batch_naive_neighbor_list
+
+    Bs = int(os.environ.get("PROBE_PL_B", "8"))
+    posf = jnp.asarray(pos[:Bs].reshape(Bs * npa, 3), jnp.float32)
+    batch_idx = jnp.asarray(np.repeat(np.arange(Bs), npa), jnp.int32)
+    cells_b = jnp.asarray(np.tile(cell, (Bs, 1, 1)), jnp.float32)
+    nm, num, sh = batch_naive_neighbor_list(
+        posf, CUTOFF, pbc=np.array([True] * 3), cell=cells_b,
+        batch_idx=batch_idx, max_neighbors=2560)
+    kmax = int(jnp.max(num))
+    print(f"pair-list: B={Bs} max_neighbors observed {kmax}", flush=True)
+    cn_full = np.broadcast_to(
+        cna[:, None, :, None], (ZMAX + 1, ZMAX + 1, 5, 5)).copy()
+    params = D3Parameters(rcov=jnp.asarray(rcov, jnp.float32),
+                          r4r2=jnp.asarray(r4r2, jnp.float32),
+                          c6ab=jnp.asarray(c6, jnp.float32),
+                          cn_ref=jnp.asarray(cn_full, jnp.float32))
+    numbers_f = jnp.asarray(numbers[:Bs].reshape(-1))
+
+    def step_pl(p):
+        e, f, cn = dftd3(p, numbers_f, 0.4, 4.2, 1.8, d3_params=params,
+                         cell=cells_b, batch_idx=batch_idx,
+                         neighbor_matrix=nm, neighbor_matrix_shifts=sh)
+        return f
+
+    t = measure(step_pl, dep, (posf,), iters=2)
+    print(f"matrix-path D3 {Bs}x{npa} @ {CUTOFF} A: {t*1e3:.3f} ms "
+          f"-> x{B//Bs} extrapolated {t*1e3*B/Bs:.1f} ms for the full "
+          f"config", flush=True)
+
+    # raw j-side gather floor: positions[nm] alone
+    def step_gather(p):
+        pj = jnp.take(p, jnp.minimum(nm, Bs * npa - 1), axis=0)
+        return jnp.sum(pj, axis=1)
+
+    t = measure(step_gather, dep, (posf,), iters=2)
+    print(f"raw positions[nm] gather {Bs}x{npa}: {t*1e3:.3f} ms "
+          f"-> x{B//Bs} = {t*1e3*B/Bs:.1f} ms", flush=True)
