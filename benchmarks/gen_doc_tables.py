@@ -98,7 +98,8 @@ def render_suite(name, title, cols):
 SUITES = [
     ("dftd3_benchmark_tpu-chip.csv",
      "DFT-D3 suite, out-of-the-box path (zmax 16 random elements, 9.0 Å, "
-     "includes the grid build)",
+     "includes the grid build; the 21.2 Å flagship row excludes the build "
+     "and is 2-element CsCl — H100: 16.454 ms)",
      ("method", "atoms", "time_ms", "us_per_atom")),
     ("dftd3_zmax_benchmark_tpu-chip.csv",
      "DFT-D3 element-diversity scaling at 97k atoms (includes build)",
@@ -121,7 +122,8 @@ SUITES = [
      "46.0 ms)",
      ("method", "atoms", "systems", "time_ms", "us_per_atom")),
     ("ewald_benchmark_tpu-chip.csv",
-     "Batched Ewald reciprocal, 64×2,000 atoms (H100: 24.9 ms energies)",
+     "Batched Ewald reciprocal (H100 energies: 64×2,000 = 24.876 ms, "
+     "16×2,000 = 7.467, 4×16,000 = 31.894)",
      ("method", "atoms", "systems", "time_ms")),
 ]
 

@@ -15,12 +15,14 @@ from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (  # noqa: F401
 )
 from nvalchemiops_tpu.interactions.dispersion.dense_d3 import (  # noqa: F401
     batch_dense_dftd3,
+    batch_dftd3,
     dense_dftd3,
 )
 
 __all__ = [
     "D3Parameters",
     "batch_dense_dftd3",
+    "batch_dftd3",
     "batch_grid_dftd3",
     "compact_d3_elements",
     "dense_dftd3",

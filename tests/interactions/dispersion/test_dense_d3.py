@@ -242,3 +242,64 @@ def test_batch_dense_matches_per_system():
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(cn_b[b]), np.asarray(cn1),
                                    atol=1e-6)
+
+
+def test_batch_dftd3_router():
+    """Unified batch router: dense for small systems, grid at scale /
+    mixed pbc, dense when the grid can't represent the cutoff."""
+    import numpy as np
+    import jax.numpy as jnp
+    from nvalchemiops_tpu.interactions.dispersion import batch_dftd3
+    from nvalchemiops_tpu.interactions.dispersion.dense_d3 import (
+        batch_dense_dftd3,
+    )
+    from nvalchemiops_tpu.interactions.dispersion.grid_d3 import (
+        batch_grid_dftd3,
+    )
+
+    rng = np.random.default_rng(3)
+    zmax = 4
+    rcov = jnp.asarray(np.r_[0, rng.uniform(0.6, 1.2, zmax)], jnp.float64)
+    r4r2 = jnp.asarray(np.r_[0, rng.uniform(2, 5, zmax)], jnp.float64)
+    cna = jnp.asarray(np.vstack(
+        [np.zeros(5), np.cumsum(rng.uniform(0.3, 1, (zmax, 5)), 1)]),
+        jnp.float64)
+    c6_np = rng.uniform(5, 40, (zmax + 1, zmax + 1, 5, 5))
+    c6_np[0] = 0
+    c6_np[:, 0] = 0
+    c6_np = 0.5 * (c6_np + np.swapaxes(np.swapaxes(c6_np, 0, 1), 2, 3))
+    c6 = jnp.asarray(c6_np, jnp.float64)
+    B, n = 2, 96
+    box = 12.0
+    pos = jnp.asarray(rng.uniform(0, box, (B, n, 3)))
+    numbers = jnp.asarray(rng.integers(1, zmax + 1, (B, n)), jnp.int32)
+    cell = jnp.asarray(np.eye(3) * box)
+    pbc = np.array([True] * 3)
+    args = (3.4, rcov, r4r2, c6, cna, 0.42, 4.1, 1.7)
+
+    # small all-PBC -> dense; equals the dense engine exactly
+    e_a, f_a, cn_a = batch_dftd3(pos, numbers, cell, pbc, *args)
+    e_d, f_d, cn_d = batch_dense_dftd3(pos, numbers, cell, *args)
+    np.testing.assert_array_equal(np.asarray(e_a), np.asarray(e_d))
+
+    # mixed pbc -> grid; equals the grid engine exactly
+    pbc_mix = np.array([True, False, True])
+    e_m, f_m, cn_m = batch_dftd3(pos, numbers, cell, pbc_mix, *args)
+    e_g, f_g, cn_g = batch_grid_dftd3(pos, numbers, cell, pbc_mix, *args)
+    np.testing.assert_array_equal(np.asarray(e_m), np.asarray(e_g))
+    # and the two engines agree physically on the all-PBC workload
+    e_g2, f_g2, _ = batch_grid_dftd3(pos, numbers, cell, pbc, *args)
+    np.testing.assert_allclose(np.asarray(e_a), np.asarray(e_g2),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(f_a), np.asarray(f_g2),
+                               atol=1e-9)
+
+    # cutoff beyond the grid bound (radius > cells/dim) -> dense w/ images
+    e_big, f_big, _ = batch_dftd3(pos, numbers, cell, pbc, 7.0, rcov,
+                                  r4r2, c6, cna, 0.42, 4.1, 1.7)
+    e_bd, f_bd, _ = batch_dense_dftd3(pos, numbers, cell, 7.0, rcov,
+                                      r4r2, c6, cna, 0.42, 4.1, 1.7)
+    np.testing.assert_array_equal(np.asarray(e_big), np.asarray(e_bd))
+
+    with pytest.raises(ValueError):
+        batch_dftd3(pos, numbers, cell, pbc_mix, *args, engine="dense")
