@@ -726,9 +726,13 @@ def batch_dense_dftd3(positions, numbers, cells, cutoff, rcov, r4r2, c6ab,
 
 
 #: measured dense<->grid crossover for the unified batch router, atoms
-#: per system at ~0.1 atoms/A^3 and a 9 A cutoff (see batch_dftd3 and
-#: benchmarks/r5_crossover_probe.py).
-BATCH_DENSE_MAX_ATOMS = 4096
+#: per system at ~0.1 atoms/A^3 and a 9 A cutoff
+#: (benchmarks/r5_crossover_probe.py, chip, B=16: dense/grid ms =
+#: 3.8/13.2 @ 2000, 13.6/44.3 @ 4096, 52.9/90.3 @ 8192, 221/145 @
+#: 16384 — the O(n^2) dense sweep stays ahead through 8k atoms per
+#: system and the O(n) grid takes over by 16k; the scaling fit puts the
+#: true crossing near 11k, so 8192 is the conservative routing bound).
+BATCH_DENSE_MAX_ATOMS = 8192
 
 
 def batch_dftd3(positions, numbers, cells, pbc, cutoff, rcov, r4r2, c6ab,

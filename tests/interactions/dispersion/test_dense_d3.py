@@ -247,6 +247,7 @@ def test_batch_dense_matches_per_system():
 def test_batch_dftd3_router():
     """Unified batch router: dense for small systems, grid at scale /
     mixed pbc, dense when the grid can't represent the cutoff."""
+    import pytest
     import numpy as np
     import jax.numpy as jnp
     from nvalchemiops_tpu.interactions.dispersion import batch_dftd3
