@@ -471,10 +471,23 @@ def _d3_atom_features(numbers_a, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
     w_a = jnp.sum(e_a, axis=-1)                           # [N]
     wd_a = jnp.sum(ed_a, axis=-1)                         # [N]
 
-    # left features: l0[(z,q)] = sum_p c6[p, (z,q)] e[p]; l1 with (e d).
+    # compensated derivative weights, FACTORED as e (d - a) — never as
+    # ed - a e or l1 - a l0: the post-contraction difference cancels two
+    # O(C6 x CN) products whose exact cancellation XLA fusion breaks at
+    # ulp scale.  In the saturated-CN regime (real tables: crystal CN
+    # 7-17 vs a [0, 1] reference grid, round 5) that ulp noise is the
+    # ENTIRE dE/dCN signal and amplified to 5e-3 f32 force error by the
+    # chain pass, while d - a_cn == 0.0 bit-exactly at the dominant
+    # reference under any fusion (a_cn = wd/w reduces to d there), so
+    # the factored form is noise-free by construction (measured:
+    # f32-vs-f64 force error 4.7e-3 -> 1.6e-5 on the CsCl composite).
+    a_cn = jnp.where(w_a > 0.0, wd_a / jnp.where(w_a > 0.0, w_a, 1.0), 0.0)
+    edc_a = e_a * (d_vec - a_cn[..., None])
+
+    # left features: l0[(z,q)] = sum_p c6[p, (z,q)] e[p]; l1c with edc.
     # c6p_a is p-major [N, mesh, zm] so each p-slice is contiguous.
     l0_a = jnp.einsum("npf,np->nf", c6p_a, e_a, precision=precision)  # [N, zm]
-    l1_a = jnp.einsum("npf,np->nf", c6p_a, ed_a, precision=precision)
+    l1c_a = jnp.einsum("npf,np->nf", c6p_a, edc_a, precision=precision)
 
     # layout (z, q): column m = z*mesh + q.  R[(z,q)] = [z == z_j] e_j[q]
     # via repeat/tile — NOT one-hot expansion matmuls: on TPU a 0/1
@@ -485,21 +498,13 @@ def _d3_atom_features(numbers_a, cn_a, cna_a, mask_a, c6p_a, k3, dtype,
     ohz = (numbers_a[:, None] == ziota).astype(dtype)     # [N, Z+1]
     ohz_r = jnp.repeat(ohz, mesh, axis=-1)                # [N, zm]
     rf_a = ohz_r * jnp.tile(e_a, (1, zmax1))              # [N, zm]
-    rfd_a = ohz_r * jnp.tile(ed_a, (1, zmax1))
+    rfdc_a = ohz_r * jnp.tile(edc_a, (1, zmax1))
 
-    # compensated derivative features (see docstring): w >= 1 whenever any
-    # reference is available (LSE scaling pins the max term to 1), so the
-    # guard only parks padding atoms (w == 0 exactly).
-    a_cn = jnp.where(w_a > 0.0, wd_a / jnp.where(w_a > 0.0, w_a, 1.0), 0.0)
-    l1c_a = l1_a - a_cn[..., None] * l0_a
-    rfdc_a = rfd_a - a_cn[..., None] * rf_a
     if extras:
         # compact factorized right features for engines that rebuild
         # rf/rfdc in-kernel from [.., mesh] windows + the element id:
         # rf[(z, q)] = [z == z_j] e[q] and rfdc[(z, q)] = [z == z_j] edc[q]
-        # with edc = ed - a e (the compensation factorizes through the
-        # one-hot z mask)
-        edc_a = ed_a - a_cn[..., None] * e_a
+        # (the compensation factorizes through the one-hot z mask)
         return l0_a, l1c_a, rf_a, rfdc_a, w_a, wd_a, e_a, edc_a
     return l0_a, l1c_a, rf_a, rfdc_a, w_a, wd_a
 
@@ -1419,6 +1424,12 @@ def _grid_d3_window_impl(
     ed_pl = e_pl * d_pl
     w_plane = jnp.sum(e_pl, axis=-1)
     wd_plane = jnp.sum(ed_pl, axis=-1)
+    a_cn = jnp.where(w_plane > 0.0,
+                     wd_plane / jnp.where(w_plane > 0.0, w_plane, 1.0), 0.0)
+    # factored compensation e (d - a): see _d3_atom_features — the
+    # post-contraction l1 - a l0 form leaks fusion-order ulp noise that
+    # IS the whole dE/dCN signal in the saturated-CN regime
+    edc_pl = e_pl * (d_pl - a_cn[..., None])
     # HIGHEST: these left features feed the compensated dC6/dCN bilinears;
     # a default single-bf16-pass contraction here measured 6e-2 force /
     # 2e-3 energy corruption on chip (the mesh-axis dot carries real f32
@@ -1434,16 +1445,12 @@ def _grid_d3_window_impl(
     zrow_pl = jnp.arange(zm, dtype=z_plane.dtype) // mesh
     fmask = z_plane[..., None] == zrow_pl               # [.., cap, zm]
     e_tiled = jnp.tile(e_pl, (1,) * (e_pl.ndim - 1) + (zmax1,))
-    ed_tiled = jnp.tile(ed_pl, (1,) * (ed_pl.ndim - 1) + (zmax1,))
+    edc_tiled = jnp.tile(edc_pl, (1,) * (edc_pl.ndim - 1) + (zmax1,))
     f_pl = jnp.where(fmask, e_tiled, 0.0)
-    fd_pl = jnp.where(fmask, ed_tiled, 0.0)
+    fdc_pl = jnp.where(fmask, edc_tiled, 0.0)
     c2 = c6p_t.reshape(zm, zm)
     l0_pl = jnp.einsum("...f,fz->...z", f_pl, c2, precision=hi)
-    l1_pl = jnp.einsum("...f,fz->...z", fd_pl, c2, precision=hi)
-    a_cn = jnp.where(w_plane > 0.0,
-                     wd_plane / jnp.where(w_plane > 0.0, w_plane, 1.0), 0.0)
-    l1c_pl = l1_pl - a_cn[..., None] * l0_pl
-    edc_pl = ed_pl - a_cn[..., None] * e_pl
+    l1c_pl = jnp.einsum("...f,fz->...z", fdc_pl, c2, precision=hi)
 
     lf_cols = jnp.concatenate([l0_pl, l1c_pl], axis=-1).astype(fdt).reshape(
         cz, cy, cx * cap, 2 * zm)
