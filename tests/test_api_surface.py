@@ -1,0 +1,137 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Direct exercises for public API previously reached only indirectly.
+
+Round-5 companion to tests/test_api_reach.py: the batch cell-list
+build/query split, the rebuild-detection convenience wrappers, the
+shift-packing utilities, the exact-VPU math helpers, and the AtomGrid
+scatter/gather round trip each get a small direct test so they leave
+the unreached allowlist.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nvalchemiops_tpu.grid import (
+    AtomGrid,
+    build_atom_grid,
+    estimate_grid_geometry,
+    gather_from_grid,
+    scatter_to_grid,
+)
+from nvalchemiops_tpu.mathops import apply_mat3, dot_phases
+from nvalchemiops_tpu.neighborlist import (
+    BatchCellList,
+    CellList,
+    batch_build_cell_list,
+    batch_query_cell_list,
+    build_cell_list,
+    check_cell_list_rebuild_needed,
+    check_neighbor_list_rebuild_needed,
+    estimate_batch_cell_list_sizes,
+    estimate_cell_list_sizes,
+    query_cell_list,
+)
+from nvalchemiops_tpu.neighborlist.neighbor_utils import (
+    pack_shifts,
+    shifts_from_aos,
+    shifts_to_aos,
+    unpack_shifts,
+)
+
+from tests.neighborlist.oracle import brute_force_neighbors
+
+
+def test_shift_packing_roundtrip():
+    rng = np.random.default_rng(0)
+    s = jnp.asarray(rng.integers(-500, 501, (40, 3)), jnp.int32)
+    packed = pack_shifts(s[:, 0], s[:, 1], s[:, 2])
+    sx, sy, sz = unpack_shifts(packed)
+    np.testing.assert_array_equal(np.asarray(jnp.stack([sx, sy, sz], -1)),
+                                  np.asarray(s))
+    aos = shifts_to_aos(packed)
+    np.testing.assert_array_equal(np.asarray(aos), np.asarray(s))
+    np.testing.assert_array_equal(np.asarray(shifts_from_aos(aos)),
+                                  np.asarray(packed))
+
+
+def test_exact_vpu_math_helpers():
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal((50, 3))
+    m = rng.standard_normal((3, 3))
+    np.testing.assert_allclose(np.asarray(apply_mat3(jnp.asarray(v),
+                                                     jnp.asarray(m))),
+                               v @ m, rtol=1e-6, atol=1e-12)
+    k = rng.standard_normal((7, 3))
+    ph = dot_phases(jnp.asarray(v), jnp.asarray(k))
+    np.testing.assert_allclose(np.asarray(ph), v @ k.T, rtol=1e-6,
+                               atol=1e-12)
+
+
+def test_atom_grid_scatter_gather_roundtrip():
+    rng = np.random.default_rng(2)
+    pos = rng.uniform(0, 10.0, (120, 3))
+    cell = np.eye(3) * 10.0
+    pbc = np.array([True] * 3)
+    dims, radius, cap = estimate_grid_geometry(cell, pbc, 3.0, 120,
+                                               target_occupancy=0.4)
+    g = build_atom_grid(jnp.asarray(pos, jnp.float32),
+                        jnp.asarray(cell, jnp.float32), pbc, dims, radius,
+                        cap)
+    assert isinstance(g, AtomGrid)
+    vals = jnp.asarray(rng.standard_normal(120), jnp.float32)
+    plane = scatter_to_grid(g, vals)
+    back = gather_from_grid(g, plane)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(vals))
+
+
+def test_cached_cell_list_split_and_rebuild_wrappers():
+    rng = np.random.default_rng(3)
+    n, box, cutoff = 150, 11.0, 3.1
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32)
+    pbc = np.array([True] * 3)
+    max_total_cells, radius = estimate_cell_list_sizes(cell, pbc, cutoff, n)
+    cl = build_cell_list(pos, cutoff, cell, pbc, max_total_cells, n)
+    assert isinstance(cl, CellList)
+    cap = int(np.ceil(int(jnp.max(cl.atoms_per_cell_count)) / 8)) * 8
+    radius_t = tuple(int(v) for v in np.asarray(radius))
+    nm, num, sh = query_cell_list(pos, cutoff, cell, pbc, cl, radius_t,
+                                  cap, 48)
+    rows = brute_force_neighbors(np.asarray(pos), cutoff, np.asarray(cell),
+                                 pbc)
+    assert np.array_equal(np.asarray(num), [len(r) for r in rows])
+
+    # rebuild-detection convenience wrappers (reference-parity signature:
+    # the full cell-list artifact field set)
+    assert not bool(check_cell_list_rebuild_needed(
+        *cl, pos, cell, pbc, cutoff))
+    moved = pos.at[0].add(jnp.asarray([3.5, 0.0, 0.0], jnp.float32))
+    assert bool(check_cell_list_rebuild_needed(
+        *cl, moved, cell, pbc, cutoff))
+    assert not bool(check_neighbor_list_rebuild_needed(pos, pos, 0.5))
+    assert bool(check_neighbor_list_rebuild_needed(pos, moved, 0.5))
+
+
+def test_batch_cell_list_split():
+    rng = np.random.default_rng(4)
+    B, npa, box, cutoff = 3, 90, 9.5, 3.0
+    pos_np = rng.uniform(0, box, (B * npa, 3))
+    pos = jnp.asarray(pos_np, jnp.float32)
+    cells = jnp.asarray(np.tile(np.eye(3) * box, (B, 1, 1)), jnp.float32)
+    pbc = np.array([True] * 3)
+    batch_idx = jnp.asarray(np.repeat(np.arange(B), npa), jnp.int32)
+    stride, max_total_cells, radius = estimate_batch_cell_list_sizes(
+        cells, pbc, cutoff, npa)
+    cl = batch_build_cell_list(pos, cutoff, cells, pbc, batch_idx, stride,
+                               npa)
+    assert isinstance(cl, BatchCellList)
+    cap = int(np.ceil(int(jnp.max(cl.atoms_per_cell_count)) / 8)) * 8
+    radius_t = tuple(int(v) for v in np.asarray(radius).max(axis=0))
+    nm, num, sh = batch_query_cell_list(pos, cutoff, cells, pbc, batch_idx,
+                                        cl, stride, radius_t, cap, 48)
+    for b in range(B):
+        rows = brute_force_neighbors(pos_np[b * npa:(b + 1) * npa], cutoff,
+                                     np.eye(3) * box, pbc)
+        np.testing.assert_array_equal(
+            np.asarray(num[b * npa:(b + 1) * npa]), [len(r) for r in rows])
