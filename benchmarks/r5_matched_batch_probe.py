@@ -51,7 +51,7 @@ args = (jnp.asarray(numbers), jnp.asarray(cell, jnp.float32), CUTOFF,
 
 pos_j = jnp.asarray(pos, jnp.float32)
 blocks = [int(b) for b in os.environ.get("PROBE_BLOCKS",
-                                         "256").split(",")]
+                                         "256").split(",") if b.strip()]
 warm = [False]
 for blk in blocks:
     def step(p, _blk=blk):
