@@ -42,8 +42,7 @@ def _test_corpus():
 _UNREACHED_ALLOWLIST = {
     "grid_pair_reduce", "grid_row_reduce_sym", "row_home_mask",
     "use_slot_gather",
-    "EwaldParameters", "PMEParameters", "estimate_pme_mesh_dimensions",
-    "generate_k_vectors_pme", "pme_green_structure_factor",
+    "pme_green_structure_factor",
     "exp_over_x",
     "eval_spherical_harmonics_l0", "eval_spherical_harmonics_l1",
     "eval_spherical_harmonics_l2",

@@ -135,3 +135,58 @@ def test_batch_cell_list_split():
                                      np.eye(3) * box, pbc)
         np.testing.assert_array_equal(
             np.asarray(num[b * npa:(b + 1) * npa]), [len(r) for r in rows])
+
+
+def test_parameter_estimators_dataclasses():
+    """Kolafa-Perram / PME sizing containers (reference parameters.py)."""
+    from nvalchemiops_tpu.interactions.electrostatics import (
+        EwaldParameters,
+        PMEParameters,
+        estimate_ewald_parameters,
+        estimate_pme_mesh_dimensions,
+        estimate_pme_parameters,
+    )
+
+    rng = np.random.default_rng(6)
+    n, box = 500, 20.0
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32)
+    ew = estimate_ewald_parameters(pos, cell, accuracy=1e-6)
+    assert isinstance(ew, EwaldParameters)
+    eta = (box**3 * box**3 / n) ** (1 / 6) / np.sqrt(2 * np.pi)
+    np.testing.assert_allclose(float(ew.alpha[0]), 1 / (np.sqrt(2) * eta),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(ew.real_space_cutoff[0]),
+                               np.sqrt(-2 * np.log(1e-6)) * eta, rtol=1e-5)
+    pme = estimate_pme_parameters(pos, cell, accuracy=1e-6)
+    assert isinstance(pme, PMEParameters)
+    dims = estimate_pme_mesh_dimensions(cell, pme.alpha, accuracy=1e-6)
+    assert tuple(pme.mesh_dimensions) == tuple(dims)
+    # power-of-two mesh, n >= ceil(2 alpha L / (3 eps^(1/5)))
+    for d in dims:
+        assert d & (d - 1) == 0
+        assert d >= 2 * float(pme.alpha[0]) * box / (3 * 1e-6 ** 0.2)
+
+
+def test_generate_k_vectors_pme_matches_fft_grid():
+    from nvalchemiops_tpu.interactions.electrostatics import (
+        generate_k_vectors_pme,
+    )
+
+    box = (11.0, 13.0, 17.0)
+    cell = jnp.asarray(np.diag(box), jnp.float64)
+    mesh = (8, 4, 6)
+    kv, k2 = generate_k_vectors_pme(cell, mesh)
+    assert kv.shape == (8, 4, 4, 3)
+    # orthorhombic: k = 2 pi m / L with fftfreq/rfftfreq Miller indices
+    mx = np.fft.fftfreq(mesh[0]) * mesh[0]
+    kz = np.fft.rfftfreq(mesh[2]) * mesh[2]
+    np.testing.assert_allclose(np.asarray(kv)[:, 0, 0, 0],
+                               2 * np.pi * mx / box[0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(kv)[0, 0, :, 2],
+                               2 * np.pi * kz / box[2], atol=1e-12)
+    # k_squared_safe equals |k|^2 away from k = 0 and is positive at 0
+    k2_ref = (np.asarray(kv) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(k2).ravel()[1:],
+                               k2_ref.ravel()[1:], rtol=1e-12)
+    assert float(np.asarray(k2).ravel()[0]) > 0
