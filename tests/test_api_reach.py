@@ -41,9 +41,7 @@ def _test_corpus():
 # harness internals via the engines) — shrink this list, never grow it.
 _UNREACHED_ALLOWLIST = {
     "grid_pair_reduce", "grid_row_reduce_sym", "row_home_mask",
-    "use_slot_gather",
     "pme_green_structure_factor",
-    "exp_over_x",
     "eval_spherical_harmonics_l0", "eval_spherical_harmonics_l1",
     "eval_spherical_harmonics_l2",
     "spherical_harmonic_00", "spherical_harmonic_00_gradient",
@@ -60,8 +58,7 @@ _UNREACHED_ALLOWLIST = {
     "prepare_batch_idx_ptr", "expand_naive_shifts", "expand_full_shifts",
     "pack_block", "merge_topk", "decode_keys", "block_sweep", "choose_super_chunk", "pack_columns", "dense_sweep",
     "triangle_blocks", "window_colsT", "window_x_block", "fold_window_j",
-    "WINDOW_PARK", "MLIPParams", "batched_energy_forces", "mlip_energy",
-    "compute_bspline_deconvolution_1d", "MeshTiles",
+    "MeshTiles",
 }
 
 

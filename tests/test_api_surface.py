@@ -190,3 +190,79 @@ def test_generate_k_vectors_pme_matches_fft_grid():
     np.testing.assert_allclose(np.asarray(k2).ravel()[1:],
                                k2_ref.ravel()[1:], rtol=1e-12)
     assert float(np.asarray(k2).ravel()[0]) > 0
+
+
+def test_small_math_and_heuristic_helpers():
+    from nvalchemiops_tpu.grid import use_slot_gather
+    from nvalchemiops_tpu.mathops import exp_over_x
+    from nvalchemiops_tpu.pallas.window_sweep import WINDOW_PARK
+    from nvalchemiops_tpu.spline import (
+        compute_bspline_deconvolution,
+        compute_bspline_deconvolution_1d,
+    )
+
+    x = jnp.asarray([0.5, 1.0, 2.5])
+    np.testing.assert_allclose(np.asarray(exp_over_x(x, 0.7)),
+                               np.exp(-0.7 * np.asarray(x)) / np.asarray(x),
+                               rtol=1e-7)
+    # the 3-D deconvolution factorizes into the 1-D moduli away from the
+    # Nyquist sentinel caps (|b(k)|^-2 clamped where the modulus vanishes)
+    d3 = np.asarray(compute_bspline_deconvolution((8, 4, 6), 4))
+    dx = np.asarray(compute_bspline_deconvolution_1d(8, 4))
+    dy = np.asarray(compute_bspline_deconvolution_1d(4, 4))
+    dz = np.asarray(compute_bspline_deconvolution_1d(6, 4))
+    prod = dx[:, None, None] * dy[None, :, None] * dz[None, None, :]
+    finite = prod < 1e14
+    np.testing.assert_allclose(d3[finite], prod[finite], rtol=1e-10)
+    assert (d3[~finite] >= 1e14).all()
+    # gather/scatter heuristic: large single systems gather, tiny ones
+    # (the vmapped-batch regime) scatter
+    assert use_slot_gather(524_288, 700_000)
+    assert not use_slot_gather(2_000, 4_000)
+    assert np.isfinite(WINDOW_PARK) and WINDOW_PARK > 1e6
+
+
+def test_mlip_energy_and_batched_forces_direct():
+    """parallel.mlip primitives: invariance + forces == -grad."""
+    from nvalchemiops_tpu.parallel import (
+        default_d3_tables,
+        init_mlip_params,
+    )
+    from nvalchemiops_tpu.parallel.mlip import (
+        MLIPParams,
+        batched_energy_forces,
+        mlip_energy,
+    )
+
+    rng = np.random.default_rng(8)
+    zmax = 4
+    params = init_mlip_params(zmax)
+    assert isinstance(params, MLIPParams)
+    tables = default_d3_tables(zmax)
+    B, npa, box = 2, 24, 8.0
+    pos = jnp.asarray(rng.uniform(0, box, (B, npa, 3)))
+    numbers = jnp.asarray(rng.integers(1, zmax + 1, (B, npa)), jnp.int32)
+    numbers = numbers.at[1, -4:].set(0)  # padding atoms
+    cells = jnp.asarray(np.tile(np.eye(3) * box, (B, 1, 1)))
+
+    e0 = mlip_energy(params, tables, pos[0], numbers[0], cells[0], 3.5)
+    # translation invariance (periodic)
+    e_t = mlip_energy(params, tables, pos[0] + 1.234, numbers[0],
+                      cells[0], 3.5)
+    np.testing.assert_allclose(float(e0), float(e_t), rtol=1e-10)
+
+    e_b, f_b = batched_energy_forces(params, tables, pos, numbers, cells,
+                                     3.5)
+    np.testing.assert_allclose(float(e_b[0]), float(e0), rtol=1e-12)
+    # forces == -dE/dr by finite difference on one coordinate
+    h = 1e-6
+    dp = jnp.zeros_like(pos).at[0, 3, 1].set(h)
+    ep = batched_energy_forces(params, tables, pos + dp, numbers, cells,
+                               3.5)[0]
+    em = batched_energy_forces(params, tables, pos - dp, numbers, cells,
+                               3.5)[0]
+    fd = -(float(ep[0]) - float(em[0])) / (2 * h)
+    np.testing.assert_allclose(float(f_b[0, 3, 1]), fd, rtol=1e-4,
+                               atol=1e-8)
+    # padding atoms carry zero force
+    np.testing.assert_array_equal(np.asarray(f_b[1, -4:]), 0.0)
